@@ -1,0 +1,20 @@
+"""cuny_courses_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the query and data-processing
+capabilities of the reference ETL pipeline (``cvickery/cuny-courses``: CSV
+ingest -> clean/typecast -> dict-lookup joins -> group/aggregate -> dedup by
+latest effective date -> relational sink; see SURVEY.md SS1-3), extended with
+the LLM-data-pipeline operator families (dedup, similarity search, multimodal
+columns, text analysis) mandated by BASELINE.json.
+
+Design principles (SURVEY.md SS4, SS7):
+- DataFrame/SQL only; Catalyst + Tungsten pick the physical plan.
+- No RDDs, no custom Catalyst rules, no SQL parser of our own.
+- Python at the edges only, Arrow-vectorized (pandas_udf / applyInPandas).
+- Every operator is registered as a named query with a DuckDB oracle where
+  SQL-expressible (registry.py), forming the verifiable contract of SURVEY §2.
+"""
+
+from cuny_courses_spark.registry import oracles, queries
+
+__all__ = ["queries", "oracles"]

@@ -1,0 +1,126 @@
+"""§2 M — UDF / UDAF / UDTF surface.
+
+Reference correspondence: the loaders' row transforms are all, in effect,
+Python UDFs (SURVEY §2 M). The engine keeps Python at the edges:
+
+- q_udf_python is the deliberately-slow row-at-a-time baseline (kept for
+  parity demonstration — it serializes row by row over Py4J);
+- q_udf_pandas_scalar is the same logic Arrow-vectorized (~10-100× faster
+  at scale; this is the only Python pattern allowed in hot paths);
+- q_udaf_pandas_grouped is applyInPandas cogrouped aggregation;
+- q_udtf_explode is a Python UDTF (Spark ≥ 3.5) emitting multiple rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+_BRAND_ORACLE = """
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num
+FROM part
+"""
+
+
+@register("q_udf_python", oracle=_BRAND_ORACLE)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF: 'Brand#17' → 17 (catalog-number normalizer)."""
+
+    @udf("bigint")
+    def brand_num(s: str) -> int | None:
+        if s is None or "#" not in s:
+            return None
+        try:
+            return int(s.split("#", 1)[1])
+        except ValueError:
+            return None
+
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", brand_num("p_brand").alias("brand_num"))
+
+
+@register("q_udf_pandas_scalar", oracle=_BRAND_ORACLE)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same normalizer as an Arrow-batched pandas UDF — the scale path."""
+
+    @pandas_udf("bigint")
+    def brand_num(s: pd.Series) -> pd.Series:
+        return (
+            s.str.extract(r"#(\d+)$", expand=False).astype("float").astype("Int64")
+        )
+
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", brand_num("p_brand").alias("brand_num"))
+
+
+@register(
+    "q_udaf_pandas_grouped",
+    oracle="""
+SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via applyInPandas (grouped-map, Arrow-batched).
+
+    pandas ``median`` and DuckDB ``quantile_cont(0.5)`` both interpolate, so
+    the oracle matches exactly. At 100 TB, each group must fit one executor's
+    memory — returnflag has 3 groups, so one would pre-partition by a salt
+    and merge medians approximately instead; that variant is q_agg_stats's
+    ``percentile``.
+    """
+    li = load(spark, sf_dir, "lineitem")
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "median_qty": [round(float(pdf["l_quantity"].median()), 4)],
+            }
+        )
+
+    return (
+        li.select("l_returnflag", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(med, "l_returnflag string, median_qty double")
+    )
+
+
+@register(
+    "q_udtf_explode",
+    oracle="""
+SELECT doc_id,
+       unnest(string_split(text, ' ')) AS token,
+       unnest(range(len(string_split(text, ' ')))) AS pos
+FROM documents
+WHERE doc_id < 20
+""",
+)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one (token, pos) row per whitespace token of each doc."""
+
+    @udtf(returnType="token: string, pos: bigint")
+    class SplitTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield tok, i
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM v_docs_udtf d, LATERAL split_tokens(d.text) t
+        WHERE d.doc_id < 20
+        """
+    )

@@ -1,0 +1,309 @@
+"""§2 D — Aggregations.
+
+Reference correspondence: per-institution/per-subject course counts, row-count
+sanity gates, rule → array-of-source-courses accumulation (SURVEY §2 D, §3.2
+"hash-group → collect_list"). All expressed as Spark hash aggregates
+(partial + final, map-side combine) — the plan Catalyst picks for
+``groupBy().agg()`` — so at 100 TB each executor pre-aggregates its partitions
+before the single keyed shuffle; group-key cardinality here is tiny (≤ 6–25
+groups), so the final stage is trivially small.
+
+Determinism: monetary/quantity sums go through DECIMAL(30,6) (see
+common.py); counts are BIGINT; rollup/cube NULL group labels are coalesced to
+'ALL' on both sides (avoids GROUPING() representation parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.common import O_davg, O_dsum, davg, dsum, r4
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+# ---------------------------------------------------------------- q_agg_global
+
+
+@register(
+    "q_agg_global",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       {O_dsum('l_quantity', 'sum_qty')},
+       {O_dsum('l_extendedprice', 'sum_price')},
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price,
+       {O_davg('l_discount', 'avg_disc')}
+FROM lineitem
+""",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-wide count/sum/min/max/avg — the reference's row-count gate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        r4(F.min("l_extendedprice"), "min_price"),
+        r4(F.max("l_extendedprice"), "max_price"),
+        davg("l_discount", "avg_disc"),
+    )
+
+
+# --------------------------------------------------------------- q_agg_groupby
+
+
+Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {O_dsum('l_quantity', 'sum_qty')},
+       {O_dsum('l_extendedprice', 'sum_base_price')},
+       {O_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {O_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {O_davg('l_quantity', 'avg_qty')},
+       {O_davg('l_extendedprice', 'avg_price')},
+       {O_davg('l_discount', 'avg_disc')},
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — TPC-H-Q1-shape pricing summary by returnflag/linestatus.
+
+    Scan → pushed filter → partial hash-agg → 6-group final agg. The filter
+    and 7-column projection reach the parquet reader (PushedFilters /
+    ReadSchema in the plan), so at 100 TB this reads a fraction of the table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# -------------------------------------------------------------- q_agg_distinct
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) per group — Spark plans Expand + two-phase agg.
+
+    The distinct-expand happens before the shuffle, so duplicate
+    (segment, custkey) pairs collapse map-side at scale.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+# ------------------------------------------------------- q_agg_approx_distinct
+
+
+@register("q_agg_approx_distinct")  # rows-only: HLL sketch has no exact oracle
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event_type (rsd=0.01).
+
+    100 TB rationale: the HLL sketch is fixed-size per group and merges
+    associatively, so the shuffle carries KB-scale sketches instead of the
+    full distinct key set. Engine tests assert ±5 % of exact
+    (tests/test_internal.py).
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------- q_agg_rollup
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals; NULL group labels coalesced to 'ALL' on both sides."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+# ------------------------------------------------------------------ q_agg_cube
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------- q_agg_grouping_sets
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Expand-based plan)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------- q_agg_collect_list
+
+
+@register(
+    "q_agg_collect_list",
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys_csv
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q_agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer sorted orderkey list — the reference's rule→course-array
+    accumulation (SURVEY §3.2). Serialized to CSV string so the comparison
+    is representation-independent (determinism rule 3)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias(
+            "orderkeys_csv"
+        )
+    )
+
+
+# -------------------------------------------------------------- q_agg_filtered
+
+
+@register(
+    "q_agg_filtered",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_urgent,
+       {O_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END",
+               'urgent_revenue')},
+       count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates (active-vs-inactive course counts pattern)."""
+    orders = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("n_urgent"),
+        dsum(F.when(urgent, F.col("o_totalprice")).otherwise(0.0), "urgent_revenue"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+    )
+
+
+# ----------------------------------------------------------------- q_agg_stats
+
+
+@register(
+    "q_agg_stats",
+    oracle=f"""
+SELECT l_returnflag,
+       {O_davg('l_quantity', 'avg_qty')},
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments + exact interpolated median per returnflag.
+
+    ``percentile`` (exact, sort-based) rather than ``percentile_approx`` so
+    the DuckDB ``quantile_cont`` oracle matches exactly; at 100 TB one would
+    swap to the t-digest approx with a tolerance gate instead.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        davg("l_quantity", "avg_qty"),
+        r4(F.stddev_samp("l_quantity"), "std_qty"),
+        r4(F.var_samp("l_quantity"), "var_qty"),
+        r4(F.percentile("l_quantity", F.lit(0.5)), "median_qty"),
+    )

@@ -1,0 +1,339 @@
+"""§2 C — Joins.
+
+Reference correspondence: the loaders' dict-lookup joins (build {key: row},
+probe per row — a hash join in Python) and the declarative joins of the
+downstream SQL surface (SURVEY §2 C, §3.2). Declared by semantics; physical
+intent per query:
+
+- dimension joins carry an explicit ``broadcast()`` hint (MB-scale dims:
+  region/nation/supplier/part at test sf; at 100 TB the same hint holds for
+  true dims, and AQE converts sort-merge → broadcast when stats allow);
+- fact-fact joins (orders⋈lineitem) shuffle on the join key — at scale these
+  become sort-merge joins whose shuffles are the dominant cost, so both
+  sides are pre-projected to the needed columns before the exchange;
+- the as-of join has no batch built-in: implemented as equi-join on the
+  partition key + window argmax, the Spark-native latest-effective-row plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.common import O_dsum, dsum, fmt_ts, r4
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+
+@register(
+    "q_join_inner_equi",
+    oracle="""
+SELECT o_orderkey, c_name, round(o_totalprice, 4) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (course→department lookup pattern)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", r4("o_totalprice", "total")
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT o_orderkey, count(l_orderkey) AS n_items
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; 257 orders at sf0.01 have no lineitems → n_items=0."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+SELECT o_orderkey, count(l_orderkey) AS n_items
+FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+""",
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer variant (mirror of q_join_left)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "right")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+SELECT CASE WHEN o_orderkey IS NULL THEN 'lineitem_only'
+            WHEN lk IS NULL THEN 'orders_only'
+            ELSE 'both' END AS side,
+       count(*) AS n
+FROM orders
+FULL JOIN (SELECT DISTINCT l_orderkey AS lk FROM lineitem) li
+  ON o_orderkey = lk
+GROUP BY side
+""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the snapshot-diff primitive (see q_etl_upsert_classify)."""
+    o = load(spark, sf_dir, "orders")
+    lk = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("lk"))
+        .distinct()
+    )
+    j = o.join(lk, o.o_orderkey == lk.lk, "full")
+    side = (
+        F.when(F.col("o_orderkey").isNull(), "lineitem_only")
+        .when(F.col("lk").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return j.groupBy(side.alias("side")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT o_orderkey FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders having ≥1 lineitem."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select("o_orderkey")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the reference's orphan-detection audit."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select("o_orderkey")
+
+
+@register(
+    "q_join_broadcast_dim",
+    oracle=f"""
+SELECT r_name, {O_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact → chained broadcast dims (the hard-coded institution-dim pattern).
+
+    All three dims are broadcast-hinted: one pass over the fact, no shuffle
+    until the 5-group aggregate. This is the plan that must survive 100×
+    scale-up — dims stay KB-MB while the fact grows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q_join_star_multiway",
+    oracle=f"""
+SELECT n_name, {O_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 shape: 6-table star join, region-filtered, revenue per nation.
+
+    Join order: fact-fact (lineitem⋈orders) shuffled first, then broadcast
+    dims; the local-supplier condition (c_nationkey = s_nationkey) rides the
+    supplier join as a residual. AQE/CBO may reorder — that's the point.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    o = o.filter(
+        (o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (o.o_orderdate < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q_join_theta",
+    oracle=f"""
+SELECT p_brand,
+       count(*) AS n,
+       {O_dsum('l_extendedprice', 'price_sum')}
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand
+""",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + non-equi residual (grade-bound-predicate pattern):
+    hash/SMJ on the equi key, residual filter after the probe."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "price_sum"))
+    )
+
+
+@register(
+    "q_join_range_interval",
+    oracle="""
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts
+ AND b.ts < a.ts + INTERVAL 5 MINUTE
+GROUP BY a.user_id
+""",
+)
+def q_join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: same-user event pairs within [ts, ts+5min).
+
+    Physical shape: equi-join on user_id + residual range predicate — the
+    shuffle partitions by user, so at 100 TB this is bounded by per-user
+    density, not the global row count. (For dense keys one would band by
+    time bucket as well: join on (user, 5-min bucket) ± 1 bucket.)
+    """
+    e = load(spark, sf_dir, "events")
+    a = e.select("user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user)
+            & (a.a_id < b.b_id)
+            & (b.b_ts >= a.a_ts)
+            & (b.b_ts < a.a_ts + F.expr("INTERVAL 5 MINUTE")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest same-user click at-or-before
+    it — the reference's "latest effective rule at date" pattern (SURVEY §2 C).
+
+    Spark has no batch ASOF (SURVEY §4): plan is equi-join on the partition
+    key (user_id) + window argmax over the matched candidates, which matches
+    DuckDB ASOF's strictly-≤ latest-wins semantics. At 100 TB the candidate
+    blowup is bounded by per-user history; the scale path is
+    repartition-by-key + sort-merge within partitions (same plan Spark picks
+    here via SMJ + window over the join key).
+    """
+    e = load(spark, sf_dir, "events")
+    p = e.filter(e.event_type == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = e.filter(e.event_type == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(c, (p.user_id == c.c_user) & (c.c_ts <= p.p_ts), "inner")
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "click_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (5 × 25 = 125 rows)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

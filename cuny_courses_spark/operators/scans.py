@@ -1,0 +1,130 @@
+"""§2 A — Scans, sources, sinks.
+
+Reference correspondence: all reference inputs are CUNYfirst CSV exports read
+via ``csv.reader``; the sink is a Postgres rebuild + archived dumps (SURVEY
+§2 A, §3.1). Here: typed CSV/JSON readers (FAILFAST, explicit schema — never
+inferSchema), parquet sink partitioned by a derived column, and
+partition-pruned re-reads.
+
+Scale: partitioned writes give partition pruning on the read path — the
+`q_scan_partition_pruned` plan must show PartitionFilters, not a full scan
+(asserted in tests/test_plans.py). Sink round-trips write to a per-sf temp
+dir; outputs depend only on table contents, so re-writes are idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.common import O_dsum, dsum, fmt_ts, r4
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import SCHEMAS, load
+
+
+def _io_dir(sf_dir: str, name: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = Path(tempfile.gettempdir()) / "ccs_io" / key / name
+    return str(d)
+
+
+@register(
+    "q_scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_returnflag
+FROM lineitem
+""",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan + 6-column projection (ReadSchema pruning)."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_returnflag",
+    )
+
+
+@register("q_scan_csv", oracle="SELECT r_regionkey, r_name FROM region")
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip of ``region`` with explicit schema + header, FAILFAST —
+    the reference's sole input format, typed at the boundary."""
+    out = _io_dir(sf_dir, "region_csv")
+    load(spark, sf_dir, "region").write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return spark.read.csv(
+        out, schema=SCHEMAS["region"], header=True, mode="FAILFAST"
+    ).select("r_regionkey", "r_name")
+
+
+@register(
+    "q_scan_json",
+    oracle=f"""
+SELECT event_id, user_id, event_type,
+       round(value, 4) AS value_r,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       props
+FROM events
+WHERE event_id < 100
+""",
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip of 100 events rows with explicit schema."""
+    out = _io_dir(sf_dir, "events_json")
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.json(out, schema=SCHEMAS["events"])
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        r4("value", "value_r"),
+        fmt_ts("ts", "ts_s"),
+        "props",
+    )
+
+
+@register(
+    "q_sink_parquet_partitioned",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n
+FROM orders GROUP BY o_year
+""",
+)
+def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by year, re-read, count per partition —
+    the nightly-rebuild sink pattern, Sparkified as a partitioned lake write."""
+    out = _io_dir(sf_dir, "orders_by_year")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q_scan_partition_pruned",
+    oracle=f"""
+SELECT count(*) AS n, {O_dsum('o_totalprice', 'total')}
+FROM orders WHERE year(o_orderdate) = 1997
+""",
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back exactly one year partition (static partition pruning: the
+    plan's PartitionFilters excludes every other directory)."""
+    out = _io_dir(sf_dir, "orders_by_year")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    # Idempotent: (re)write the partitioned copy, then prune-read one year.
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+    )

@@ -1,0 +1,106 @@
+"""§2 F — Sorts, limits, top-k.
+
+The driver's value-hash is order-insensitive, so a bare ORDER BY isn't
+checkable; q_sort_multi therefore *encodes* the multi-column sort as a dense
+row_number over the total order (which the hash does see). q_limit_topk is
+the classic global top-k: Spark plans ``orderBy().limit(k)`` as
+TakeOrderedAndProject — per-partition heaps + driver merge of k rows, never
+a full global sort. That is exactly the 100 TB-safe formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.common import DEC, fmt_date
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+SELECT o_orderkey,
+       row_number() OVER (
+           ORDER BY nullif(o_orderstatus, 'P') ASC NULLS LAST,
+                    o_totalprice DESC,
+                    o_orderkey ASC) AS sort_pos
+FROM orders
+""",
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column asc/desc sort with explicit NULLS LAST (nulls injected
+    via NULLIF), encoded as a rank so the order-insensitive hash checks it."""
+    o = load(spark, sf_dir, "orders")
+    s = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    w = Window.orderBy(
+        s.asc_nulls_last(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select("o_orderkey", F.row_number().over(w).cast("long").alias("sort_pos"))
+
+
+@register(
+    "q_limit_topk",
+    oracle="""
+SELECT l_orderkey,
+       round(CAST(revenue_dec AS DOUBLE), 4) AS revenue,
+       order_date,
+       o_orderpriority
+FROM (
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS revenue_dec,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, order_date, o_orderpriority
+)
+ORDER BY revenue_dec DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape: top-10 unshipped-revenue orders.
+
+    Ordering happens on the exact DECIMAL revenue (cross-engine total order),
+    with l_orderkey as the total tiebreak; the rounded DOUBLE is emitted.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = (
+        c.filter(c.c_mktsegment == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            (F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
+        )
+    )
+    g = (
+        j.groupBy(
+            "l_orderkey",
+            fmt_date("o_orderdate", "order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            ).alias("revenue_dec")
+        )
+    )
+    return (
+        g.orderBy(F.col("revenue_dec").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("revenue_dec").cast("double"), 4).alias("revenue"),
+            "order_date",
+            "o_orderpriority",
+        )
+    )

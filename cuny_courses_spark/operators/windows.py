@@ -1,0 +1,226 @@
+"""§2 E — Window functions.
+
+Reference correspondence: the signature "keep the latest-effective row per
+key" pattern (transfer rules supersede by effective date, SURVEY §2 E) is
+``row_number() OVER (PARTITION BY key ORDER BY eff DESC) = 1``; the rest of
+the family generalizes it (ranks, running/sliding frames, lag/lead,
+distribution functions).
+
+Scale: every window here partitions by a key (custkey / user_id / priority
+class), so state is bounded per partition and the plan is one shuffle on the
+partition key + per-partition sort — no global sort, no driver collection.
+Running/sliding sums go through DECIMAL so the sequential frame evaluation
+is bit-identical to DuckDB's (common.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.common import DEC, fmt_date, r4
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+
+@register(
+    "q_win_latest_per_key",
+    oracle="""
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o_totalprice, 4) AS total
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+""",
+)
+def q_win_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer — THE reference dedup pattern (argmax with
+    total tiebreak on the unique key)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            fmt_date("o_orderdate", "order_date"),
+            r4("o_totalprice", "total"),
+        )
+    )
+
+
+@register(
+    "q_win_rank_dense",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+FROM orders
+""",
+)
+def q_win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank by price within priority class (rank values are
+    deterministic under ties; no tiebreak needed for the rank itself)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "q_win_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS total
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) <= 3
+""",
+)
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (per-group top-k without a global sort —
+    the 100 TB-safe top-k: shuffle by group, per-partition heap/sort)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", r4("o_totalprice", "total"))
+    )
+
+
+@register(
+    "q_win_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+       AS running_total
+FROM orders
+""",
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer (decimal accumulation → exact)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 4
+        ).alias("running_total"),
+    )
+
+
+@register(
+    "q_win_sliding_avg",
+    oracle="""
+SELECT user_id, event_id,
+       round(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 4) AS avg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of event value per user."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    avg3 = F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return e.select("user_id", "event_id", F.round(avg3, 4).alias("avg3"))
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap (lag) and next event type (lead) per user."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return e.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q_win_ntile_pct",
+    oracle="""
+SELECT c_custkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions over account balance (unique tiebreak ⇒ no
+    peer-group ambiguity in percent_rank/cume_dist)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice
+           RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS DOUBLE), 4)
+       AS near_sum
+FROM orders
+""",
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering: per-priority sum of orders within
+    ±5000 of the current row's totalprice."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 4
+        ).alias("near_sum"),
+    )

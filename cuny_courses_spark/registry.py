@@ -1,0 +1,93 @@
+"""Query registry — the SURVEY.md §2 contract surface.
+
+Every operator the engine implements is registered here under its contract
+name, together with (when SQL-expressible) the DuckDB oracle SQL the driver
+uses for the order-insensitive value-hash comparison at sf0.01.
+
+Determinism rules (SURVEY §2 preamble) enforced by convention in every query:
+- ROUND(x, 4) every Double-typed computed/aggregated column, both sides.
+- Identical aliases both sides (the driver sorts columns by name).
+- No Map/Struct-typed output columns; arrays only when deterministically
+  ordered; temporal outputs formatted as strings (µs-safe, tz-safe).
+- Top-k always carries a total tiebreak; LSH/sampling fixed at seed=42.
+- Integer-valued computed outputs cast to BIGINT on both sides (DuckDB SUM
+  over integers yields HUGEINT; Spark ``size``/``length`` yield INT).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+# Modules whose import registers queries (one per SURVEY §2 group).
+_OPERATOR_MODULES = [
+    "cuny_courses_spark.operators.scans",        # §2 A
+    "cuny_courses_spark.operators.filters",      # §2 B
+    "cuny_courses_spark.operators.joins",        # §2 C
+    "cuny_courses_spark.operators.aggregates",   # §2 D
+    "cuny_courses_spark.operators.windows",      # §2 E
+    "cuny_courses_spark.operators.sorts",        # §2 F
+    "cuny_courses_spark.operators.sets",         # §2 G
+    "cuny_courses_spark.functions.scalar",       # §2 H
+    "cuny_courses_spark.operators.dedup",        # §2 I
+    "cuny_courses_spark.operators.similarity",   # §2 J
+    "cuny_courses_spark.operators.text",         # §2 K
+    "cuny_courses_spark.streaming.batch_twins",  # §2 L (batch-semantic twins)
+    "cuny_courses_spark.functions.udfs",         # §2 M
+    "cuny_courses_spark.operators.etl",          # §2 N
+]
+
+_loaded = False
+
+
+def _load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+    _loaded = True
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as contract query ``name`` with optional DuckDB oracle.
+
+    The wrapped callable applies the engine session configuration (UTC,
+    AQE, Arrow) before building the plan, so driver-owned SparkSessions
+    behave identically to engine-owned ones.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        from cuny_courses_spark.session import configure
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        _QUERIES[name] = wrapped
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)

@@ -1,0 +1,65 @@
+"""SparkSession construction & runtime configuration.
+
+The driver owns its SparkSession for verification, so everything the engine
+relies on must be settable at *runtime* (``spark.conf.set``) — configure()
+is applied at the top of every registered query. Session-building here is
+for our own tests/bench.
+
+Settings rationale (SURVEY §4):
+- UTC session timezone: timestamp parity with the DuckDB oracle (µs, tz-free).
+- AQE on: runtime coalescing of the small-sf shuffles, skew-join splitting and
+  broadcast conversion at 100 TB.
+- Arrow on: every pandas_udf / applyInPandas path is Arrow-batched.
+- shuffle.partitions: modest default; AQE coalesces below it. On a real
+  cluster this is sized to ~target-partition-bytes (128 MB) per SURVEY §7,
+  not a constant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session the engine touches.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by default;
+    # read it as int64 nanos and convert to µs TimestampType in the loader
+    # (matches DuckDB's µs truncation — SURVEY §1.3 precision note).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Idempotently apply the engine's runtime confs to ``spark``."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Non-runtime-settable on some builds — plans still correct,
+            # only tuning differs.
+            pass
+    return spark
+
+
+def get_session(app_name: str = "cuny_courses_spark") -> SparkSession:
+    """Engine-owned local session for tests/bench (local[N], AQE, Arrow)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return configure(spark)
