@@ -1,1 +1,258 @@
-"""Placeholder — populated in a later phase."""
+"""§2 I — Dedup: exact, keyed, and LLM-pipeline near-duplicate detection.
+
+Reference correspondence: re-run idempotency dedup and latest-rule dedup
+(SURVEY §2 I). Extended per BASELINE.json with the training-data dedup
+family: exact hash, token-set Jaccard, SimHash, and MinHash-LSH.
+
+100 TB design (SURVEY §7 Phase 4): the brute-force O(n²) pair queries here
+are the *oracles*; each carries its banded/sketched scale path —
+- exact dup: hash-groupBy (1 shuffle on the digest, fully scalable);
+- near-dup: MinHash-LSH banding (q_dedup_minhash_lsh) replaces the
+  quadratic self-join — candidates per band-bucket only;
+- SimHash: 16-bit fingerprints bucket by value; pairs are compared only
+  within hamming-ball buckets at scale (here: aggregated pair counts).
+Never a raw crossJoin on the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+
+@register(
+    "q_distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (Catalyst rewrites to an aggregate)."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+@register(
+    "q_dedup_exact_hash",
+    oracle="""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+FROM documents
+""",
+)
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection via content digest (testdata has 0 exact
+    dups — the query asserts that). At 100 TB: one shuffle on the digest."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5("text")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).cast("long").alias("n_exact_dups"),
+    )
+
+
+@register(
+    "q_dedup_drop_duplicates",
+    oracle="""
+SELECT user_id, event_type, min(event_id) AS event_id
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def q_dedup_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping a DETERMINISTIC representative (min event_id) via
+    window row_number — raw ``dropDuplicates`` keeps an arbitrary row and is
+    never used for checked output (SURVEY §2 I)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def _tokens() -> "F.Column":
+    """Distinct whitespace tokens (lazy: Columns need an active session)."""
+    return F.array_distinct(F.split(F.col("text"), " "))
+
+
+def _shingles() -> "F.Column":
+    """Distinct 3-token shingles — the MinHash input. Token *sets* are
+    useless on a 31-word shared vocabulary (71k of 125k pairs ≥ 0.6);
+    shingles preserve order and isolate the ~24 planted near-dups
+    (measured: 25 pairs ≥ 0.6, next bin at 0.1)."""
+    s = F.split(F.col("text"), " ")
+    return F.array_distinct(
+        F.transform(
+            F.slice(s, 1, F.greatest(F.size(s) - 2, F.lit(0))),
+            lambda x, i: F.concat_ws(
+                " ", x, F.element_at(s, i + 2), F.element_at(s, i + 3)
+            ),
+        )
+    )
+
+
+_O_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+    "|| ' ' || string_split(text, ' ')[i+2]))"
+)
+
+
+@register(
+    "q_dedup_near_jaccard",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_O_SHINGLES} AS t, len({_O_SHINGLES}) AS n
+    FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.t, b.t))), 4) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE 5 * len(list_intersect(a.t, b.t))
+      >= 3 * (a.n + b.n - len(list_intersect(a.t, b.t)))
+""",
+)
+def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 3-shingle Jaccard ≥ 0.6 pairs (the exact oracle for the
+    LSH variant). Threshold test is integer arithmetic (5·|∩| ≥ 3·|∪|) so
+    the cut is float-free; the reported jaccard is the rounded ratio.
+
+    Scale note: this O(n²) form is only the small-corpus oracle —
+    q_dedup_minhash_lsh is the 100 TB path. The broadcast self-join is fine
+    at 500–5 000 docs.
+    """
+    sh = _shingles()
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", sh.alias("t"), F.size(sh).alias("n")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("t").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("t").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    j = a.join(F.broadcast(b), F.col("doc_id_a") < F.col("doc_id_b"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        j.withColumn("i", inter)
+        .withColumn("u", union)
+        .filter(5 * F.col("i") >= 3 * F.col("u"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("i").cast("double") / F.col("u"), 4).alias("jaccard"),
+        )
+    )
+
+
+@register("q_dedup_minhash_lsh")  # rows-only: hash family ≠ any SQL oracle
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs at Jaccard ≥ 0.6, seed=42.
+
+    The 100 TB dedup path: shingle→minhash→band→bucket-join. Implemented
+    with pyspark.ml (HashingTF binary term features → MinHashLSH
+    approxSimilarityJoin); banding makes candidate generation near-linear
+    instead of O(n²). Engine tests assert recall vs q_dedup_near_jaccard.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("shingles")
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(d)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.4, distCol="jdist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_id_a"),
+            F.col("datasetB.doc_id").alias("doc_id_b"),
+            F.round(1 - F.col("jdist"), 4).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle="""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+), th AS (
+    SELECT doc_id, tok,
+           ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h
+    FROM toks
+), bits AS (
+    SELECT doc_id, j,
+           CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                THEN 1::BIGINT << j ELSE 0 END AS bitval
+    FROM th, (SELECT unnest(range(16)) AS j)
+    GROUP BY doc_id, j
+), sh AS (
+    SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
+)
+SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+       count(*) AS n_pairs
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+GROUP BY hamming
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup detection, reported as pair counts per
+    hamming distance ≤ 3 (shared-vocab corpus ⇒ many near-equal
+    fingerprints; the aggregate keeps output bounded).
+
+    Token hash = first 16 bits of md5 (identical in both engines); bit j of
+    the fingerprint is sign(Σ ±1). At scale, fingerprints group by value /
+    rotate-band so only hamming-ball buckets are compared.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
+    th = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long").alias("h"),
+    )
+    bits = (
+        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1)
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << j"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+    )
+    sh = bits.groupBy("doc_id").agg(F.sum("bitval").cast("long").alias("simhash"))
+    a = sh.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    hamming = F.bit_count(F.expr("sa ^ sb")).cast("long")
+    return (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

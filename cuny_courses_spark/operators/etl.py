@@ -1,1 +1,199 @@
-"""Placeholder — populated in a later phase."""
+"""§2 N — ETL / pipeline-maintenance operators.
+
+This is the reference's own job, Sparkified (SURVEY §3.1-3.2): the
+check_queries.py row-count gate, the referential-integrity audit logged
+during load, the nightly rebuild-and-diff (snapshot MERGE classification),
+effective-dated history, and delimited-attribute normalization.
+
+Scale notes: the audit anti-joins broadcast the PK side when it's a dim and
+shuffle-join for fact-fact edges; the snapshot diff is one full-outer join
+on the natural key — the Spark-native MERGE without a table format (with
+Delta/Iceberg the same classification drives a MERGE INTO; SURVEY §4 notes
+the copy-on-write/merge-on-read tradeoff).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+# (table, unique key) pairs for the rowcount gate.
+_GATE = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+@register(
+    "q_etl_rowcount_gate",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS tname, count(*) AS n_rows, "
+        f"CAST(min({k}) AS BIGINT) AS min_key, CAST(max({k}) AS BIGINT) AS max_key "
+        f"FROM {t}"
+        for t, k in _GATE
+    ),
+)
+def q_etl_rowcount_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table row counts + key ranges as one unioned report — the
+    reference's input-freshness/sanity gate (check_queries.py pattern)."""
+    parts = []
+    for t, k in _GATE:
+        parts.append(
+            load(spark, sf_dir, t).agg(
+                F.lit(t).alias("tname"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(k).cast("long").alias("min_key"),
+                F.max(k).cast("long").alias("max_key"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# FK edges: (name, child table, child key, parent table, parent key)
+_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+    ("documents->embeddings", "documents", "doc_id", "embeddings", "vec_id"),
+]
+
+
+@register(
+    "q_etl_fk_orphans",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{name}' AS edge, count(*) AS n_orphans FROM {c} "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {p} WHERE {p}.{pk} = {c}.{ck})"
+        for name, c, ck, p, pk in _EDGES
+    ),
+)
+def q_etl_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: dangling-FK counts across every edge of
+    the star schema (all-zero at sf0.01 per FIXTURES; documents→embeddings
+    goes non-zero at sf0.1 where the tables diverge — by design)."""
+    parts = []
+    for name, c, ck, p, pk in _EDGES:
+        child = load(spark, sf_dir, c)
+        parent = load(spark, sf_dir, p)
+        orphans = child.join(
+            parent, child[ck] == parent[pk], "left_anti"
+        )
+        parts.append(
+            orphans.agg(
+                F.lit(name).alias("edge"), F.count(F.lit(1)).alias("n_orphans")
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_O_OLD = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'"
+_O_NEW = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 1.1, 2)
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+"""
+
+
+@register(
+    "q_etl_upsert_classify",
+    oracle=f"""
+SELECT CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_totalprice <> o.o_totalprice THEN 'update'
+            ELSE 'unchanged' END AS op,
+       count(*) AS n
+FROM ({_O_OLD}) o FULL JOIN ({_O_NEW}) n ON o.o_orderkey = n.o_orderkey
+GROUP BY op
+""",
+)
+def q_etl_upsert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff MERGE classification (nightly rebuild-and-diff): old
+    snapshot = pre-2000 orders, new snapshot = 1996+ orders with a simulated
+    price revision on every 10th key; full-outer join on the natural key →
+    insert/update/delete/unchanged counts. This is the row-level-update
+    answer at lake scale: classify, then rewrite only affected partitions."""
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(
+        F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_orderkey").alias("k_old"), F.col("o_totalprice").alias("p_old"))
+    new = o.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.round(F.col("o_totalprice") * 1.1, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("p_new"),
+    )
+    j = old.join(new, old.k_old == new.k_new, "full")
+    op = (
+        F.when(F.col("k_new").isNull(), "delete")
+        .when(F.col("k_old").isNull(), "insert")
+        .when(F.col("p_new") != F.col("p_old"), "update")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(op.alias("op")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_etl_scd2_ranges",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       coalesce(strftime(lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d'),
+           '9999-12-31') AS valid_to
+FROM orders
+""",
+)
+def q_etl_scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated history (SCD-2): each order versions its customer;
+    valid_to = next version's date (open interval sentinel for the latest) —
+    the latest-effective-date rule semantics generalized."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd"),
+            F.lit("9999-12-31"),
+        ).alias("valid_to"),
+    )
+
+
+@register(
+    "q_etl_attribute_bridge",
+    oracle="""
+SELECT p_partkey,
+       unnest(string_split(p_type || ' ' || p_name, ' ')) AS attr,
+       unnest(range(len(string_split(p_type || ' ' || p_name, ' ')))) AS pos
+FROM part
+""",
+)
+def q_etl_attribute_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize a delimited attribute string into a bridge table
+    (attributes-per-course CSV-list normalization): split + posexplode."""
+    p = load(spark, sf_dir, "part")
+    attrs = F.split(F.concat_ws(" ", "p_type", "p_name"), " ")
+    return p.select(
+        "p_partkey", F.posexplode(attrs).alias("pos", "attr")
+    ).select("p_partkey", "attr", F.col("pos").cast("long").alias("pos"))

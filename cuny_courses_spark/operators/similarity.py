@@ -1,1 +1,186 @@
-"""Placeholder — populated in a later phase."""
+"""§2 J — Similarity search over the embedding column.
+
+Vectors are 64-d float32, L2-normalized (FIXTURES) ⇒ cosine = dot product.
+Dot products run JVM-side via ``zip_with``/``aggregate`` (no Python in the
+hot path); the summation is sequential in index order in both engines, so
+doubles come out bit-identical and the 4 dp rounding is stable.
+
+100 TB design (SURVEY §7 Phase 4, PAPERS.md top-k similarity): the exact
+pair/top-k queries block on label (or restrict the query set) — never an
+unblocked crossJoin; the scale path is the LSH variant (q_sim_ann_lsh):
+random-projection buckets make candidate generation near-linear, and the
+per-query top-k is a per-partition heap (window + early filter), not a
+global sort. An IVF variant would replace label with a learned
+centroid-assignment column — same plan shape as q_sim_centroid_dist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+# Dot product of two float arrays as a double, sequential in index order.
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_O_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+)
+
+
+@register(
+    "q_sim_pairs_threshold",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_O_DOT.format(a='a.embedding', b='b.embedding')}, 4) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_O_DOT.format(a='a.embedding', b='b.embedding')}, 4) >= 0.8
+""",
+)
+def q_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-label pairs with cosine ≥ 0.8 (label-blocked — the pair join is
+    an equi-join on label, not a crossJoin)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    j = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+    cos = F.round(_dot("ea", "eb"), 4)
+    return j.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= 0.8)
+
+
+@register(
+    "q_sim_topk_per_query",
+    oracle=f"""
+SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       round({_O_DOT.format(a='q.embedding', b='c.embedding')}, 4) AS cos
+FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+WHERE q.vec_id < 10
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY {_O_DOT.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id ASC
+) <= 5
+""",
+)
+def q_sim_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10 (the exact
+    baseline the ANN variant is measured against). Ranking uses the raw
+    double dot (bit-identical both engines) with id tiebreak."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ec"))
+    j = q.join(F.broadcast(c), F.col("q_id") != F.col("n_id"))
+    j = j.withColumn("dot", _dot("eq", "ec"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("n_id").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "n_id", F.round("dot", 4).alias("cos"))
+    )
+
+
+@register(
+    "q_sim_centroid_dist",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, label,
+           unnest(embedding)::DOUBLE AS v,
+           unnest(range(len(embedding))) AS pos
+    FROM embeddings
+), cent AS (
+    SELECT label, pos, avg(v) AS c FROM e GROUP BY label, pos
+)
+SELECT e.vec_id, round(sqrt(sum((e.v - cent.c) * (e.v - cent.c))), 4) AS dist
+FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+GROUP BY e.vec_id
+""",
+)
+def q_sim_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (elementwise mean via posexplode) and each
+    vector's Euclidean distance to its own centroid — the IVF building
+    block: at scale the exploded (label,pos) aggregate is one shuffle keyed
+    by (label,pos), 640 groups here, always tiny."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", "label", "pos", F.col("vf").cast("double").alias("v"))
+    cent = e.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (
+        e.join(cent, ["label", "pos"])
+        .withColumn("d2", (F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+        .groupBy("vec_id")
+        .agg(F.round(F.sqrt(F.sum("d2")), 4).alias("dist"))
+    )
+
+
+@register("q_sim_ann_lsh")  # rows-only: hash family ≠ any SQL oracle
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors for vec_id < 10 via random-projection LSH
+    (seed=42) — the 100 TB ANN path: bucketed candidate join + per-query
+    heap instead of brute-force pairs. Engine tests assert recall ≥ 0.8 vs
+    q_sim_topk_per_query."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="h", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    q = e.filter(F.col("vec_id") < 10)
+    # Unit vectors: ‖a−b‖ = sqrt(2−2·cos) ≤ 2. Random 64-d unit vectors
+    # concentrate near √2, so the distance cutoff must admit that range —
+    # candidate pruning comes from the OR-ed bucket join, not the cutoff.
+    pairs = model.approxSimilarityJoin(q, e, 2.0, distCol="eucl")
+    pairs = pairs.filter(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    ).select(
+        F.col("datasetA.vec_id").alias("q_id"),
+        F.col("datasetB.vec_id").alias("n_id"),
+        F.col("eucl"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("eucl").asc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "n_id", F.round(1 - F.col("eucl") * F.col("eucl") / 2, 4).alias("cos_approx"))
+    )
+
+
+@register(
+    "q_sim_neardup_cosine",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_O_DOT.format(a='a.embedding', b='b.embedding')}, 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_O_DOT.format(a='a.embedding', b='b.embedding')}, 4) >= 0.95
+""",
+)
+def q_sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.95) across the whole
+    corpus — the semantic-dedup primitive for training pipelines. Quadratic
+    form is the small-corpus oracle; at scale the same predicate runs after
+    LSH/IVF blocking (q_sim_ann_lsh plan shape)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    j = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = F.round(_dot("ea", "eb"), 4)
+    return j.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= 0.95)

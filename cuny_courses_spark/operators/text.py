@@ -1,1 +1,316 @@
-"""Placeholder — populated in a later phase."""
+"""§2 K — Text analysis over the documents corpus.
+
+Core SURVEY §2 K queries plus the training-data-pipeline text operators
+mandated by BASELINE.json: token counting (whitespace + BPE-ish regex),
+quality scoring, n-gram language-ID, and document fingerprinting (rolling
+hash). Everything stays JVM-side (split/explode/higher-order functions);
+no Python in these paths.
+
+Scale: token explosion is the classic blowup — every query that explodes
+tokens aggregates immediately (map-side partial agg), and per-doc queries
+use higher-order array functions instead of explode+rejoin, so rows never
+multiply beyond the aggregate's input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.common import O_davg, davg
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+def _toks() -> "F.Column":
+    """Lowercased whitespace tokens (lazy: Columns need an active session)."""
+    return F.split(F.lower(F.col("text")), " ")
+
+
+@register(
+    "q_text_wordcount",
+    oracle="""
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 20
+""",
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 tokens (count desc, token asc tiebreak)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_text_tf_per_doc",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'spark'))
+            AS BIGINT) AS tf_spark
+FROM documents
+""",
+)
+def q_text_tf_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency of 'spark' per doc via array filter (no explode)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(_toks(), lambda t: t == "spark")).cast("long").alias(
+            "tf_spark"
+        ),
+    )
+
+
+@register(
+    "q_text_lang_stats",
+    oracle=f"""
+SELECT lang, count(*) AS n_docs, {O_davg('n_chars', 'avg_chars')},
+       count(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+)
+def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars", "avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "q_text_bigrams",
+    oracle="""
+WITH b AS (
+    SELECT unnest(list_transform(
+        range(1, len(string_split(lower(text), ' '))),
+        i -> string_split(lower(text), ' ')[i] || ' '
+             || string_split(lower(text), ' ')[i + 1]
+    )) AS bigram
+    FROM documents
+)
+SELECT bigram, count(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 10
+""",
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigrams via an indexed transform over the token array
+    (zip-with-shifted-self; DuckDB twin indexes with range)."""
+    d = load(spark, sf_dir, "documents")
+    bigrams = F.transform(
+        F.slice(_toks(), 1, F.size(_toks()) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(_toks(), i + 2)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q_text_doc_features",
+    oracle=f"""
+SELECT lang, label, count(*) AS n, {O_davg('n_chars', 'avg_chars')}
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY lang, label
+""",
+)
+def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column pattern: text table ⋈ vector table on shared id
+    (INNER deliberately: at sf0.1 the tables diverge — 5 000 docs vs 2 000
+    vecs — and only paired rows are meaningful)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id, "inner")
+        .groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).alias("n"), davg("n_chars", "avg_chars"))
+    )
+
+
+# ------------------------- training-pipeline extensions (BASELINE.json) ----
+
+
+@register(
+    "q_text_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+           AS n_bpe_tokens,
+       round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+           AS chars_per_token
+FROM documents
+""",
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer count
+    (letters / digits / single non-alnum), the standard budget estimator
+    for training pipelines."""
+    d = load(spark, sf_dir, "documents")
+    n_ws = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_ws, 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "q_text_quality_score",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+           CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+               AS nd,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                x -> x IN ('the', 'a'))) AS BIGINT) AS ns
+    FROM documents
+)
+SELECT doc_id,
+       nt AS n_tokens,
+       ((nd * 20000 + nt) // (2 * nt)) / 10000.0 AS distinct_ratio,
+       ((ns * 20000 + nt) // (2 * nt)) / 10000.0 AS stopword_ratio,
+       (((250 * nd + 100 * ns + 3 * least(nt, 50) * nt) * 20000 + 500 * nt)
+        // (2 * 500 * nt)) / 10000.0 AS quality
+FROM t
+""",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: lexical diversity + length saturation +
+    stopword ratio (the C4/Gopher-style filter family, SQL-expressible).
+
+    quality = 0.5*nd/nt + 0.3*min(nt/50, 1) + 0.2*ns/nt
+            = (250*nd + 100*ns + 3*min(nt,50)*nt) / (500*nt)  — exact
+    rational of integers. Cross-engine ROUND(double, 4) disagrees on decimal
+    half-boundaries (Spark rounds the shortest decimal repr HALF_UP, DuckDB
+    rounds the scaled double), so the 4-dp rounding is done in exact BIGINT
+    arithmetic on both sides: round(n/d, 4) = (n*20000 + d) div (2*d) / 1e4.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _toks()
+    counted = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+        .cast("long")
+        .alias("ns"),
+    )
+    # SQL `div` is exact BIGINT division in both engines (no double detour).
+    return counted.selectExpr(
+        "doc_id",
+        "nt AS n_tokens",
+        "((nd * 20000 + nt) div (2 * nt)) / 10000.0 AS distinct_ratio",
+        "((ns * 20000 + nt) div (2 * nt)) / 10000.0 AS stopword_ratio",
+        "(((250 * nd + 100 * ns + 3 * least(nt, 50) * nt) * 20000 + 500 * nt)"
+        " div (2 * 500 * nt)) / 10000.0 AS quality",
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+WITH tok AS (
+    SELECT lang, doc_id, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents
+), prof AS (
+    SELECT lang, t FROM (
+        SELECT lang, t, count(*) AS c,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, t ASC) AS rn
+        FROM tok GROUP BY lang, t
+    ) WHERE rn <= 10
+), doc_toks AS (
+    SELECT DISTINCT doc_id, t FROM tok
+), scores AS (
+    SELECT d.doc_id, p.lang AS cand, count(*) AS score
+    FROM doc_toks d JOIN prof p ON d.t = p.t
+    GROUP BY d.doc_id, p.lang
+)
+SELECT s.doc_id,
+       docs.lang AS actual,
+       s.cand AS predicted
+FROM scores s JOIN documents docs ON s.doc_id = docs.doc_id
+QUALIFY row_number() OVER (
+    PARTITION BY s.doc_id ORDER BY s.score DESC, s.cand ASC) = 1
+""",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language ID: build a top-10 token profile per language
+    from the corpus, score each doc's distinct tokens against every profile,
+    predict argmax (score desc, lang asc tiebreak).
+
+    Note: the synthetic corpus shares one vocabulary across languages, so
+    accuracy is ~chance here — the *operator* (profile build + score join +
+    argmax) is what the contract checks, deterministically. On real data the
+    profile would be char n-grams; the plan is identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", "doc_id", F.explode(_toks()).alias("t"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("t").asc())
+    prof = (
+        tok.groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("lang").alias("cand"), "t")
+    )
+    doc_toks = tok.select("doc_id", "t").distinct()
+    scores = (
+        doc_toks.join(F.broadcast(prof), "t")
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .join(d.select("doc_id", F.col("lang").alias("actual")), "doc_id")
+        .select("doc_id", "actual", F.col("cand").alias("predicted"))
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(range(1, len(text) + 1),
+                              i -> ascii(text[i])::BIGINT)),
+           (a, b) -> (a * 31 + b) % 2147483647) AS fp
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (base 31 mod 2^31−1)
+    over codepoints — identical fold order in both engines. The content-
+    defined dedup key for shard-level exact dedup at scale."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), "
+        "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 2147483647)"
+    )
+    return d.select("doc_id", fp.alias("fp"))

@@ -33,6 +33,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # read it as int64 nanos and convert to µs TimestampType in the loader
     # (matches DuckDB's µs truncation — SURVEY §1.3 precision note).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) would otherwise infer as
+    # TIMESTAMP_NTZ on Spark 4; keep plain TimestampType (session tz = UTC,
+    # so values are identical and the FIXTURES.md schema contract holds).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -1,1 +1,193 @@
-"""Placeholder — populated in a later phase."""
+"""§2 L — Streaming operators, batch-semantic twins.
+
+Contract design (SURVEY §2 L): each ``queries()`` entry runs the
+batch-semantic DataFrame (bounded input ⇒ oracle exists); the engine
+additionally ships a ``readStream`` twin over file replay
+(streaming/runner.py) exercised by tests/test_streaming.py, asserting
+stream ≡ batch. Spark guarantees that agreement for windowed/stateful ops
+on bounded replay when the watermark covers max lateness.
+
+q_stream_watermark_late is the exception: lateness semantics are not
+SQL-expressible, so its queries() entry RUNS the actual streaming job
+(AvailableNow, one file per micro-batch) and is checked rows-only.
+
+Scale: event-time windowing keys state by (window, group); with a
+watermark, state is evicted as the watermark passes — memory is bounded by
+(active windows × groups), not stream length. Session windows hold one open
+session per key. That is the 100 TB streaming story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.common import O_dsum, dsum
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       {O_dsum('value', 'sum_value')}
+FROM events
+GROUP BY window_start, event_type
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window count+sum per event_type (batch twin uses the
+    same ``window()`` expression the stream runs; start == date_trunc)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+WITH e AS (SELECT epoch_us(ts) // 1000000 AS ep FROM events),
+x AS (
+    SELECT ep - ep % 300 AS ws FROM e
+    UNION ALL
+    SELECT ep - ep % 300 - 300 AS ws FROM e
+)
+SELECT strftime(TIMESTAMP '1970-01-01' + ws * INTERVAL '1 second',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n
+FROM x GROUP BY ws
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in two
+    windows; the oracle unions the two phase-aligned bucket starts)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+), sess AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       count(*) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+FROM sess
+GROUP BY user_id, sess_id
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap via ``session_window``.
+
+    Boundary semantics (SURVEY §7 hard-problem #3): Spark extends a session
+    while next.ts < last.ts + gap, so a gap of exactly 30:00 starts a NEW
+    session — the oracle's gaps-and-islands flag uses ``>=`` to match.
+    Output reports (start, count, span) rather than Spark's window.end
+    (which is last+gap, an implementation detail)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.date_format("t0", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "n_events",
+            (F.unix_micros("t1") - F.unix_micros("t0")).alias("span_us"),
+        )
+    )
+
+
+@register("q_stream_watermark_late")  # rows-only: lateness not SQL-expressible
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop under a 1-hour watermark, on a real streaming replay.
+
+    Replay harness (deterministic): batch 1 = all events of days ≥ 2,
+    batch 2 = day-1 events re-delivered late. After batch 1 the watermark
+    sits at max(day≥2 ts) − 1 h, so every day-1 event in batch 2 is beyond
+    the watermark and its (already-finalized or never-created) windows must
+    not appear/update — the late rows are dropped. Output: hourly counts
+    per event_type as observed by the sink.
+    """
+    from cuny_courses_spark.streaming.runner import run_watermark_late_replay
+
+    return run_watermark_late_replay(spark, sf_dir)
+
+
+@register(
+    "q_stream_dedup_state",
+    oracle="""
+WITH inj AS (
+    SELECT event_id, event_type FROM events
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE event_id < 100
+)
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM inj GROUP BY event_type
+""",
+)
+def q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup semantics on an at-least-once source: re-deliver the
+    first 100 events, dedup by event_id. Batch twin = count distinct; the
+    streaming twin (tests) uses ``dropDuplicatesWithinWatermark`` whose
+    state is bounded by the watermark horizon."""
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    inj = e.unionByName(e.filter(F.col("event_id") < 100))
+    return inj.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_unique")
+    )
+
+
+@register(
+    "q_stream_stateful_count",
+    oracle=f"""
+SELECT user_id, count(*) AS n_events, {O_dsum('value', 'sum_value')}
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user aggregates — batch twin of the arbitrary-stateful
+    operator (streaming twin in tests uses transformWithStateInPandas /
+    applyInPandasWithState; state = one (count, sum) pair per user)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )

@@ -1,0 +1,169 @@
+"""Structured-Streaming replay harness.
+
+Turns the bounded ``events`` table into a deterministic file-replay stream:
+chronological parquet chunks (µs timestamps — pyarrow cast, no Spark legacy
+conf needed on the stream path), one file per micro-batch
+(``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow``), file order pinned via
+mtimes. Used by the stream≡batch equivalence tests (SURVEY §5) and by
+q_stream_watermark_late's rows-only contract entry.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_us(sf_dir: str) -> pa.Table:
+    """events table with ts cast ns→µs (what Spark/DuckDB both see)."""
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    # safe=False: truncate sub-µs digits exactly as Spark's reader does.
+    ts_us = pc.cast(t.column("ts"), pa.timestamp("us"), safe=False)
+    return t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+
+
+def _replay_base(sf_dir: str, name: str) -> Path:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return Path(tempfile.gettempdir()) / "ccs_io" / key / name
+
+
+def write_replay_files(sf_dir: str, name: str, splits) -> str:
+    """Write parquet chunk files in replay order with increasing mtimes.
+
+    ``splits`` — list of pyarrow tables, one per intended micro-batch.
+    Returns the replay directory path. Idempotent per (sf_dir, name).
+    """
+    base = _replay_base(sf_dir, name)
+    if base.exists():
+        for f in base.glob("*"):
+            f.unlink()
+    base.mkdir(parents=True, exist_ok=True)
+    now = time.time()
+    for i, tbl in enumerate(splits):
+        p = base / f"{i:03d}.parquet"
+        pq.write_table(tbl, p)
+        os.utime(p, (now - 1000 + i * 10, now - 1000 + i * 10))
+    return str(base)
+
+
+def chronological_replay_dir(sf_dir: str, n_files: int = 4) -> str:
+    """events split into n_files chronological chunks (stream in order)."""
+    t = _events_us(sf_dir)
+    t = t.sort_by("ts")
+    n = t.num_rows
+    step = (n + n_files - 1) // n_files
+    splits = [t.slice(i * step, step) for i in range(n_files)]
+    return write_replay_files(sf_dir, f"replay_chrono_{n_files}", splits)
+
+
+def _late_split(sf_dir: str) -> tuple[pa.Table, pa.Table]:
+    """(on-time = days ≥ 2, late = day-1 events delivered afterwards)."""
+    t = _events_us(sf_dir)
+    cutoff = pa.scalar(
+        datetime.datetime(2024, 1, 2), type=pa.timestamp("us")
+    )
+    on_time = t.filter(pc.greater_equal(t.column("ts"), cutoff))
+    late = t.filter(pc.less(t.column("ts"), cutoff))
+    return on_time, late
+
+
+def read_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a memory
+    sink; return the sink contents as a batch DataFrame."""
+    name = "sink_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def run_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_stream_watermark_late job: hourly counts per event_type under a
+    1-hour watermark, with day-1 events delivered only after days 2-30.
+
+    Determinism: TWO sequential ``Trigger.AvailableNow`` runs over one
+    checkpoint + one fault-tolerant parquet sink (never one run relying on
+    file-source intra-run ordering). Run 1 sees only the on-time file; its
+    closing no-data micro-batch advances the watermark to max(on-time ts)−1h
+    and append-emits every finalized window. Run 2 picks up the late file;
+    every day-1 row is behind the persisted watermark, so state admission
+    drops all of them and no day-1 window ever reaches the sink. Windows in
+    the final (never-finalized) hour also never appear — also deterministic.
+    """
+    base = _replay_base(sf_dir, "wm_late")
+    if base.exists():
+        shutil.rmtree(base)
+    src_dir, ckpt, sink = base / "src", base / "ckpt", base / "sink"
+    src_dir.mkdir(parents=True)
+    on_time, late = _late_split(sf_dir)
+
+    def run_once() -> None:
+        agg = (
+            read_stream(spark, str(src_dir))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format(
+                    F.col("window.start"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(on_time, src_dir / "000_on_time.parquet")
+    run_once()
+    pq.write_table(late, src_dir / "001_late.parquet")
+    run_once()
+    return spark.read.parquet(str(sink))

@@ -1,0 +1,84 @@
+"""Engine-internal assertions (SURVEY §5.2): sketch tolerances, LSH recall
+floors vs exact oracles, fixture invariants, multimodal stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.registry import queries
+from cuny_courses_spark.sources.loaders import load
+from tests.conftest import SF_DIR
+
+_QS = queries()
+
+
+def test_approx_distinct_within_5pct(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in _QS["q_agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k]), (
+            k, approx[k], exact[k],
+        )
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in _QS["q_dedup_near_jaccard"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in _QS["q_dedup_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    if not exact:
+        pytest.skip("no exact near-dup pairs at this sf")
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_ann_lsh_recall_vs_exact_topk(spark):
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in _QS["q_sim_topk_per_query"](spark, SF_DIR).collect()
+    }
+    ann = {
+        (r["q_id"], r["n_id"]) for r in _QS["q_sim_ann_lsh"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.8, f"ANN recall {recall:.2f}"
+
+
+def test_fixture_invariants(spark, duck):
+    # FK closure + zero-null + normalization invariants (FIXTURES.md)
+    orphans = {
+        r["edge"]: r["n_orphans"]
+        for r in _QS["q_etl_fk_orphans"](spark, SF_DIR).collect()
+    }
+    assert all(v == 0 for v in orphans.values()), orphans
+    sq = duck.execute(
+        "SELECT max(abs(list_sum(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE)) - 1)) FROM embeddings"
+    ).fetchone()[0]
+    assert sq < 1e-5
+    bad = duck.execute(
+        "SELECT count(*) FROM documents WHERE n_chars <> length(text)"
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_multimodal_decode_is_stubbed():
+    from cuny_courses_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,58 @@
+"""Physical-plan assertions (the 100 TB story, SURVEY §4): pushdown reaches
+the scan, dims broadcast, top-k avoids global sort, partition pruning holds.
+These guard against regressions that stay correct but stop scaling."""
+
+from __future__ import annotations
+
+from cuny_courses_spark.registry import queries
+from tests.conftest import SF_DIR
+
+_QS = queries()
+
+
+def _plan(spark, name: str) -> str:
+    return _QS[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "q_filter_simple")
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity" in plan, plan[:2000]
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "q_scan_parquet")
+    # 6-column projection must reach ReadSchema — no full-width scan
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema, read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "q_join_broadcast_dim")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q_limit_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_partition_pruning(spark):
+    plan = _plan(spark, "q_scan_partition_pruned")
+    assert "PartitionFilters: [" in plan and "o_year" in plan, plan[:3000]
+
+
+def test_flagship_whole_stage_codegen(spark):
+    # Execute first: under AQE the codegen spans (printed as "*(n)" markers)
+    # only appear in the final plan of executed query stages.
+    df = _QS["q_agg_groupby"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("*(") >= 2, plan[:3000]
+    # partial + final hash aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_semi_anti_join_plans(spark):
+    assert "LeftSemi" in _plan(spark, "q_join_semi")
+    assert "LeftAnti" in _plan(spark, "q_join_anti")

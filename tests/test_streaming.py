@@ -1,0 +1,140 @@
+"""Stream ≡ batch equivalence (SURVEY §2 L / §5.2): every streaming twin on
+a deterministic file replay must produce exactly the batch-twin frame, and
+the watermark scenario must drop precisely the late-delivered day-1 rows."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.oracle import canon
+from cuny_courses_spark.registry import queries
+from cuny_courses_spark.streaming import runner
+from tests.conftest import SF_DIR
+
+_QS = queries()
+
+
+def _frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    a, b = canon(a), canon(b)
+    return a.equals(b)
+
+
+@pytest.fixture(scope="module")
+def replay_dir():
+    return runner.chronological_replay_dir(SF_DIR, n_files=4)
+
+
+def _stream_result(spark, replay_dir, transform, output_mode="complete"):
+    src = runner.read_stream(spark, replay_dir)
+    return runner.run_to_memory(transform(src), output_mode=output_mode).toPandas()
+
+
+def test_stream_tumbling_equals_batch(spark, replay_dir):
+    def agg(src):
+        return (
+            src.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+            )
+        )
+
+    got = _stream_result(spark, replay_dir, agg)
+    want = (
+        _QS["q_stream_tumbling"](spark, SF_DIR)
+        .select("window_start", "event_type", "n")
+        .toPandas()
+    )
+    assert _frames_equal(got, want)
+
+
+def test_stream_session_equals_batch(spark, replay_dir):
+    def agg(src):
+        return (
+            src.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("t0"),
+                F.max("ts").alias("t1"),
+            )
+            .select(
+                "user_id",
+                F.date_format("t0", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+                "n_events",
+                (F.unix_micros("t1") - F.unix_micros("t0")).alias("span_us"),
+            )
+        )
+
+    got = _stream_result(spark, replay_dir, agg)
+    want = _QS["q_stream_session"](spark, SF_DIR).toPandas()
+    assert _frames_equal(got, want)
+
+
+def test_stream_dedup_within_watermark(spark):
+    # Replay with duplicate delivery: chunk 2 re-sends chunk 1's rows.
+    t = runner._events_us(SF_DIR)
+    first = t.slice(0, 200)
+    dir_ = runner.write_replay_files(
+        SF_DIR, "replay_dup", [first, first, t.slice(200, t.num_rows - 200)]
+    )
+
+    def dedup(src):
+        # distinct aggs are unsupported on streams; after the stateful dedup
+        # event_id is unique, so a plain count IS the distinct count.
+        return (
+            src.withWatermark("ts", "10 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+
+    got = _stream_result(spark, dir_, dedup)
+    want = (
+        _QS["q_stream_dedup_state"](spark, SF_DIR).toPandas()
+    )
+    assert _frames_equal(got, want)
+
+
+def test_stream_stateful_count_equals_batch(spark, replay_dir):
+    # Arbitrary per-key state via update-mode aggregation (state = one
+    # (count,) per user); complete mode gives the final state table.
+    def agg(src):
+        return src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+    got = _stream_result(spark, replay_dir, agg)
+    want = (
+        _QS["q_stream_stateful_count"](spark, SF_DIR)
+        .select("user_id", "n_events")
+        .toPandas()
+    )
+    assert _frames_equal(got, want)
+
+
+def test_watermark_drops_late_day1(spark):
+    res = _QS["q_stream_watermark_late"](spark, SF_DIR).toPandas()
+    assert len(res) > 0
+    # day-1 windows must be absent: their rows arrived only in the late batch
+    assert not (res["window_start"] < "2024-01-02").any(), res[
+        res["window_start"] < "2024-01-02"
+    ]
+    # on-time hours (well inside the stream) must be present and correct
+    batch = (
+        _QS["q_stream_tumbling"](spark, SF_DIR)
+        .filter(
+            (F.col("window_start") >= "2024-01-02")
+            & (F.col("window_start") < "2024-01-30")
+        )
+        .select("window_start", "event_type", "n")
+        .toPandas()
+    )
+    merged = res.merge(
+        batch, on=["window_start", "event_type"], suffixes=("_s", "_b")
+    )
+    assert (merged["n_s"] == merged["n_b"]).all()
