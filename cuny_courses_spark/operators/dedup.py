@@ -122,32 +122,47 @@ WHERE 5 * len(list_intersect(a.t, b.t))
 """,
 )
 def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force 3-shingle Jaccard ≥ 0.6 pairs (the exact oracle for the
-    LSH variant). Threshold test is integer arithmetic (5·|∩| ≥ 3·|∪|) so
-    the cut is float-free; the reported jaccard is the rounded ratio.
+    """Exact 3-shingle Jaccard ≥ 0.6 pairs via an inverted-index equi-join:
+    explode distinct shingles, self-join on the shingle, count shared
+    shingles per pair (|∩|), then test 5·|∩| ≥ 3·|∪| in integer arithmetic
+    (float-free cut; the reported jaccard is the rounded ratio).
 
-    Scale note: this O(n²) form is only the small-corpus oracle —
-    q_dedup_minhash_lsh is the 100 TB path. The broadcast self-join is fine
-    at 500–5 000 docs.
+    Scale (SURVEY §7 Phase 4): the pair space never materializes — only
+    pairs sharing ≥1 shingle exist, produced by a hash equi-join keyed on
+    the shingle plus one groupBy(a,b) shuffle. Hot shingles are the skew
+    risk at 100 TB (stopword-like shingles touch every doc); AQE skew-join
+    handles moderate skew, and a document-frequency cap (drop shingles in
+    >x% of docs — they can't certify a 0.6-Jaccard pair alone) bounds the
+    worst case. Never a nested-loop / crossJoin.
     """
     sh = _shingles()
     d = load(spark, sf_dir, "documents").select(
         "doc_id", sh.alias("t"), F.size(sh).alias("n")
     )
-    a = d.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("t").alias("ta"),
-        F.col("n").alias("na"),
+    tok = d.select("doc_id", F.explode("t").alias("s"))
+    inter = (
+        tok.select(F.col("doc_id").alias("doc_id_a"), "s")
+        .join(
+            tok.select(F.col("doc_id").alias("doc_id_b"), "s"),
+            "s",
+        )
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
     )
-    b = d.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("t").alias("tb"),
-        F.col("n").alias("nb"),
-    )
-    j = a.join(F.broadcast(b), F.col("doc_id_a") < F.col("doc_id_b"))
-    inter = F.size(F.array_intersect("ta", "tb"))
-    union = F.col("na") + F.col("nb") - inter
+    sizes = d.select("doc_id", "n")
     return (
-        j.withColumn("i", inter)
-        .withColumn("u", union)
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("n", "na")),
+            inter.doc_id_a == sizes.doc_id,
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "nb")),
+            inter.doc_id_b == sizes.doc_id,
+        )
+        .drop("doc_id")
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
         .filter(5 * F.col("i") >= 3 * F.col("u"))
         .select(
             "doc_id_a",
@@ -157,34 +172,122 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERSENNE = (1 << 31) - 1  # Mersenne prime: (a·h + b) mod p stays in 62 bits
+
+
+def _minhash_coeffs(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a odd-ish, b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(n)
+    ]
+
+
 @register("q_dedup_minhash_lsh")  # rows-only: hash family ≠ any SQL oracle
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs at Jaccard ≥ 0.6, seed=42.
+    """MinHash-LSH near-dup pairs at Jaccard ≥ 0.6, seed=42, implemented
+    natively on DataFrame ops: shingle → xxhash64 (seed 42) → 32 universal
+    hashes mod 2³¹−1 → signature mins → 16 bands × 2 rows → band-bucket
+    equi-join → exact-Jaccard verification of the candidates only.
 
-    The 100 TB dedup path: shingle→minhash→band→bucket-join. Implemented
-    with pyspark.ml (HashingTF binary term features → MinHashLSH
-    approxSimilarityJoin); banding makes candidate generation near-linear
-    instead of O(n²). Engine tests assert recall vs q_dedup_near_jaccard.
+    The 100 TB dedup path: candidate generation is a hash join keyed on
+    (band_idx, band_hash) — near-linear, never O(n²); the quadratic exact
+    check runs only on band-colliding candidates. P(candidate | j=0.6) =
+    1−(1−0.36)¹⁶ ≈ 0.9992 per pair, so with seed fixed the output is
+    deterministic and (with overwhelming probability) equals
+    q_dedup_near_jaccard; tests assert recall ≥ 0.9. Everything is
+    JVM-side higher-order-function arithmetic — no Python, no ml-lib
+    explode-join overhead.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    n_hashes, n_bands, rows_per_band = 32, 16, 2
+    coeffs = _minhash_coeffs(n_hashes)
 
+    sh = _shingles()
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("shingles")
+        "doc_id", sh.alias("t"), F.size(sh).alias("n")
     )
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    # h mod p once, then each signature slot is min((a·h + b) mod p).
+    hashed = d.withColumn(
+        "hs", F.transform("t", lambda s: F.xxhash64(s) % _MERSENNE)
     )
-    feat = tf.transform(d)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.4, distCol="jdist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_id_a"),
-            F.col("datasetB.doc_id").alias("doc_id_b"),
-            F.round(1 - F.col("jdist"), 4).alias("jaccard"),
+    def _perm(a: int, b: int):
+        # factory, not default-arg lambda: F.transform inspects arity
+        return lambda h: (a * h + b) % _MERSENNE
+
+    sig = hashed.select(
+        "doc_id",
+        "t",
+        "n",
+        F.array(
+            *[
+                F.array_min(F.transform("hs", _perm(a, b)))
+                for a, b in coeffs
+            ]
+        ).alias("sig"),
+    )
+    # Band hash = xxhash64 over the band's signature slots (r=2 per band).
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", k * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_id_a"), "band_idx", "band_hash")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_id_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
         )
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    # Exact verification on candidates only (broadcast the shingle arrays).
+    docs = sig.select("doc_id", "t", "n")
+    verified = (
+        cand.join(
+            F.broadcast(
+                docs.select(
+                    F.col("doc_id").alias("doc_id_a"),
+                    F.col("t").alias("ta"),
+                    F.col("n").alias("na"),
+                )
+            ),
+            "doc_id_a",
+        )
+        .join(
+            F.broadcast(
+                docs.select(
+                    F.col("doc_id").alias("doc_id_b"),
+                    F.col("t").alias("tb"),
+                    F.col("n").alias("nb"),
+                )
+            ),
+            "doc_id_b",
+        )
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
+        .filter(5 * F.col("i") >= 3 * F.col("u"))
+    )
+    return verified.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(F.col("i").cast("double") / F.col("u"), 4).alias("jaccard"),
     )
 
 

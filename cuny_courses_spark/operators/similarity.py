@@ -47,20 +47,32 @@ WHERE round({_O_DOT.format(a='a.embedding', b='b.embedding')}, 4) >= 0.8
 """,
 )
 def q_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same-label pairs with cosine ≥ 0.8 (label-blocked — the pair join is
-    an equi-join on label, not a crossJoin)."""
-    e = load(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-    )
-    j = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-    cos = F.round(_dot("ea", "eb"), 4)
-    return j.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= 0.8)
+    """Same-label pairs with cosine ≥ 0.8, label-blocked.
+
+    Physical strategy: ``applyInPandas`` per label block with one float64
+    BLAS matmul per block (Arrow-batched, no per-pair JVM array
+    materialization — the pair join form copies |block|²·dim floats through
+    the join; the matmul touches |block|·dim once). At 100 TB the same
+    shape holds: blocks shuffle once on the blocking key and each block's
+    quadratic work is local to its task; blocking keys with quadratic
+    blowup get split by LSH/banding first (q_sim_ann_lsh)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        cos = np.round(m @ m.T, 4)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= 0.8
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": cos[ia, ib][keep]}
+        )
+
+    return e.groupBy("label").applyInPandas(block, "id_a long, id_b long, cos double")
 
 
 @register(

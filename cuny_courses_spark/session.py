@@ -37,11 +37,26 @@ RUNTIME_CONFS: dict[str, str] = {
     # TIMESTAMP_NTZ on Spark 4; keep plain TimestampType (session tz = UTC,
     # so values are identical and the FIXTURES.md schema contract holds).
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Split small multi-row-group files across cores: the default 4 MB
+    # open-cost floor packs a 14 MB file into ~4 splits. 1 MB balances
+    # parallelism vs per-split overhead at test scale and is irrelevant for
+    # production-sized (≥128 MB) files. (Swept 4M/2M/1M/128K: 128K thrashes.)
+    "spark.sql.files.openCostInBytes": "1048576",
 }
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Idempotently apply the engine's runtime confs to ``spark``."""
+    """Idempotently apply the engine's runtime confs to ``spark``.
+
+    Fast path: one sentinel conf probe instead of ~12 py4j round trips —
+    configure() runs at the top of every registered query, so its cost is
+    per-query driver overhead.
+    """
+    try:
+        if spark.conf.get("spark.ccs.configured", None) == "true":
+            return spark
+    except Exception:
+        pass
     for k, v in RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
@@ -50,6 +65,10 @@ def configure(spark: SparkSession) -> SparkSession:
             # Non-runtime-settable on some builds — plans still correct,
             # only tuning differs.
             pass
+    try:
+        spark.conf.set("spark.ccs.configured", "true")
+    except Exception:
+        pass
     return spark
 
 

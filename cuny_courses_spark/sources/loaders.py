@@ -139,12 +139,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     it arrives as int64 nanos and is converted here to µs TimestampType via
     integer division (``div`` — no double round-trip, which would lose
     precision above 2^53 ns).
+
+    The analyzed DataFrame is memoized on the session object: re-listing
+    files + reading parquet footers costs 100s of driver-side ms per call,
+    while the DataFrame itself is an immutable plan, safe to share. The
+    memo dies with the session (it lives on the session object).
     """
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
-    df = spark.read.parquet(path(sf_dir, table))
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cache: dict[tuple[str, str], DataFrame] | None = getattr(
+        spark, "_ccs_df_cache", None
+    )
+    if cache is None:
+        cache = {}
+        spark._ccs_df_cache = cache
+    df = cache.get((sf_dir, table))
+    if df is None:
+        df = spark.read.parquet(path(sf_dir, table))
+        if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        cache[(sf_dir, table)] = df
     return df
 
 
