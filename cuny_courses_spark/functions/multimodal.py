@@ -99,3 +99,36 @@ def q_mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(extract, "doc_id long, n_bytes long, checksum long")
+
+
+@register(
+    "q_mm_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       md5(substring(text, (i * 256 + 1)::BIGINT, 64)) AS frame_md5
+FROM documents, LATERAL (
+    SELECT unnest(range((n_chars - 1) // 256 + 1)) AS i
+)
+""",
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a media column: every 256th offset yields a
+    64-unit frame, fingerprinted per frame — the video/audio frame-sample
+    pattern (decode stays stubbed; the slicing/fan-out plumbing is real).
+    Rows multiply by ceil(len/256) per doc, so the explode is immediately
+    followed by per-frame projection — nothing wide rides the fan-out.
+    At scale frames inherit the document's partitioning (no shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0L, (n_chars - 1) div 256), "
+                "i -> md5(encode(substring(text, CAST(i * 256 + 1 AS INT), 64), 'utf-8')))"
+            )
+        ).alias("frame_idx", "frame_md5"),
+    )
+    return exploded.select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_md5"
+    )

@@ -176,6 +176,85 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_sim_ivf_topk")  # rows-only: centroid training ≠ any SQL oracle
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5 for vec_id < 10: KMeans
+    (k=8, seed=42) coarse quantizer → per-cluster inverted lists → probe
+    the nprobe=6 nearest centroids per query (ranked by the same Euclidean
+    affinity KMeans assigns with: q·c − ‖c‖²/2) → exact dot only on the
+    probed lists. The complement of the LSH path (q_sim_ann_lsh): candidate
+    cost scales with n·nprobe/k instead of bucket-collision counts. Random
+    isotropic 64-d vectors cluster weakly, hence the wide nprobe here; real
+    embedding corpora have cluster structure that lets nprobe/k shrink.
+
+    100 TB shape: centroids are tiny (k×dim) and broadcast; the inverted
+    lists are the table partitioned by cluster id, so each probe is a
+    partition-pruned scan + local top-k, merged per query. Engine tests
+    assert recall ≥ 0.8 vs q_sim_topk_per_query."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    k, nprobe = 8, 6
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    km = KMeans(k=k, seed=42, featuresCol="v", predictionCol="cluster")
+    model = km.fit(e)
+    assigned = model.transform(e).select("vec_id", "embedding", "cluster")
+
+    # nprobe nearest centroids per query vector (centroids broadcast via a
+    # literal frame — k×dim doubles, tiny by construction).
+    centroids = [
+        (ci, [float(x) for x in c], float((c * c).sum()) / 2.0)
+        for ci, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(
+        centroids, "cluster int, centroid array<double>, half_sq double"
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
+    )
+    qc = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "affinity",
+            F.aggregate(
+                F.zip_with(
+                    "eq", "centroid", lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.col("half_sq"),
+        )
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("affinity").desc(), F.col("cluster").asc()
+                )
+            ),
+        )
+        .filter(F.col("crn") <= nprobe)
+        .select("q_id", "eq", "cluster")
+    )
+    # Probe: equi-join on cluster id — the inverted-list lookup.
+    cand = qc.join(assigned, "cluster").filter(F.col("q_id") != F.col("vec_id"))
+    cand = cand.withColumn("dot", _dot("eq", "embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round("dot", 4).alias("cos"),
+        )
+    )
+
+
 @register(
     "q_sim_neardup_cosine",
     oracle=f"""

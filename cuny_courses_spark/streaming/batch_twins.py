@@ -185,8 +185,9 @@ FROM events GROUP BY user_id
 )
 def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-user aggregates — batch twin of the arbitrary-stateful
-    operator (streaming twin in tests uses transformWithStateInPandas /
-    applyInPandasWithState; state = one (count, sum) pair per user)."""
+    operator (streaming twin in tests uses applyInPandasWithState — the
+    Spark-4 transformWithStateInPandas API needs protobuf, absent in this
+    environment; state = one (count, sum) pair per user)."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")

@@ -35,6 +35,7 @@ def test_registry_shapes():
         "q_agg_approx_distinct",
         "q_dedup_minhash_lsh",
         "q_sim_ann_lsh",
+        "q_sim_ivf_topk",
         "q_stream_watermark_late",
     }
 

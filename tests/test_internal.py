@@ -48,6 +48,19 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} exact pairs"
 
 
+def test_ivf_recall_vs_exact_topk(spark):
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in _QS["q_sim_topk_per_query"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r["q_id"], r["n_id"])
+        for r in _QS["q_sim_ivf_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall:.2f}"
+
+
 def test_ann_lsh_recall_vs_exact_topk(spark):
     exact = {
         (r["q_id"], r["n_id"])

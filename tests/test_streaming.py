@@ -117,6 +117,49 @@ def test_stream_stateful_count_equals_batch(spark, replay_dir):
     assert _frames_equal(got, want)
 
 
+def test_apply_in_pandas_with_state_equals_batch(spark, replay_dir):
+    # TRUE arbitrary-state operator (applyInPandasWithState; the newer
+    # transformWithStateInPandas API needs protobuf, absent here): one
+    # (count, sum) state per user, emitting running totals every
+    # micro-batch; the LAST emission per user must equal the batch groupBy.
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def running_agg(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    def stateful(src):
+        return (
+            src.select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                running_agg,
+                outputStructType="user_id long, n_events long, sum_value double",
+                stateStructType="n long, s double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    got = _stream_result(spark, replay_dir, stateful, output_mode="update")
+    # keep the final (largest n_events) emission per user
+    got = (
+        got.sort_values(["user_id", "n_events"])
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    want = _QS["q_stream_stateful_count"](spark, SF_DIR).toPandas()
+    got["sum_value"] = got["sum_value"].round(4)
+    assert _frames_equal(got[["user_id", "n_events", "sum_value"]], want)
+
+
 def test_watermark_drops_late_day1(spark):
     res = _QS["q_stream_watermark_late"](spark, SF_DIR).toPandas()
     assert len(res) > 0
