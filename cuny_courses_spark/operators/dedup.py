@@ -291,6 +291,121 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_O_CHARGRAMS = (
+    "list_distinct(list_transform(range(1, length(text) - 3), "
+    "i -> substring(text, i::BIGINT, 5)))"
+)
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id, {_O_CHARGRAMS} AS g, len({_O_CHARGRAMS}) AS n
+    FROM documents WHERE doc_id < 100
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (a.n + b.n - len(list_intersect(a.g, b.g))), 4) AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE 25 * len(list_intersect(a.g, b.g))
+      >= 7 * (a.n + b.n - len(list_intersect(a.g, b.g)))
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard ≥ 0.28 pairs (docs with doc_id < 100) — the
+    n-gram flavor of near-dup detection, robust to token-boundary edits
+    where word shingles are not. Same inverted-index equi-join shape as
+    q_dedup_near_jaccard: explode distinct grams → hash join on the gram →
+    per-pair co-occurrence count → integer-arithmetic threshold (25·|∩| ≥
+    7·|∪|). The doc_id cap bounds the demonstration corpus; at scale the
+    gram index gets a document-frequency cap (ubiquitous grams can't
+    certify a high-Jaccard pair alone) plus LSH banding exactly as the
+    shingle path. (Char-gram similarity runs hotter than shingle
+    similarity on a shared-vocabulary corpus; 0.28 sits just above the
+    background mode here.)"""
+    text_grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 4, 0)), "
+            "i -> substring(text, i, 5))"
+        )
+    )
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", text_grams.alias("g"), F.size(text_grams).alias("n"))
+    )
+    tok = d.select("doc_id", F.explode("g").alias("s"))
+    inter = (
+        tok.select(F.col("doc_id").alias("doc_id_a"), "s")
+        .join(tok.select(F.col("doc_id").alias("doc_id_b"), "s"), "s")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = d.select("doc_id", "n")
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("n", "na")),
+            inter.doc_id_a == sizes.doc_id,
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "nb")),
+            inter.doc_id_b == sizes.doc_id,
+        )
+        .drop("doc_id")
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
+        .filter(25 * F.col("i") >= 7 * F.col("u"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("i").cast("double") / F.col("u"), 4).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_sample_hash_stratified",
+    oracle="""
+SELECT lang,
+       count(*) AS n_sampled,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+GROUP BY lang
+""",
+)
+def q_sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the reproducible
+    train/eval-split primitive for training pipelines: a row is sampled iff
+    md5(key||salt) mod 100 < rate(stratum). Unlike rand()-based sampleBy,
+    membership is a pure function of the key (stable across partitioning,
+    re-runs, and engines — md5 is shared with the oracle), which is what
+    makes 100 TB splits auditable and incrementally maintainable."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|42"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 10).otherwise(30)
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+    )
+
+
 @register(
     "q_dedup_simhash",
     oracle="""

@@ -56,3 +56,21 @@ def test_flagship_whole_stage_codegen(spark):
 def test_semi_anti_join_plans(spark):
     assert "LeftSemi" in _plan(spark, "q_join_semi")
     assert "LeftAnti" in _plan(spark, "q_join_anti")
+
+
+def test_dedup_pair_joins_never_nested_loop(spark):
+    # The O(n²) pair space must come from hash equi-joins on content keys,
+    # never a nested-loop/cartesian pair enumeration (SURVEY §7 Phase 4).
+    for name in ("q_dedup_near_jaccard", "q_dedup_ngram_jaccard",
+                 "q_dedup_minhash_lsh"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sim_pairs_is_arrow_grouped_matmul(spark):
+    # Label-blocked cosine pairs run as one Arrow-batched grouped map
+    # (BLAS matmul per block), not a pair join.
+    plan = _plan(spark, "q_sim_pairs_threshold")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "Join" not in plan, plan[:2000]

@@ -55,6 +55,24 @@ def test_stream_tumbling_equals_batch(spark, replay_dir):
     assert _frames_equal(got, want)
 
 
+def test_stream_sliding_equals_batch(spark, replay_dir):
+    def agg(src):
+        return (
+            src.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "n",
+            )
+        )
+
+    got = _stream_result(spark, replay_dir, agg)
+    want = _QS["q_stream_sliding"](spark, SF_DIR).toPandas()
+    assert _frames_equal(got, want)
+
+
 def test_stream_session_equals_batch(spark, replay_dir):
     def agg(src):
         return (
