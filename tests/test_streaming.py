@@ -178,6 +178,42 @@ def test_apply_in_pandas_with_state_equals_batch(spark, replay_dir):
     assert _frames_equal(got[["user_id", "n_events", "sum_value"]], want)
 
 
+def test_stream_stream_interval_join_equals_batch(spark, replay_dir):
+    # Stream-stream inner join with an event-time range condition: same-user
+    # pairs within [ts, ts+5min). Both sides watermarked; with AvailableNow
+    # over bounded replay the emitted matches must equal the batch join
+    # (q_join_range_interval's pair counts).
+    a = (
+        runner.read_stream(spark, replay_dir)
+        .select("user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", "10 days")
+    )
+    b = (
+        runner.read_stream(spark, replay_dir)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("b_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "10 days")
+    )
+    joined = a.join(
+        b,
+        (a.user_id == b.b_user)
+        & (a.a_id < b.b_id)
+        & (b.b_ts >= a.a_ts)
+        & (b.b_ts < a.a_ts + F.expr("INTERVAL 5 MINUTE")),
+    ).select("user_id", "a_id", "b_id")
+    got = runner.run_to_memory(joined, output_mode="append").toPandas()
+    got = (
+        got.groupby("user_id", as_index=False)
+        .size()
+        .rename(columns={"size": "n_pairs"})
+    )
+    want = _QS["q_join_range_interval"](spark, SF_DIR).toPandas()
+    assert _frames_equal(got, want)
+
+
 def test_watermark_drops_late_day1(spark):
     res = _QS["q_stream_watermark_late"](spark, SF_DIR).toPandas()
     assert len(res) > 0
