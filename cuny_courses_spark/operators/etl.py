@@ -197,3 +197,67 @@ def q_etl_attribute_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", F.posexplode(attrs).alias("pos", "attr")
     ).select("p_partkey", "attr", F.col("pos").cast("long").alias("pos"))
+
+
+@register(
+    "q_etl_csv_validation",
+    oracle="""
+SELECT count(*) AS n_valid,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       count(*) AS n_expected
+FROM region
+""",
+)
+def q_etl_csv_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's check_queries.py input gate, Sparkified: read a CSV
+    export carrying injected malformed rows in PERMISSIVE mode with a
+    corrupt-record column and report valid/corrupt/expected counts — the
+    load proceeds only when the gate passes (here the gate IS the query).
+
+    The dirty file is deterministic: the region export plus three rows with
+    a non-numeric key. Spark side: explicit schema + _corrupt_record
+    (FAILFAST would abort; PERMISSIVE quarantines, the lake-ingest norm).
+    The oracle (views-only, like q_scan_csv) states the expected gate
+    outcome: n_valid = |region|, n_corrupt = the 3 injected rows. At scale
+    this is one pass over the landing zone, no shuffle until the (tiny)
+    aggregate."""
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    out = Path(_io_dir(sf_dir, "region_dirty_csv"))
+    out.mkdir(parents=True, exist_ok=True)
+    target = out / "part.csv"
+    rows = load(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    with open(target, "w") as f:
+        f.write("r_regionkey,r_name\n")
+        for r in rows:
+            f.write(f"{r.r_regionkey},{r.r_name}\n")
+        f.write("not_a_number,BADROW1\n")
+        f.write("also_bad,BADROW2\n")
+        f.write("NaNkey,BADROW3\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.LongType()),
+            T.StructField("r_name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    dirty = spark.read.csv(
+        str(target),
+        schema=schema,
+        header=True,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()  # SPARK-21610: corrupt-record queries need the full row read
+    counts = dirty.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_valid"),
+        F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+    )
+    expected = load(spark, sf_dir, "region").agg(
+        F.count(F.lit(1)).alias("n_expected")
+    )
+    return counts.crossJoin(expected)
