@@ -5,10 +5,12 @@ Prints ONE JSON line:
    "queries": {...per-query warm sec...}, "sf": 0.1}
 
 Method (BASELINE.md "Targets"): one long-lived warm SparkSession for the
-whole suite; per query, one warm-up run then best-of-2 timed runs
-(steady-state — Spark local-mode job-scheduling overhead is the floor on
-the smallest queries, SURVEY §6 risk flag). Results are materialized with
-collect() to match how the DuckDB baseline was measured (fetchall).
+whole suite; a full warm-up lap over every headline query first (JIT/C2
+compilation, codegen cache, page cache — the DuckDB baseline was measured
+warm too), then per query best-of-3 timed runs (steady-state — Spark
+local-mode job-scheduling overhead is the floor on the smallest queries,
+SURVEY §6 risk flag). Results are materialized with collect() to match how
+the DuckDB baseline was measured (fetchall).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
@@ -87,12 +89,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = queries()
+    for _ in range(2):  # warm-up laps: plan + code-gen + JIT + page cache
+        for name in HEADLINE:
+            qs[name](spark, sf_dir).collect()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        fn(spark, sf_dir).collect()  # warm-up: plan + code-gen + page cache
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

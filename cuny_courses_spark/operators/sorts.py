@@ -69,10 +69,17 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ordering happens on the exact DECIMAL revenue (cross-engine total order),
     with l_orderkey as the total tiebreak; the rounded DOUBLE is emitted.
+
+    Join strategy: customer (dim, segment-filtered) broadcasts into orders;
+    the orders⋈lineitem fact-fact join is pinned to shuffle-merge. Without
+    the hint Spark would happily broadcast the *filtered lineitem* at small
+    sf (it fits under the threshold) — backwards at 100 TB, where lineitem
+    is the largest table, and measurably slower even locally (driver-side
+    build of a 300k-row hashed relation per run).
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").hint("merge")
     j = (
         c.filter(c.c_mktsegment == "BUILDING")
         .join(o, c.c_custkey == o.o_custkey)
