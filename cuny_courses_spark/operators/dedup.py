@@ -150,15 +150,17 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    # sizes is per-doc (scales with the corpus) — no broadcast hint; the
+    # size threshold/AQE broadcasts it at test scale and shuffles at 100 TB.
     sizes = d.select("doc_id", "n")
     return (
         inter.join(
-            F.broadcast(sizes.withColumnRenamed("n", "na")),
+            sizes.withColumnRenamed("n", "na"),
             inter.doc_id_a == sizes.doc_id,
         )
         .drop("doc_id")
         .join(
-            F.broadcast(sizes.withColumnRenamed("n", "nb")),
+            sizes.withColumnRenamed("n", "nb"),
             inter.doc_id_b == sizes.doc_id,
         )
         .drop("doc_id")
@@ -257,26 +259,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
-    # Exact verification on candidates only (broadcast the shingle arrays).
+    # Exact verification on candidates only. The shingle-array side scales
+    # with the corpus, so no broadcast hint: candidates ⋈ docs is a hash
+    # equi-join on doc_id (threshold-broadcast at test scale, shuffle at
+    # 100 TB, where the candidate set is also the far smaller side).
     docs = sig.select("doc_id", "t", "n")
     verified = (
         cand.join(
-            F.broadcast(
-                docs.select(
-                    F.col("doc_id").alias("doc_id_a"),
-                    F.col("t").alias("ta"),
-                    F.col("n").alias("na"),
-                )
+            docs.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("t").alias("ta"),
+                F.col("n").alias("na"),
             ),
             "doc_id_a",
         )
         .join(
-            F.broadcast(
-                docs.select(
-                    F.col("doc_id").alias("doc_id_b"),
-                    F.col("t").alias("tb"),
-                    F.col("n").alias("nb"),
-                )
+            docs.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("t").alias("tb"),
+                F.col("n").alias("nb"),
             ),
             "doc_id_b",
         )
@@ -343,15 +344,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = d.select("doc_id", "n")
+    sizes = d.select("doc_id", "n")  # per-doc: threshold/AQE decides, no hint
     return (
         inter.join(
-            F.broadcast(sizes.withColumnRenamed("n", "na")),
+            sizes.withColumnRenamed("n", "na"),
             inter.doc_id_a == sizes.doc_id,
         )
         .drop("doc_id")
         .join(
-            F.broadcast(sizes.withColumnRenamed("n", "nb")),
+            sizes.withColumnRenamed("n", "nb"),
             inter.doc_id_b == sizes.doc_id,
         )
         .drop("doc_id")
@@ -438,8 +439,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints; the aggregate keeps output bounded).
 
     Token hash = first 16 bits of md5 (identical in both engines); bit j of
-    the fingerprint is sign(Σ ±1). At scale, fingerprints group by value /
-    rotate-band so only hamming-ball buckets are compared.
+    the fingerprint is sign(Σ ±1).
+
+    Pair generation is pigeonhole banding, not a pair scan: split the
+    16-bit fingerprint into 4 bands of 4 bits — a pair at hamming ≤ 3 has
+    its ≤3 differing bits in ≤3 bands, so it matches *exactly* on at least
+    one band. Candidates come from a hash equi-join on (band_idx, band
+    bits) with recall 1.0 by construction (output identical to the brute
+    oracle), then the exact hamming filter. At 100 TB this is the same
+    near-linear index-join shape as the MinHash-LSH path; a wider (64-bit)
+    fingerprint sharpens band selectivity without changing the plan.
     """
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_tokens()).alias("tok")
@@ -464,12 +473,25 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh = bits.groupBy("doc_id").agg(F.sum("bitval").cast("long").alias("simhash"))
-    a = sh.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
-    hamming = F.bit_count(F.expr("sa ^ sb")).cast("long")
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+    ).withColumn("band", F.expr("(simhash >> (band_idx * 4)) & 15"))
+    a = bands.select(
+        F.col("doc_id").alias("da"), F.col("simhash").alias("sa"), "band_idx", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"), F.col("simhash").alias("sb"), "band_idx", "band"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "sa", "sb")
+        .distinct()  # a pair can collide in several bands — count it once
+    )
     return (
-        a.join(F.broadcast(b), F.col("da") < F.col("db"))
-        .withColumn("hamming", hamming)
+        cand.withColumn("hamming", F.bit_count(F.expr("sa ^ sb")).cast("long"))
         .filter(F.col("hamming") <= 3)
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -151,16 +151,19 @@ GROUP BY r_name
 def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact → chained broadcast dims (the hard-coded institution-dim pattern).
 
-    All three dims are broadcast-hinted: one pass over the fact, no shuffle
-    until the 5-group aggregate. This is the plan that must survive 100×
-    scale-up — dims stay KB-MB while the fact grows.
+    Broadcast policy: explicit hints go only on *bounded* dims (nation=25,
+    region=5 — constant forever). supplier scales with SF, so its strategy
+    is left to the size threshold / AQE: broadcast at test scale, shuffle
+    join once it outgrows the threshold at 100 TB. Result: one pass over
+    the fact, no shuffle until the 5-group aggregate, and a plan that
+    survives 100× scale-up without edits.
     """
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
@@ -187,9 +190,12 @@ GROUP BY n_name
 def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5 shape: 6-table star join, region-filtered, revenue per nation.
 
-    Join order: fact-fact (lineitem⋈orders) shuffled first, then broadcast
-    dims; the local-supplier condition (c_nationkey = s_nationkey) rides the
-    supplier join as a residual. AQE/CBO may reorder — that's the point.
+    Join order: fact-fact (lineitem⋈orders) first, then the dims; the
+    local-supplier condition (c_nationkey = s_nationkey) rides the supplier
+    join as part of the composite equi-key. Only bounded dims (nation,
+    region) carry explicit broadcast hints; orders/customer/supplier
+    strategies are size-threshold/AQE decisions — broadcast at test scale,
+    shuffle joins at 100 TB. AQE/CBO may reorder — that's the point.
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
@@ -205,7 +211,7 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -234,7 +240,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     return (
         li.join(
-            F.broadcast(p),
+            p,
             (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),
         )
         .groupBy("p_brand")

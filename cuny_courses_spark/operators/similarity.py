@@ -91,13 +91,19 @@ QUALIFY row_number() OVER (
 def q_sim_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 10 (the exact
     baseline the ANN variant is measured against). Ranking uses the raw
-    double dot (bit-identical both engines) with id tiebreak."""
+    double dot (bit-identical both engines) with id tiebreak.
+
+    Scale shape: the *bounded query set* broadcasts and the corpus streams
+    past it one pass, embarrassingly parallel (never broadcast the corpus —
+    it grows). The per-query top-k window then shuffles |corpus|×|queries|
+    rows; fine for a bounded query set, and the ANN entries (LSH/IVF) are
+    the declared path when the query side scales too."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
     )
     c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ec"))
-    j = q.join(F.broadcast(c), F.col("q_id") != F.col("n_id"))
+    j = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
     j = j.withColumn("dot", _dot("eq", "ec"))
     w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("n_id").asc())
     return (
