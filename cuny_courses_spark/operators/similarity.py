@@ -43,11 +43,14 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_O_DOT.format(a='a.embedding', b='b.embedding')}, 4) AS cos
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({_O_DOT.format(a='a.embedding', b='b.embedding')}, 4) >= 0.8
+WHERE round({_O_DOT.format(a='a.embedding', b='b.embedding')}, 4) >= 0.45
 """,
 )
 def q_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same-label pairs with cosine ≥ 0.8, label-blocked.
+    """Same-label pairs with cosine ≥ 0.45, label-blocked. (The synthetic
+    embeddings are near-orthogonal — max pairwise cos ≈ 0.48 at sf0.01 —
+    so the threshold sits just below the corpus maximum to keep the
+    oracle-checked output non-empty; the operator is threshold-agnostic.)
 
     Physical strategy: ``applyInPandas`` per label block with one float64
     BLAS matmul per block (Arrow-batched, no per-pair JVM array
@@ -67,7 +70,7 @@ def q_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         cos = np.round(m @ m.T, 4)
         ia, ib = np.triu_indices(len(ids), k=1)
-        keep = cos[ia, ib] >= 0.8
+        keep = cos[ia, ib] >= 0.45
         return pd.DataFrame(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": cos[ia, ib][keep]}
         )
@@ -274,10 +277,79 @@ def q_sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.95) across the whole
     corpus — the semantic-dedup primitive for training pipelines. Quadratic
     form is the small-corpus oracle; at scale the same predicate runs after
-    LSH/IVF blocking (q_sim_ann_lsh plan shape)."""
-    e = load(spark, sf_dir, "embeddings")
+    LSH blocking (q_sim_neardup_lsh). The synthetic corpus has no pairs
+    above cos ≈ 0.6, so the oracle check certifies the empty result; the
+    operator itself is exercised on injected near-dups in
+    tests/test_internal.py via the threshold-parameterized core."""
+    return neardup_cosine_pairs(load(spark, sf_dir, "embeddings"))
+
+
+def neardup_cosine_pairs(e: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Exact pair scan over (vec_id, embedding): the small-corpus oracle."""
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     j = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     cos = F.round(_dot("ea", "eb"), 4)
-    return j.select("id_a", "id_b", cos.alias("cos")).filter(F.col("cos") >= 0.95)
+    return j.select("id_a", "id_b", cos.alias("cos")).filter(
+        F.col("cos") >= threshold
+    )
+
+
+@register("q_sim_neardup_lsh")  # rows-only: hyperplane family ≠ any SQL oracle
+def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95) via sign-projection LSH
+    banding — the 100 TB scale path for ``q_sim_neardup_cosine``.
+
+    64 fixed random hyperplanes (seed 42) give a 64-bit sign sketch per
+    vector; P(bit agrees) = 1 − θ/π ≈ 0.899 at cos = 0.95. Split into
+    8 bands × 8 bits: P(candidate) = 1 − (1 − 0.899⁸)⁸ ≈ 0.988 at the
+    threshold, higher above it (tests assert recall ≥ 0.8 and precision
+    1.0 vs the exact twin on an injected-near-dup corpus). Sketching is one
+    Arrow-batched matmul per batch (pandas_udf); candidate generation is a
+    hash equi-join on (band_idx, band_bits) — near-linear, never a pair
+    scan — and only candidates pay the exact dot-product verify, with no
+    corpus-sized broadcast anywhere."""
+    return neardup_lsh_pairs(load(spark, sf_dir, "embeddings"))
+
+
+def neardup_lsh_pairs(e: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Sign-projection LSH near-dup pairs over (vec_id, embedding)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dim, n_bands, bits_per_band = 64, 8, 8
+    planes = np.random.RandomState(42).standard_normal((dim, n_bands * bits_per_band))
+    weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+
+    # No type hints: this module uses `from __future__ import annotations`,
+    # which stringifies them beyond pandas_udf's resolver; the returnType
+    # string + default SCALAR eval type carry the contract instead.
+    @pandas_udf("array<long>")
+    def band_hashes(emb):
+        m = np.vstack(emb.to_numpy()).astype(np.float64)
+        bits = (m @ planes) >= 0.0
+        bands = bits.reshape(len(m), n_bands, bits_per_band) @ weights
+        return pd.Series(bands.astype(np.int64).tolist())
+
+    e = e.select("vec_id", "embedding")
+    bd = e.select(
+        "vec_id", F.posexplode(band_hashes("embedding")).alias("band_idx", "bh")
+    )
+    cand = (
+        bd.select(F.col("vec_id").alias("id_a"), "band_idx", "bh")
+        .join(bd.select(F.col("vec_id").alias("id_b"), "band_idx", "bh"),
+              ["band_idx", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair may collide in several bands — verify it once
+    )
+    verified = (
+        cand.join(e.select(F.col("vec_id").alias("id_a"),
+                           F.col("embedding").alias("ea")), "id_a")
+        .join(e.select(F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("eb")), "id_b")
+        .withColumn("cos", F.round(_dot("ea", "eb"), 4))
+        .filter(F.col("cos") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "cos")

@@ -36,6 +36,7 @@ def test_registry_shapes():
         "q_dedup_minhash_lsh",
         "q_sim_ann_lsh",
         "q_sim_ivf_topk",
+        "q_sim_neardup_lsh",
         "q_stream_watermark_late",
     }
 

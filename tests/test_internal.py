@@ -73,6 +73,41 @@ def test_ann_lsh_recall_vs_exact_topk(spark):
     assert recall >= 0.8, f"ANN recall {recall:.2f}"
 
 
+def test_neardup_lsh_recall_on_injected_neardups(spark):
+    # The synthetic corpus has no pairs above cos ≈ 0.6, so build one that
+    # does: perturb 30 vectors with small Gaussian noise and renormalize
+    # (expected cos ≈ 1/√(1+64σ²) ≈ 0.988 ≥ 0.95), then run both twins on
+    # the augmented corpus through the threshold-parameterized core.
+    import numpy as np
+
+    from cuny_courses_spark.operators.similarity import (
+        neardup_cosine_pairs,
+        neardup_lsh_pairs,
+    )
+
+    pdf = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").toPandas()
+    rng = np.random.RandomState(7)
+    base = pdf.head(30).copy()
+    vecs = np.vstack(base["embedding"].to_numpy()).astype(np.float64)
+    noisy = vecs + rng.standard_normal(vecs.shape) * 0.02
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    base["vec_id"] = base["vec_id"] + 1_000_000
+    base["embedding"] = [row.astype(np.float32).tolist() for row in noisy]
+    import pandas as pd
+
+    aug = spark.createDataFrame(
+        pd.concat([pdf, base], ignore_index=True),
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in neardup_cosine_pairs(aug).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in neardup_lsh_pairs(aug).collect()}
+    assert len(exact) >= 25, f"expected ≥25 injected near-dup pairs, got {len(exact)}"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} exact pairs"
+    # precision is 1.0 by construction (exact verify) — candidates never leak
+    assert lsh <= exact, "LSH emitted a pair the exact twin rejects"
+
+
 def test_fixture_invariants(spark, duck):
     # FK closure + zero-null + normalization invariants (FIXTURES.md)
     orphans = {

@@ -62,7 +62,8 @@ def test_dedup_pair_joins_never_nested_loop(spark):
     # The O(n²) pair space must come from hash equi-joins on content keys,
     # never a nested-loop/cartesian pair enumeration (SURVEY §7 Phase 4).
     for name in ("q_dedup_near_jaccard", "q_dedup_ngram_jaccard",
-                 "q_dedup_minhash_lsh", "q_dedup_simhash"):
+                 "q_dedup_minhash_lsh", "q_dedup_simhash",
+                 "q_sim_neardup_lsh"):
         plan = _plan(spark, name)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
