@@ -303,33 +303,50 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the latest same-user click at-or-before
     it — the reference's "latest effective rule at date" pattern (SURVEY §2 C).
 
-    Spark has no batch ASOF (SURVEY §4): plan is equi-join on the partition
-    key (user_id) + window argmax over the matched candidates, which matches
-    DuckDB ASOF's strictly-≤ latest-wins semantics. At 100 TB the candidate
-    blowup is bounded by per-user history; the scale path is
-    repartition-by-key + sort-merge within partitions (same plan Spark picks
-    here via SMJ + window over the join key).
+    Spark has no batch ASOF (SURVEY §4). The scale-correct formulation is
+    the union-window (merge-sweep) plan, not a join: union clicks and
+    purchases into one stream, one shuffle on user_id, sort each user's
+    history once by (ts, kind, event_id) — clicks ordered before purchases
+    at equal ts, so `click.ts <= purchase.ts` is inclusive, and the max
+    click_id wins exact-ts ties, matching DuckDB ASOF — then every purchase
+    reads `last(click, ignoreNulls)` over the running frame. Zero candidate
+    materialization: a join-then-argmax plan builds every (purchase,
+    earlier-click) pair first — quadratic on hot users at 100 TB; this
+    sweep is O(history) per user regardless of skew (AQE skew-split and
+    salting handle residual partition imbalance).
     """
     e = load(spark, sf_dir, "events")
-    p = e.filter(e.event_type == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    ck_t = "struct<click_id:bigint,c_ts:timestamp>"
+    clicks = e.filter(e.event_type == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.struct(
+            F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+        ).alias("ck"),
     )
-    c = e.filter(e.event_type == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("c_ts"),
+    purchases = e.filter(e.event_type == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast(ck_t).alias("ck"),
     )
-    j = p.join(c, (p.user_id == c.c_user) & (c.c_ts <= p.p_ts), "inner")
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("c_ts").desc(), F.col("click_id").desc()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = clicks.unionByName(purchases).withColumn(
+        "last_ck", F.last("ck", ignorenulls=True).over(w)
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        swept.filter((F.col("kind") == 1) & F.col("last_ck").isNotNull())
         .select(
-            "purchase_id",
-            "click_id",
-            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("last_ck.click_id").alias("click_id"),
+            (F.unix_micros("ts") - F.unix_micros("last_ck.c_ts")).alias("gap_us"),
         )
     )
 
