@@ -263,22 +263,37 @@ GROUP BY a.user_id
 def q_join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval self-join: same-user event pairs within [ts, ts+5min).
 
-    Physical shape: equi-join on user_id + residual range predicate — the
-    shuffle partitions by user, so at 100 TB this is bounded by per-user
-    density, not the global row count. (For dense keys one would band by
-    time bucket as well: join on (user, 5-min bucket) ± 1 bucket.)
+    Physical shape: time-banded hash equi-join, never user-only. A plain
+    equi-join on user_id enumerates ALL same-user pairs before the range
+    residual — quadratic on hot users at 100 TB. Banding keys both sides
+    by the 5-minute epoch (bucket = ts div 5min): a qualifying b lies in
+    a's bucket or the next one, so the left side explodes to those two
+    bucket keys and the join runs on (user_id, bucket) + exact residual.
+    Candidates are bounded by per-user density within ±5 minutes — the
+    same bound Structured Streaming's watermarked interval join enforces
+    (tests/test_streaming.py runs that twin). Each qualifying pair matches
+    exactly one exploded bucket (a's two keys are distinct), so no dedup
+    step is needed.
     """
     e = load(spark, sf_dir, "events")
-    a = e.select("user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+    bucket = F.expr("unix_micros(ts) div 300000000")  # 5-min epoch, exact
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
     b = e.select(
         F.col("user_id").alias("b_user"),
         F.col("event_id").alias("b_id"),
         F.col("ts").alias("b_ts"),
+        bucket.alias("b_bucket"),
     )
     return (
         a.join(
             b,
             (a.user_id == b.b_user)
+            & (a.bucket == b.b_bucket)
             & (a.a_id < b.b_id)
             & (b.b_ts >= a.a_ts)
             & (b.b_ts < a.a_ts + F.expr("INTERVAL 5 MINUTE")),
