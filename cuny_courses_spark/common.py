@@ -38,6 +38,43 @@ def davg(col: Column | str, alias: str) -> Column:
     ).alias(alias)
 
 
+def fp(col: Column | str, digits: int = 2) -> Column:
+    """Exact int64 fixed-point image of a known-scale decimal column.
+
+    Monetary/quantity columns in the testdata carry ≤ ``digits`` decimal
+    places, so ``round(x·10^d)`` recovers the exact integer the double
+    approximates — after which all arithmetic (products of fixed-point
+    terms, sums) is integer-exact and order-independent WITHOUT the
+    per-row double→BigDecimal conversion that makes ``dsum`` the hottest
+    expression in the profile (~2× whole-query cost on the Q1 shape).
+    Only use on columns whose decimal scale is part of the data contract
+    (FIXTURES.md); arbitrary doubles (e.g. ``events.value``) keep dsum.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10 ** digits)).cast("long")
+
+
+def fpsum(int_col: Column, scale: int, alias: str) -> Column:
+    """Order-independent sum of an exact fixed-point int64 expression.
+
+    Accumulates through decimal(38,0): long-backed (cheap) while partial
+    sums fit in int64, transparently promoting to BigDecimal beyond —
+    overflow-safe at any scale factor (the 10^6-scaled Q1 charge product
+    would overflow a raw int64 sum near sf1). The exact integer total is
+    then cast to double (round-to-nearest, identical in JVM and DuckDB)
+    and rescaled.
+    """
+    s = F.sum(int_col.cast("decimal(38,0)")).cast("double")
+    return F.round(s / float(10 ** scale), 4).alias(alias)
+
+
+def fpavg(int_col: Column, scale: int, count_col: Column | str, alias: str) -> Column:
+    """Exact-sum mean of a fixed-point expression, rounded to 4 dp."""
+    c = F.col(count_col) if isinstance(count_col, str) else count_col
+    s = F.sum(int_col.cast("decimal(38,0)")).cast("double")
+    return F.round(s / float(10 ** scale) / F.count(c), 4).alias(alias)
+
+
 def r4(col: Column | str, alias: str | None = None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.round(c.cast("double"), 4)
@@ -58,6 +95,26 @@ def fmt_date(col: Column | str, alias: str | None = None) -> Column:
 
 
 # ---- oracle (DuckDB) SQL snippet builders — textual twins of the above ----
+
+def O_fp(expr: str, digits: int = 2) -> str:
+    """DuckDB twin of fp(): exact int64 fixed-point image (sum → HUGEINT,
+    so the DuckDB side is overflow-exact like the decimal(38,0) path)."""
+    return f"CAST(round(({expr}) * {10 ** digits}) AS BIGINT)"
+
+
+def O_fpsum(int_expr: str, scale: int, alias: str) -> str:
+    return (
+        f"round(CAST(sum({int_expr}) AS DOUBLE) / {float(10 ** scale)}, 4)"
+        f" AS {alias}"
+    )
+
+
+def O_fpavg(int_expr: str, scale: int, count_expr: str, alias: str) -> str:
+    return (
+        f"round(CAST(sum({int_expr}) AS DOUBLE) / {float(10 ** scale)}"
+        f" / count({count_expr}), 4) AS {alias}"
+    )
+
 
 def O_dsum(expr: str, alias: str) -> str:
     return f"round(CAST(sum(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE), 4) AS {alias}"

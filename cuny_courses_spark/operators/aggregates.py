@@ -8,9 +8,11 @@ sanity gates, rule → array-of-source-courses accumulation (SURVEY §2 D, §3.2
 before the single keyed shuffle; group-key cardinality here is tiny (≤ 6–25
 groups), so the final stage is trivially small.
 
-Determinism: monetary/quantity sums go through DECIMAL(30,6) (see
-common.py); counts are BIGINT; rollup/cube NULL group labels are coalesced to
-'ALL' on both sides (avoids GROUPING() representation parity).
+Determinism: monetary/quantity sums run in exact int64 fixed point
+(common.fp/fpsum — contract-scale columns), arbitrary doubles through
+DECIMAL(30,6) (common.dsum); counts are BIGINT; rollup/cube NULL group labels
+are coalesced to 'ALL' on both sides (avoids GROUPING() representation
+parity).
 """
 
 from __future__ import annotations
@@ -18,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuny_courses_spark.common import O_davg, O_dsum, davg, dsum, r4
+from cuny_courses_spark.common import (
+    O_fp,
+    O_fpavg,
+    O_fpsum,
+    fp,
+    fpavg,
+    fpsum,
+    r4,
+)
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import load
 
@@ -29,24 +39,29 @@ from cuny_courses_spark.sources.loaders import load
     "q_agg_global",
     oracle=f"""
 SELECT count(*) AS n_rows,
-       {O_dsum('l_quantity', 'sum_qty')},
-       {O_dsum('l_extendedprice', 'sum_price')},
+       {O_fpsum(O_fp('l_quantity'), 2, 'sum_qty')},
+       {O_fpsum(O_fp('l_extendedprice'), 2, 'sum_price')},
        round(min(l_extendedprice), 4) AS min_price,
        round(max(l_extendedprice), 4) AS max_price,
-       {O_davg('l_discount', 'avg_disc')}
+       {O_fpavg(O_fp('l_discount'), 2, 'l_discount', 'avg_disc')}
 FROM lineitem
 """,
 )
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Table-wide count/sum/min/max/avg — the reference's row-count gate."""
+    """Table-wide count/sum/min/max/avg — the reference's row-count gate.
+
+    Monetary sums run in exact int64 fixed point (common.fp): 2-dp columns
+    are integers after ×100, so the sum is order-independent without the
+    per-row double→decimal conversion dsum pays on arbitrary doubles.
+    """
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_price"),
+        fpsum(fp("l_quantity"), 2, "sum_qty"),
+        fpsum(fp("l_extendedprice"), 2, "sum_price"),
         r4(F.min("l_extendedprice"), "min_price"),
         r4(F.max("l_extendedprice"), "max_price"),
-        davg("l_discount", "avg_disc"),
+        fpavg(fp("l_discount"), 2, "l_discount", "avg_disc"),
     )
 
 
@@ -61,13 +76,15 @@ Q1_CUTOFF = "1998-09-02 00:00:00"
     oracle=f"""
 SELECT l_returnflag,
        l_linestatus,
-       {O_dsum('l_quantity', 'sum_qty')},
-       {O_dsum('l_extendedprice', 'sum_base_price')},
-       {O_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-       {O_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
-       {O_davg('l_quantity', 'avg_qty')},
-       {O_davg('l_extendedprice', 'avg_price')},
-       {O_davg('l_discount', 'avg_disc')},
+       {O_fpsum(O_fp('l_quantity'), 2, 'sum_qty')},
+       {O_fpsum(O_fp('l_extendedprice'), 2, 'sum_base_price')},
+       {O_fpsum(f"{O_fp('l_extendedprice')} * (100 - {O_fp('l_discount')})",
+                4, 'sum_disc_price')},
+       {O_fpsum(f"{O_fp('l_extendedprice')} * (100 - {O_fp('l_discount')})"
+                f" * (100 + {O_fp('l_tax')})", 6, 'sum_charge')},
+       {O_fpavg(O_fp('l_quantity'), 2, 'l_quantity', 'avg_qty')},
+       {O_fpavg(O_fp('l_extendedprice'), 2, 'l_extendedprice', 'avg_price')},
+       {O_fpavg(O_fp('l_discount'), 2, 'l_discount', 'avg_disc')},
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
@@ -82,19 +99,24 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReadSchema in the plan), so at 100 TB this reads a fraction of the table.
     """
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Exact int64 fixed point: price·(100−disc) and ·(100+tax) are integer
+    # products (scale 4 / 6), summed through decimal(38,0) — codegen'd long
+    # arithmetic per row instead of dsum's double→BigDecimal conversion,
+    # and overflow-safe past int64 at high scale factors.
+    ep, disc, tax, qty = (
+        fp("l_extendedprice"), fp("l_discount"), fp("l_tax"), fp("l_quantity")
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
+            fpsum(qty, 2, "sum_qty"),
+            fpsum(ep, 2, "sum_base_price"),
+            fpsum(ep * (100 - disc), 4, "sum_disc_price"),
+            fpsum(ep * (100 - disc) * (100 + tax), 6, "sum_charge"),
+            fpavg(qty, 2, "l_quantity", "avg_qty"),
+            fpavg(ep, 2, "l_extendedprice", "avg_price"),
+            fpavg(disc, 2, "l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -259,8 +281,8 @@ SELECT o_orderstatus,
        count(*) AS n_orders,
        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
            AS n_urgent,
-       {O_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END",
-               'urgent_revenue')},
+       {O_fpsum("CASE WHEN o_orderpriority = '1-URGENT' THEN "
+                + O_fp('o_totalprice') + " ELSE 0 END", 2, 'urgent_revenue')},
        count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
 FROM orders
 GROUP BY o_orderstatus
@@ -273,7 +295,7 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("n_urgent"),
-        dsum(F.when(urgent, F.col("o_totalprice")).otherwise(0.0), "urgent_revenue"),
+        fpsum(F.when(urgent, fp("o_totalprice")).otherwise(0), 2, "urgent_revenue"),
         F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
     )
 
@@ -285,7 +307,7 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_stats",
     oracle=f"""
 SELECT l_returnflag,
-       {O_davg('l_quantity', 'avg_qty')},
+       {O_fpavg(O_fp('l_quantity'), 2, 'l_quantity', 'avg_qty')},
        round(stddev_samp(l_quantity), 4) AS std_qty,
        round(var_samp(l_quantity), 4) AS var_qty,
        round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
@@ -302,7 +324,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        davg("l_quantity", "avg_qty"),
+        fpavg(fp("l_quantity"), 2, "l_quantity", "avg_qty"),
         r4(F.stddev_samp("l_quantity"), "std_qty"),
         r4(F.var_samp("l_quantity"), "var_qty"),
         r4(F.percentile("l_quantity", F.lit(0.5)), "median_qty"),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cuny_courses_spark.common import O_dsum, dsum, fmt_ts, r4
+from cuny_courses_spark.common import O_fp, O_fpsum, fmt_ts, fp, fpsum, r4
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import load
 
@@ -140,7 +140,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_broadcast_dim",
     oracle=f"""
-SELECT r_name, {O_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+SELECT r_name, {O_fpsum(f"{O_fp('l_extendedprice')} * (100 - {O_fp('l_discount')})", 4, 'revenue')}
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -167,14 +167,14 @@ def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(fpsum(fp("l_extendedprice") * (100 - fp("l_discount")), 4, "revenue"))
     )
 
 
 @register(
     "q_join_star_multiway",
     oracle=f"""
-SELECT n_name, {O_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+SELECT n_name, {O_fpsum(f"{O_fp('l_extendedprice')} * (100 - {O_fp('l_discount')})", 4, 'revenue')}
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -218,7 +218,7 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(fpsum(fp("l_extendedprice") * (100 - fp("l_discount")), 4, "revenue"))
     )
 
 
@@ -227,7 +227,7 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT p_brand,
        count(*) AS n,
-       {O_dsum('l_extendedprice', 'price_sum')}
+       {O_fpsum(O_fp('l_extendedprice'), 2, 'price_sum')}
 FROM lineitem JOIN part
   ON l_partkey = p_partkey AND l_quantity > p_size
 GROUP BY p_brand
@@ -244,7 +244,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size),
         )
         .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "price_sum"))
+        .agg(F.count(F.lit(1)).alias("n"), fpsum(fp("l_extendedprice"), 2, "price_sum"))
     )
 
 

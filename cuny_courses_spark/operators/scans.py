@@ -21,7 +21,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuny_courses_spark.common import O_dsum, dsum, fmt_ts, r4
+from cuny_courses_spark.common import O_fp, O_fpsum, fmt_ts, fp, fpsum, r4
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import SCHEMAS, load
 
@@ -111,7 +111,7 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_scan_partition_pruned",
     oracle=f"""
-SELECT count(*) AS n, {O_dsum('o_totalprice', 'total')}
+SELECT count(*) AS n, {O_fpsum(O_fp('o_totalprice'), 2, 'total')}
 FROM orders WHERE year(o_orderdate) = 1997
 """,
 )
@@ -126,5 +126,5 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").partitionBy("o_year").parquet(out)
     back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
     return back.agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total")
+        F.count(F.lit(1)).alias("n"), fpsum(fp("o_totalprice"), 2, "total")
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cuny_courses_spark.common import DEC, fmt_date
+from cuny_courses_spark.common import fmt_date, fp
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import load
 
@@ -44,12 +44,13 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_limit_topk",
     oracle="""
 SELECT l_orderkey,
-       round(CAST(revenue_dec AS DOUBLE), 4) AS revenue,
+       round(CAST(revenue_fp AS DOUBLE) / 10000.0, 4) AS revenue,
        order_date,
        o_orderpriority
 FROM (
     SELECT l_orderkey,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS revenue_dec,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_fp,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            o_orderpriority
     FROM customer
@@ -60,15 +61,17 @@ FROM (
       AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
     GROUP BY l_orderkey, order_date, o_orderpriority
 )
-ORDER BY revenue_dec DESC, l_orderkey ASC
+ORDER BY revenue_fp DESC, l_orderkey ASC
 LIMIT 10
 """,
 )
 def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3 shape: top-10 unshipped-revenue orders.
 
-    Ordering happens on the exact DECIMAL revenue (cross-engine total order),
-    with l_orderkey as the total tiebreak; the rounded DOUBLE is emitted.
+    Ordering happens on the exact fixed-point revenue (int64 cents·(100−disc)
+    summed through decimal(38,0) — a cross-engine total order, computed in
+    codegen'd long arithmetic), with l_orderkey as the total tiebreak; the
+    rounded DOUBLE is emitted.
 
     Join strategy: customer (dim, segment-filtered) broadcasts into orders;
     the orders⋈lineitem fact-fact join is pinned to shuffle-merge. Without
@@ -97,16 +100,17 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
-            ).alias("revenue_dec")
+                (fp("l_extendedprice") * (100 - fp("l_discount")))
+                .cast("decimal(38,0)")
+            ).alias("revenue_fp")
         )
     )
     return (
-        g.orderBy(F.col("revenue_dec").desc(), F.col("l_orderkey").asc())
+        g.orderBy(F.col("revenue_fp").desc(), F.col("l_orderkey").asc())
         .limit(10)
         .select(
             "l_orderkey",
-            F.round(F.col("revenue_dec").cast("double"), 4).alias("revenue"),
+            F.round(F.col("revenue_fp").cast("double") / 10000.0, 4).alias("revenue"),
             "order_date",
             "o_orderpriority",
         )

@@ -66,10 +66,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     """
 
     def deco(fn: QueryFn) -> QueryFn:
-        from cuny_courses_spark.session import configure
+        from cuny_courses_spark.session import configure, tune_for_input
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure(spark)
+            tune_for_input(spark, sf_dir)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = name

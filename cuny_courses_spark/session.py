@@ -45,6 +45,56 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Below this input size, adaptive execution costs more than it saves:
+# AQE materializes each shuffle as a separate query stage and re-plans on
+# the driver between stages (~100-400 ms per query at local scale), which
+# dwarfs any re-plan win when the whole input is megabytes. Above it, AQE
+# is the scale story (runtime coalescing, skew-join split, SMJ→BHJ
+# conversion) and stays on. The switch is computed from the actual bytes
+# under sf_dir, so the same code path self-tunes from sf0.001 to 100 TB.
+SMALL_INPUT_BYTES = 16 << 30  # 16 GiB
+
+_DIR_BYTES: dict[str, int] = {}
+
+
+def _input_bytes(sf_dir: str) -> int:
+    b = _DIR_BYTES.get(sf_dir)
+    if b is None:
+        try:
+            b = 0
+            for root, _dirs, files in os.walk(sf_dir):
+                for f in files:
+                    b += os.path.getsize(os.path.join(root, f))
+        except OSError:
+            b = 1 << 62  # unreadable/remote → assume large (scale-safe)
+        _DIR_BYTES[sf_dir] = b
+    return b
+
+
+def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
+    """Set size-dependent confs for a query over ``sf_dir``.
+
+    Small inputs: AQE off (no per-stage driver re-planning) and few shuffle
+    partitions — at megabyte scale the fixed cost of extra query stages and
+    tiny tasks dominates wall clock. Large inputs: AQE on with the default
+    partition count, where runtime coalescing/skew-splitting pays for
+    itself. Runtime-settable, so it works on driver-owned sessions too.
+    """
+    small = _input_bytes(sf_dir) < SMALL_INPUT_BYTES
+    want = {
+        "spark.sql.adaptive.enabled": "false" if small else "true",
+        "spark.sql.shuffle.partitions": (
+            "8" if small else RUNTIME_CONFS["spark.sql.shuffle.partitions"]
+        ),
+    }
+    for k, v in want.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Idempotently apply the engine's runtime confs to ``spark``.
 
