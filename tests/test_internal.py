@@ -130,3 +130,40 @@ def test_multimodal_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_fixed_point_sum_exactness(spark, duck):
+    # Property behind common.fp/fpsum (and the Q1/topk/star revenue paths):
+    # for any 2-dp decimal stored as double, round(x*100)→int64 recovers the
+    # exact integer, so fpsum equals the exact rational sum and matches the
+    # O_fpsum DuckDB twin bit-for-bit — independent of partitioning/order.
+    import numpy as np
+    import pandas as pd
+
+    from cuny_courses_spark.common import O_fp, O_fpsum, fp, fpsum
+
+    rng = np.random.default_rng(42)
+    cents = rng.integers(-(10**9), 10**9, size=20_000)  # price·100, exact
+    bps = rng.integers(0, 101, size=20_000)             # discount·100
+    pdf = pd.DataFrame({"v": cents / 100.0, "d": bps / 100.0})
+
+    exact_v = int(cents.sum())
+    exact_net = int((cents * (100 - bps)).sum())
+    want_v = round(float(exact_v) / 100.0, 4)
+    want_net = round(float(exact_net) / 10000.0, 4)
+
+    df = spark.createDataFrame(pdf).repartition(13)  # order-independence
+    got = df.agg(
+        fpsum(fp("v"), 2, "sv"),
+        fpsum(fp("v") * (100 - fp("d")), 4, "snet"),
+    ).collect()[0]
+    assert got["sv"] == want_v, (got["sv"], want_v)
+    assert got["snet"] == want_net, (got["snet"], want_net)
+
+    duck.register("fp_prop", pdf)
+    o = duck.execute(
+        f"SELECT {O_fpsum(O_fp('v'), 2, 'sv')},"
+        f" {O_fpsum(O_fp('v') + ' * (100 - ' + O_fp('d') + ')', 4, 'snet')}"
+        " FROM fp_prop"
+    ).fetchone()
+    assert o == (got["sv"], got["snet"]), (o, got)
