@@ -7,7 +7,7 @@ Prints ONE JSON line:
 Method (BASELINE.md "Targets"): one long-lived warm SparkSession for the
 whole suite; a full warm-up lap over every headline query first (JIT/C2
 compilation, codegen cache, page cache — the DuckDB baseline was measured
-warm too), then per query best-of-3 timed runs (steady-state — Spark
+warm too), then per query best-of-5 timed runs (steady-state — Spark
 local-mode job-scheduling overhead is the floor on the smallest queries,
 SURVEY §6 risk flag). Results are materialized with collect() to match how
 the DuckDB baseline was measured (fetchall).
@@ -96,7 +96,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
