@@ -74,23 +74,29 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded DOUBLE is emitted.
 
     Join strategy: customer (dim, segment-filtered) broadcasts into orders;
-    the orders⋈lineitem fact-fact join is pinned to shuffle-merge. Without
-    the hint Spark would happily broadcast the *filtered lineitem* at small
-    sf (it fits under the threshold) — backwards at 100 TB, where lineitem
-    is the largest table, and measurably slower even locally (driver-side
-    build of a 300k-row hashed relation per run).
+    the orders⋈lineitem fact-fact join is pinned to a shuffle-hash join
+    with the BUILD side on the filtered customer⋈orders branch
+    (hint on that branch → BuildLeft). Rationale, in order of importance:
+    (1) never broadcast a fact — without a hint Spark would broadcast the
+    *filtered lineitem* at small sf, backwards at 100 TB; (2) SHJ beats
+    shuffle-merge here because neither fact needs sorting (measured ~25 %
+    on the suite lap); (3) the build side is the segment+date-filtered
+    orders — a small fraction of the smaller fact — so the per-partition
+    hash map stays bounded at scale (and Spark SHJ spills if not).
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem").hint("merge")
-    j = (
+    li = load(spark, sf_dir, "lineitem")
+    co = (
         c.filter(c.c_mktsegment == "BUILDING")
         .join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
         .filter(
-            (F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
+            F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
         )
+        .hint("shuffle_hash")
+    )
+    j = co.join(li, co.o_orderkey == li.l_orderkey).filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
     )
     g = (
         j.groupBy(
