@@ -58,11 +58,13 @@ def prepare_layout(sf_dir: str) -> str:
     """
     import pyarrow.parquet as pq
 
-    out = (
-        Path("/tmp")
-        / "ccs_bench_layout"
-        / hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    )
+    # Cache key covers content identity (name/size/mtime per file), not just
+    # the path — a regenerated sf_dir must never serve a stale layout.
+    sig = hashlib.md5(sf_dir.encode())
+    for f in sorted(Path(sf_dir).glob("*.parquet")):
+        st = f.stat()
+        sig.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    out = Path("/tmp") / "ccs_bench_layout" / sig.hexdigest()[:12]
     done = out / "_DONE"
     if done.exists():
         return str(out)
