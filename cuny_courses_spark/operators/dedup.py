@@ -119,6 +119,7 @@ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
 FROM toks a JOIN toks b ON a.doc_id < b.doc_id
 WHERE 5 * len(list_intersect(a.t, b.t))
       >= 3 * (a.n + b.n - len(list_intersect(a.t, b.t)))
+  AND len(list_intersect(a.t, b.t)) > 0
 """,
 )
 def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +312,7 @@ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
 FROM grams a JOIN grams b ON a.doc_id < b.doc_id
 WHERE 25 * len(list_intersect(a.g, b.g))
       >= 7 * (a.n + b.n - len(list_intersect(a.g, b.g)))
+  AND len(list_intersect(a.g, b.g)) > 0
 """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -310,7 +310,15 @@ SELECT p.event_id AS purchase_id,
        c.event_id AS click_id,
        epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (
+    -- Pre-dedup clicks to max event_id per (user_id, ts): DuckDB ASOF's
+    -- pick among duplicate right timestamps is not a documented total
+    -- order, so make the right side unique per (user_id, ts) — the same
+    -- max-event_id representative the engine's sweep selects.
+    SELECT user_id, ts, max(event_id) AS event_id
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, ts
+) c
   ON p.user_id = c.user_id AND c.ts <= p.ts
 """,
 )
@@ -323,8 +331,11 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases into one stream, one shuffle on user_id, sort each user's
     history once by (ts, kind, event_id) — clicks ordered before purchases
     at equal ts, so `click.ts <= purchase.ts` is inclusive, and the max
-    click_id wins exact-ts ties, matching DuckDB ASOF — then every purchase
-    reads `last(click, ignoreNulls)` over the running frame. Zero candidate
+    click_id wins exact-ts ties — a *defined* tie order; the oracle gets
+    the same one by pre-deduping clicks to max event_id per (user_id, ts)
+    before its ASOF JOIN (DuckDB's own pick among duplicate right
+    timestamps is undocumented) — then every purchase reads
+    `last(click, ignoreNulls)` over the running frame. Zero candidate
     materialization: a join-then-argmax plan builds every (purchase,
     earlier-click) pair first — quadratic on hot users at 100 TB; this
     sweep is O(history) per user regardless of skew (AQE skew-split and

@@ -52,13 +52,18 @@ def q_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the threshold sits just below the corpus maximum to keep the
     oracle-checked output non-empty; the operator is threshold-agnostic.)
 
-    Physical strategy: ``applyInPandas`` per label block with one float64
-    BLAS matmul per block (Arrow-batched, no per-pair JVM array
-    materialization — the pair join form copies |block|²·dim floats through
-    the join; the matmul touches |block|·dim once). At 100 TB the same
-    shape holds: blocks shuffle once on the blocking key and each block's
-    quadratic work is local to its task; blocking keys with quadratic
-    blowup get split by LSH/banding first (q_sim_ann_lsh)."""
+    Physical strategy: ``applyInPandas`` per label block with a vectorized
+    float64 Gram accumulation per block (Arrow-batched, no per-pair JVM
+    array materialization — the pair join form copies |block|²·dim floats
+    through the join; this touches |block|·dim once). The accumulation
+    loops dimensions in index order (rank-1 outer-product updates), so each
+    pair's dot is the *sequential* float64 fold 0..dim-1 — bit-identical to
+    the engine's ``aggregate``-based ``_dot`` and to DuckDB's ``list_sum``
+    fold, unlike a BLAS matmul whose blocked/pairwise summation could
+    diverge on a 4-dp half-boundary. At 100 TB the same shape holds:
+    blocks shuffle once on the blocking key and each block's quadratic
+    work is local to its task; blocking keys with quadratic blowup get
+    split by LSH/banding first (q_sim_ann_lsh)."""
     import numpy as np
     import pandas as pd
 
@@ -68,7 +73,14 @@ def q_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        cos = np.round(m @ m.T, 4)
+        # Sequential-in-dimension Gram matrix: acc += m[:,k] ⊗ m[:,k] for
+        # k = 0..dim-1 keeps the per-pair summation order identical to a
+        # left fold over the dimension index (see docstring).
+        gram = np.zeros((len(ids), len(ids)), dtype=np.float64)
+        for k in range(m.shape[1]):
+            col = m[:, k]
+            gram += np.multiply.outer(col, col)
+        cos = np.round(gram, 4)
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = cos[ia, ib] >= 0.45
         return pd.DataFrame(

@@ -66,21 +66,29 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     """
 
     def deco(fn: QueryFn) -> QueryFn:
+        import functools
+
         from cuny_courses_spark.session import configure, tune_for_input
 
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from cuny_courses_spark.plans.plan_cache import get_or_build
+
             configure(spark)
             tune_for_input(spark, sf_dir)
-            return fn(spark, sf_dir)
+            return get_or_build(name, fn, spark, sf_dir)
 
         wrapped.__name__ = name
-        wrapped.__doc__ = fn.__doc__
         if name in _QUERIES:
             raise ValueError(f"duplicate query registration: {name}")
         _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
-        return fn
+        # Return the configuring wrapper, not the raw fn: the module-level
+        # name then carries the same session-configuration guarantee as a
+        # registry lookup (one query composing another, or a test importing
+        # the symbol, still gets UTC/AQE/tuning applied).
+        return wrapped
 
     return deco
 

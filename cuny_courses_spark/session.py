@@ -54,11 +54,31 @@ RUNTIME_CONFS: dict[str, str] = {
 # under sf_dir, so the same code path self-tunes from sf0.001 to 100 TB.
 SMALL_INPUT_BYTES = 16 << 30  # 16 GiB
 
-_DIR_BYTES: dict[str, int] = {}
+# Memoized per (path, top-level content signature): a regenerated/grown
+# dataset at the same path must re-derive the tuning decision (same contract
+# as bench.prepare_layout's size/mtime-keyed cache).
+_DIR_BYTES: dict[tuple[str, tuple], int] = {}
+
+
+def _dir_signature(sf_dir: str) -> tuple:
+    """Cheap content identity for the tuning cache: (name, size, mtime_ns)
+    of the directory's immediate files. O(#files) stat calls — no reads."""
+    try:
+        with os.scandir(sf_dir) as it:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in it
+                    if e.is_file()
+                )
+            )
+    except OSError:
+        return ("<unreadable>",)
 
 
 def _input_bytes(sf_dir: str) -> int:
-    b = _DIR_BYTES.get(sf_dir)
+    key = (sf_dir, _dir_signature(sf_dir))
+    b = _DIR_BYTES.get(key)
     if b is None:
         try:
             b = 0
@@ -67,7 +87,10 @@ def _input_bytes(sf_dir: str) -> int:
                     b += os.path.getsize(os.path.join(root, f))
         except OSError:
             b = 1 << 62  # unreadable/remote → assume large (scale-safe)
-        _DIR_BYTES[sf_dir] = b
+        # Drop stale entries for this path (dataset regenerated in place).
+        for k in [k for k in _DIR_BYTES if k[0] == sf_dir]:
+            del _DIR_BYTES[k]
+        _DIR_BYTES[key] = b
     return b
 
 
