@@ -329,3 +329,46 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.var_samp("l_quantity"), "var_qty"),
         r4(F.percentile("l_quantity", F.lit(0.5)), "median_qty"),
     )
+
+
+# ---------------------------------------------------------- q_agg_salted_skew
+
+
+@register(
+    "q_agg_salted_skew",
+    oracle=f"""
+SELECT l_returnflag,
+       {O_fpsum(O_fp('l_quantity'), 2, 'sum_qty')},
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-stage (salted) aggregation: group on
+    (key, salt) first, then re-aggregate the 16 partials per key.
+
+    l_returnflag has ~3 values over the whole fact table — the worst-case
+    skewed aggregation key: a plain groupBy funnels every row through ≤ 3
+    reducers no matter the cluster size. Salting bounds any reducer's input
+    to ~1/16 of a key's rows; the second stage touches only |keys|×16 rows.
+    (Spark's partial aggregation already achieves this map-side when state
+    fits — the explicit salt is the portable plan for high-cardinality
+    accumulators like collect_list/exact-distinct where map-side combine
+    can't compress.) Results are bit-identical to the plain groupBy: the
+    fixed-point partial sums are exact integers, so regrouping is
+    associative with no float-order sensitivity.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.sum(fp("l_quantity").cast("decimal(38,0)")).alias("_psum"),
+            F.count(F.lit(1)).alias("_pcnt"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("_psum").cast("double") / 100.0, 4).alias("sum_qty"),
+        F.sum("_pcnt").cast("long").alias("n_rows"),
+    )

@@ -314,3 +314,58 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 2147483647)"
     )
     return d.select("doc_id", fp.alias("fp"))
+
+
+@register(
+    "q_text_idf_top_terms",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+), stats AS (
+    SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM toks GROUP BY tok
+)
+SELECT tok, tf, df,
+       round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 4)
+           AS tfidf
+FROM stats
+ORDER BY tfidf DESC, tok ASC
+LIMIT 20
+""",
+)
+def q_text_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 terms by corpus-level TF·IDF (tf·ln(N/df)) — the vocabulary-
+    selection primitive for quality filters and near-dup shingle weighting.
+
+    One explode→aggregate pass produces (tf, df) per token (map-side
+    partial agg bounds the explosion, module header); N joins in as a
+    broadcast 1-row aggregate, never a driver-side collect. Ordering is on
+    the ROUNDED score with token tiebreak so the top-20 cut is
+    deterministic on both engines (ln drift between libm and the JVM is
+    ~1 ulp, far below the 4 dp grain)."""
+    d = load(spark, sf_dir, "documents")
+    stats = (
+        d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("_n").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+        .limit(20)
+    )

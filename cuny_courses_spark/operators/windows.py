@@ -224,3 +224,46 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 4
         ).alias("near_sum"),
     )
+
+
+@register(
+    "q_win_first_last_nth",
+    oracle="""
+SELECT o_custkey,
+       round(first_value(o_totalprice) OVER w, 4) AS first_price,
+       round(last_value(o_totalprice) OVER w, 4) AS last_price,
+       round(nth_value(o_totalprice, 2) OVER w, 4) AS second_price
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+""",
+)
+def q_win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value(2) of each customer's order
+    prices in date order (total tiebreak on o_orderkey), one row per
+    customer. last_value and nth_value read the FULL-partition frame —
+    the default running frame silently returns the current row for
+    last_value, the classic window-frame bug; single-order customers get
+    NULL second_price on both sides."""
+    o = load(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    return (
+        o.select(
+            "o_custkey",
+            r4(F.first("o_totalprice").over(w_full), "first_price"),
+            r4(F.last("o_totalprice").over(w_full), "last_price"),
+            r4(F.nth_value("o_totalprice", 2).over(w_full), "second_price"),
+            F.row_number().over(w_rank).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

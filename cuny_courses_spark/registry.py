@@ -32,6 +32,7 @@ _OPERATOR_MODULES = [
     "cuny_courses_spark.operators.filters",      # §2 B
     "cuny_courses_spark.operators.joins",        # §2 C
     "cuny_courses_spark.operators.aggregates",   # §2 D
+    "cuny_courses_spark.operators.reshape",      # §2 D-ext (pivot/unpivot)
     "cuny_courses_spark.operators.windows",      # §2 E
     "cuny_courses_spark.operators.sorts",        # §2 F
     "cuny_courses_spark.operators.sets",         # §2 G

@@ -75,3 +75,20 @@ def test_sim_pairs_is_arrow_grouped_matmul(spark):
     plan = _plan(spark, "q_sim_pairs_threshold")
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
     assert "Join" not in plan, plan[:2000]
+
+
+def test_bucketed_join_no_shuffle(spark):
+    # Both sides bucketed on the join key → SMJ with ZERO exchange feeding
+    # it; the only Exchange is the final groupBy(c_mktsegment) agg.
+    plan = _plan(spark, "q_join_bucketed")
+    assert "SortMergeJoin" in plan, plan[:3000]
+    join_part = plan.split("SortMergeJoin")[-1]  # subtree below the join
+    assert "Exchange" not in join_part, join_part[:2000]
+    assert plan.count("Exchange") <= 1, plan[:3000]
+
+
+def test_unpivot_is_mapside_expand(spark):
+    # unpivot compiles to Expand — per-row, no extra shuffle beyond the
+    # pivot aggregate's own exchange.
+    plan = _plan(spark, "q_unpivot_long")
+    assert "Expand" in plan, plan[:2000]
