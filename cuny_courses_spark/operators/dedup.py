@@ -498,3 +498,68 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def near_dup_pairs_df_capped(
+    spark: SparkSession, sf_dir: str, max_df_frac: float = 0.10
+) -> DataFrame:
+    """q_dedup_near_jaccard's scale form: candidate generation from a
+    document-frequency-CAPPED inverted index + exact verify on full sets.
+
+    Hot shingles are the skew bomb of the inverted-index join at 100 TB —
+    a stopword-like shingle occurring in x% of n docs alone emits (xn)²
+    candidate pairs. The cap drops shingles present in > max_df_frac of
+    docs from the INDEX ONLY; the verify step recomputes exact Jaccard on
+    the full shingle arrays, so precision is always exact. Recall is exact
+    whenever every qualifying pair shares ≥1 sub-cap shingle — guaranteed
+    in practice because a pair of near-dup docs shares many shingles and
+    corpus-ubiquitous shingles cannot certify a specific pair;
+    tests assert bit-equality with q_dedup_near_jaccard on the fixtures.
+    """
+    sh = _shingles()
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", sh.alias("t"), F.size(sh).alias("n")
+    )
+    tok = d.select("doc_id", F.explode("t").alias("s"))
+    n_docs = d.count()
+    rare = (
+        tok.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= int(max_df_frac * n_docs))
+        .select("s")
+    )
+    idx = tok.join(rare, "s")  # capped inverted index
+    cand = (
+        idx.select(F.col("doc_id").alias("doc_id_a"), "s")
+        .join(idx.select(F.col("doc_id").alias("doc_id_b"), "s"), "s")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    full = d.select("doc_id", "t", "n")
+    verified = (
+        cand.join(
+            full.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("t").alias("ta"),
+                F.col("n").alias("na"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            full.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("t").alias("tb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_id_b",
+        )
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
+        .filter((5 * F.col("i") >= 3 * F.col("u")) & (F.col("i") > 0))
+    )
+    return verified.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(F.col("i").cast("double") / F.col("u"), 4).alias("jaccard"),
+    )

@@ -145,6 +145,44 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def cluster_confs(input_bytes: int, executors: int = 1000,
+                  cores_per_executor: int = 4) -> dict[str, str]:
+    """Recommended launch-time confs for a real cluster run at ``input_bytes``
+    scale — the 100 TB deployment profile the local engine is designed
+    against. Not applied in local mode (local tests use RUNTIME_CONFS +
+    tune_for_input); surfaced as data so a deployer (or spark-submit
+    wrapper) can feed them to --conf. Rationale per key inline.
+    """
+    # ~128 MB of input per task: the split size that keeps scan tasks
+    # short-lived but amortizes open/schedule cost; at 100 TB this yields
+    # ~800k scan tasks across 4k cores ≈ 200 waves — fine-grained enough
+    # for stragglers/AQE, coarse enough for the scheduler.
+    target_partition = 128 << 20
+    # Shuffle partitions sized so a post-shuffle partition ≈ 200 MB
+    # pre-compression; AQE coalesces below this, splits skew above it.
+    shuffle_parts = max(64, min(200_000, input_bytes // (200 << 20)))
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(target_partition),
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        # Dims up to 64 MB broadcast (executor memory is GBs at this size).
+        "spark.sql.autoBroadcastJoinThreshold": str(64 << 20),
+        # Off-heap shuffle/agg state: predictable executor memory under
+        # spill-heavy aggs; Tungsten pages off-heap avoid GC churn.
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size": str(4 << 30),
+        # Nanos-timestamp + NTZ parity with the local profile.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+    }
+
+
 def get_session(app_name: str = "cuny_courses_spark") -> SparkSession:
     """Engine-owned local session for tests/bench (local[N], AQE, Arrow)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

@@ -167,3 +167,56 @@ def test_fixed_point_sum_exactness(spark, duck):
         " FROM fp_prop"
     ).fetchone()
     assert o == (got["sv"], got["snet"]), (o, got)
+
+
+def test_cluster_confs_profile():
+    # The 100 TB deployment profile: well-formed, scale-monotone partitions.
+    from cuny_courses_spark.session import cluster_confs
+
+    small = cluster_confs(10 << 30)
+    big = cluster_confs(100 << 40)
+    assert int(small["spark.sql.shuffle.partitions"]) >= 64
+    assert int(big["spark.sql.shuffle.partitions"]) > int(
+        small["spark.sql.shuffle.partitions"]
+    )
+    assert int(big["spark.sql.shuffle.partitions"]) <= 200_000
+    for v in big.values():
+        assert isinstance(v, str)
+
+
+def test_plan_cache_invalidation(tmp_path, spark):
+    # Same (name, dir): cached; content change under the dir: rebuilt.
+    from cuny_courses_spark.plans import plan_cache
+
+    calls = []
+
+    def fn(s, d):
+        calls.append(d)
+        return s.range(3)
+
+    p = str(tmp_path)
+    df1 = plan_cache.get_or_build("t", fn, spark, p)
+    df2 = plan_cache.get_or_build("t", fn, spark, p)
+    assert df1 is df2 and len(calls) == 1
+    (tmp_path / "new.parquet").write_bytes(b"x")  # content signature changes
+    df3 = plan_cache.get_or_build("t", fn, spark, p)
+    assert df3 is not df1 and len(calls) == 2
+
+
+def test_df_capped_neardup_matches_exact(spark):
+    # The DF-capped candidate index (the 100 TB skew defense) must lose no
+    # qualifying pair on the fixture corpus: bit-equal to the exact query.
+    from cuny_courses_spark.operators.dedup import (
+        near_dup_pairs_df_capped,
+        q_dedup_near_jaccard,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = {
+        tuple(r) for r in q_dedup_near_jaccard(spark, SF_DIR).collect()
+    }
+    capped = {
+        tuple(r) for r in near_dup_pairs_df_capped(spark, SF_DIR).collect()
+    }
+    assert len(exact) > 0
+    assert capped == exact
