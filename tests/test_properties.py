@@ -1,0 +1,146 @@
+"""Property tests for the determinism contract (SURVEY §2 preamble).
+
+The engine's central correctness claim is that every checked output is a
+pure function of table CONTENT — independent of partitioning, task order,
+and engine. These tests attack that claim directly: re-evaluate under
+adversarial repartitionings and against independent Python references on
+hypothesis-generated inputs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.common import fp, fpsum
+from cuny_courses_spark.sources.loaders import load
+from tests.conftest import SF_DIR
+
+
+def test_fpsum_partition_independent(spark):
+    # Exact fixed-point sums must be bit-identical under any partitioning
+    # (the float-sum order-dependence fpsum exists to remove).
+    li = load(spark, SF_DIR, "lineitem")
+    sums = [
+        li.repartition(n)
+        .agg(fpsum(fp("l_extendedprice"), 2, "s"))
+        .collect()[0]["s"]
+        for n in (1, 7, 32)
+    ]
+    assert sums[0] == sums[1] == sums[2]
+
+
+def test_hash_sample_partition_independent(spark):
+    # Hash-sample membership is a pure function of the key: the sampled id
+    # set must not change with partitioning (rand()-based sampling fails
+    # this — the reason q_sample_hash_stratified exists).
+    d = load(spark, SF_DIR, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|42"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    ids = [
+        {r["doc_id"] for r in d.repartition(n).filter(bucket < 30).select("doc_id").collect()}
+        for n in (1, 13)
+    ]
+    assert ids[0] == ids[1] and len(ids[0]) > 0
+
+
+def test_salted_agg_equals_plain(spark):
+    # The two-stage salted aggregate must be bit-identical to the plain
+    # groupBy at any salt width (associativity of exact partials).
+    li = load(spark, SF_DIR, "lineitem")
+    plain = {
+        r["l_returnflag"]: (r["s"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(fpsum(fp("l_quantity"), 2, "s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for width in (2, 64):
+        partial = (
+            li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(width)))
+            .groupBy("l_returnflag", "_salt")
+            .agg(
+                F.sum(fp("l_quantity").cast("decimal(38,0)")).alias("_ps"),
+                F.count(F.lit(1)).alias("_pc"),
+            )
+        )
+        salted = {
+            r["l_returnflag"]: (r["s"], r["n"])
+            for r in partial.groupBy("l_returnflag")
+            .agg(
+                F.round(F.sum("_ps").cast("double") / 100.0, 4).alias("s"),
+                F.sum("_pc").cast("long").alias("n"),
+            )
+            .collect()
+        }
+        assert salted == plain
+
+
+def _py_fingerprint(text: str) -> int:
+    acc = 0
+    for ch in text:
+        acc = (acc * 31 + ord(ch)) % 2147483647
+    return acc
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=16,
+        unique=True,
+    )
+)
+def test_fingerprint_matches_python_reference(spark, texts):
+    # The rolling-hash fingerprint expression (q_text_fingerprint's spec)
+    # must agree with an independent sequential Python fold on arbitrary
+    # printable-ASCII inputs — one batched Spark job per example.
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    expr = F.expr(
+        "aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), "
+        "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 2147483647)"
+    )
+    got = {r["text"]: r["fp"] for r in df.select("text", expr.alias("fp")).collect()}
+    assert got == {t: _py_fingerprint(t) for t in texts}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_fp_recovers_exact_cents(spark, cents):
+    # fp() must recover the exact integer a 2-dp decimal's double image
+    # approximates, and fpsum must equal the exact integer sum — for any
+    # magnitude profile (hypothesis-generated, one batched job per example).
+    df = spark.createDataFrame([(c / 100.0,) for c in cents], "x double")
+    row = df.agg(
+        F.sum(fp("x").cast("decimal(38,0)")).cast("long").alias("s")
+    ).collect()[0]
+    assert row["s"] == sum(cents)
