@@ -19,6 +19,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cuny_courses_spark.common import O_fp, O_fpsum, fp
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import load
 
@@ -261,3 +262,45 @@ def q_etl_csv_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_expected")
     )
     return counts.crossJoin(expected)
+
+
+@register(
+    "q_etl_incremental_agg",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       {O_fpsum(O_fp('o_totalprice'), 2, 'sum_price')}
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: combine the OLD snapshot's stored
+    partial-aggregate state with the DELTA's partials instead of
+    recomputing — the merge-on-read foundation of an incrementally
+    maintained 100 TB rollup (new_state = old_state ⊕ delta_partials; only
+    the delta is scanned on update). Split: pre-1997 orders are the stored
+    state, 1997+ the incoming delta. Exact fixed-point partials (sum as
+    decimal(38,0) int, count) make ⊕ associative with zero float drift, so
+    the result is bit-identical to the full recompute — which is exactly
+    what the oracle computes.
+    """
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(fp("o_totalprice").cast("decimal(38,0)")).alias("_s"),
+        )
+
+    state = partials(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("_n").cast("long").alias("n_orders"),
+            F.round(F.sum("_s").cast("double") / 100.0, 4).alias("sum_price"),
+        )
+    )
