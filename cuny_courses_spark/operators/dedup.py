@@ -563,3 +563,88 @@ def near_dup_pairs_df_capped(
         "doc_id_b",
         F.round(F.col("i").cast("double") / F.col("u"), 4).alias("jaccard"),
     )
+
+
+@register(
+    "q_dedup_cluster_labels",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, {_O_SHINGLES} AS t, len({_O_SHINGLES}) AS n
+    FROM documents
+), pairs AS (
+    SELECT a.doc_id AS pa, b.doc_id AS pb
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE 5 * len(list_intersect(a.t, b.t))
+          >= 3 * (a.n + b.n - len(list_intersect(a.t, b.t)))
+      AND len(list_intersect(a.t, b.t)) > 0
+), sym AS (
+    SELECT pa AS a, pb AS b FROM pairs
+    UNION ALL
+    SELECT pb, pa FROM pairs
+), reach AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a
+""",
+)
+def q_dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: connected components over the
+    Jaccard ≥ 0.6 pair graph, labeling every clustered doc with its
+    component's min doc_id — the step that turns pairwise dedup output
+    into keep/drop decisions (keep the canonical min, drop the rest).
+
+    Iterative min-label propagation on DataFrames (the MapReduce
+    connected-components pattern): each round, every node takes the min of
+    its own and its neighbors' labels; converges in O(diameter) rounds
+    (≤ log n with path-doubling variants; near-dup components are tiny and
+    dense, so plain propagation converges in 2-3 rounds). Per round: one
+    equi-join + one groupBy — all shuffles keyed, no driver data beyond a
+    convergence counter; ``localCheckpoint`` truncates the per-iteration
+    lineage so plans stay O(1). The DuckDB oracle computes the same
+    components via a recursive-CTE transitive closure — tractable only
+    because the fixture graph is small; the iterative form is the one that
+    scales.
+    """
+    pairs = q_dedup_near_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.union(pairs.select("doc_id_b", "doc_id_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; fixture components converge in ≤3
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new = (
+            labels.join(neigh, labels.doc_id == neigh.dst, "left")
+            .select(
+                labels.doc_id.alias("doc_id"),
+                F.least(
+                    labels.label, F.coalesce(F.col("nmin"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").cast("long").alias("cluster_id")
+    )
