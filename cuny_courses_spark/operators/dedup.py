@@ -648,3 +648,53 @@ def q_dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", F.col("label").cast("long").alias("cluster_id")
     )
+
+
+@register(
+    "q_dedup_fuzzy_levenshtein",
+    oracle="""
+WITH p AS (
+    SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+    FROM part WHERE p_partkey < 300
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 12
+""",
+)
+def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs over part names, BLOCKED on the
+    first token — the record-linkage flavor of dedup: candidates come from
+    an equi-join on a cheap blocking key, never an all-pairs scan, and the
+    quadratic Levenshtein verify runs only within blocks (same candidate/
+    verify shape as the shingle and LSH paths; at 100 TB the blocking key
+    gets coarser hashes or q-gram LSH, the join shape is unchanged).
+    Classic dynamic-programming Levenshtein on both engines, so distances
+    agree exactly."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+        )
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "blk",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 12)
+        .select("key_a", "key_b", "dist")
+    )

@@ -304,3 +304,64 @@ def q_etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_s").cast("double") / 100.0, 4).alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_etl_calendar_spine",
+    oracle=f"""
+WITH spine AS (
+    SELECT unnest(generate_series(
+        TIMESTAMP '1995-01-01', TIMESTAMP '1998-12-01', INTERVAL 1 MONTH
+    )) AS month_start
+), per_month AS (
+    SELECT date_trunc('month', o_orderdate) AS m,
+           count(*) AS n,
+           CAST(round(sum({O_fp('o_totalprice')})) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY m
+)
+SELECT strftime(s.month_start, '%Y-%m') AS month,
+       coalesce(p.n, 0) AS n_orders,
+       round(coalesce(p.cents, 0) / 100.0, 4) AS sum_price
+FROM spine s LEFT JOIN per_month p ON s.month_start = p.m
+""",
+)
+def q_etl_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: a generated month spine (1995-1998) left
+    joined to per-month order aggregates, so months with zero orders emit
+    explicit 0 rows — the time-series densification primitive reporting
+    and window-over-time logic depend on (a gap-free spine is what makes
+    'sum over the last 3 months' well-defined). The spine is generated
+    declaratively (``sequence`` + ``explode``), never driver-side; at any
+    scale it stays tiny (one row per period) and broadcasts."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("1998-12-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    o = load(spark, sf_dir, "orders")
+    per_month = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(fp("o_totalprice").cast("decimal(38,0)")))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    j = spine.join(per_month, spine.month_start == per_month.m, "left")
+    return j.select(
+        F.date_format("month_start", "yyyy-MM").alias("month"),
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("cents", F.lit(0)) / 100.0, 4).alias("sum_price"),
+    )
