@@ -133,4 +133,8 @@ def queries() -> dict[str, QueryFn]:
 
 def oracles() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    # Same least-verified-first order as queries(), in case the consumer
+    # iterates oracle keys rather than query keys.
+    seen = _verified_counts()
+    names = sorted(_ORACLES, key=lambda n: seen.get(n, 0))
+    return {n: _ORACLES[n] for n in names}
