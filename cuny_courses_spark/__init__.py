@@ -16,5 +16,17 @@ Design principles (SURVEY.md SS4, SS7):
 """
 
 from cuny_courses_spark.registry import oracles, queries
+from cuny_courses_spark.session import cluster_confs, configure, get_session
+from cuny_courses_spark.sources.loaders import load
+from cuny_courses_spark.sql import register_views, run_sql
 
-__all__ = ["queries", "oracles"]
+__all__ = [
+    "queries",       # name -> (spark, sf_dir) -> DataFrame (SURVEY §2 contract)
+    "oracles",       # name -> DuckDB oracle SQL
+    "load",          # typed table loader (parquet, schema contract)
+    "run_sql",       # plain-SQL surface over the registered table views
+    "register_views",
+    "get_session",   # engine-owned local session (tests/bench)
+    "configure",     # apply engine runtime confs to any session
+    "cluster_confs", # 100 TB deployment conf profile (for spark-submit)
+]

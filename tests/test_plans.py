@@ -92,3 +92,20 @@ def test_unpivot_is_mapside_expand(spark):
     # pivot aggregate's own exchange.
     plan = _plan(spark, "q_unpivot_long")
     assert "Expand" in plan, plan[:2000]
+
+
+def test_pipeline_filter_pushdown(spark):
+    # The quality gate's n_chars bound must reach the parquet scan.
+    plan = _plan(spark, "q_pipeline_training_data")
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(n_chars,100)" in plan, (
+        plan[:3000]
+    )
+
+
+def test_correlated_subquery_decorrelates(spark):
+    # Catalyst must rewrite the correlated scalar subquery to an aggregate
+    # + join — no per-row subplan re-execution (no InSubquery/scalar
+    # subquery nodes left in the executed plan).
+    plan = _plan(spark, "q_subquery_correlated_scalar")
+    assert "Subquery" not in plan, plan[:3000]
+    assert "HashAggregate" in plan and "Join" in plan, plan[:3000]
