@@ -10,11 +10,12 @@ Usage: python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import traceback
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cuny_courses_spark.oracle import compare, duck_con  # noqa: E402
 from cuny_courses_spark.registry import oracles, queries  # noqa: E402
