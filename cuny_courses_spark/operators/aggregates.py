@@ -372,3 +372,34 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("_psum").cast("double") / 100.0, 4).alias("sum_qty"),
         F.sum("_pcnt").cast("long").alias("n_rows"),
     )
+
+
+# ------------------------------------------------------------- q_agg_listagg
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+           AS order_keys
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per customer, the
+    comma-joined numerically-sorted order keys. Determinism rule 3: the
+    concatenation order is pinned by sorting the collected array before
+    joining — never rely on collect_list's arrival order, which is
+    partitioning-dependent."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("order_keys")
+    )
