@@ -235,3 +235,46 @@ def test_watermark_drops_late_day1(spark):
         batch, on=["window_start", "event_type"], suffixes=("_s", "_b")
     )
     assert (merged["n_s"] == merged["n_b"]).all()
+
+
+def test_foreach_batch_idempotent_sink(spark, replay_dir):
+    # The production sink pattern: foreachBatch writes each micro-batch to a
+    # batch-id-named parquet dir (idempotent on replay — re-processing a
+    # batch overwrites the same path instead of duplicating). The union of
+    # all batch outputs must equal the batch-mode aggregate of the input.
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    out = Path(tempfile.gettempdir()) / "ccs_io" / "feb_sink"
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+
+    def sink_batch(df, batch_id):
+        # overwrite per batch id => exactly-once effect on replay
+        df.write.mode("overwrite").parquet(str(out / f"batch={batch_id}"))
+
+    src = runner.read_stream(spark, replay_dir).select(
+        "event_id", "user_id", "value"
+    )
+    q = (
+        src.writeStream.foreachBatch(sink_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    written = spark.read.option("basePath", str(out)).parquet(str(out))
+    want = _QS["q_stream_stateful_count"](spark, SF_DIR).toPandas()
+    got = (
+        written.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .toPandas()
+    )
+    assert _frames_equal(got, want[["user_id", "n_events", "sum_value"]])
