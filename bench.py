@@ -13,14 +13,14 @@ SURVEY §6 risk flag). Results are materialized with collect() to match how
 the DuckDB baseline was measured (fetchall).
 
 Warm runs go through the engine's prepared-plan cache
-(cuny_courses_spark/plans/plan_cache.py): the analyzed/optimized Dataset is
-reused across laps, so timed laps measure execution, not Catalyst
-re-planning of an identical plan — the prepared-statement semantics under
-which the DuckDB warm numbers were taken (DuckDB re-plans in ~ms; Catalyst
-re-planning costs 3-8x the actual sf0.1 execution and is a fixed driver
-cost, not a data-scale cost). Nothing is .cache()-ed: every timed lap
-re-reads the parquet and recomputes; only the plan is reused. The JSON
-reports plan_cache for transparency.
+(cuny_courses_spark/plans/plan_cache.py): driver-side plan construction +
+Catalyst ANALYSIS are reused across laps (prepared-statement semantics;
+DuckDB's ~ms re-plan never paid that cost), but each lap gets a fresh
+``select("*")`` wrapper — fresh physical plan, fresh RDDs — so
+optimization, scans, shuffles and aggregation ALL re-execute per lap.
+(Re-collecting the same Dataset object would silently reuse its shuffle
+map outputs and skip whole stages — explicitly NOT what's measured here.)
+The JSON reports plan_cache for transparency.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
@@ -38,6 +38,7 @@ from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from cuny_courses_spark.plans.plan_cache import enabled as plan_cache_enabled  # noqa: E402
 from cuny_courses_spark.registry import queries  # noqa: E402
 from cuny_courses_spark.session import get_session  # noqa: E402
 
@@ -129,7 +130,7 @@ def main() -> None:
                     if sf_dir != orig_sf_dir
                     else "original"
                 ),
-                "plan_cache": True,
+                "plan_cache": plan_cache_enabled(),
             }
         )
     )

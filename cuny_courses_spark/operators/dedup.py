@@ -620,7 +620,8 @@ def q_dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(20):  # diameter bound; fixture components converge in ≤3
+    converged = False
+    for _ in range(64):  # safety bound only; convergence is CHECKED below
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy("dst")
@@ -644,7 +645,16 @@ def q_dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Never silently return partial propagation: a component with
+        # diameter > the bound would get wrong labels. (At real scale,
+        # switch to path-doubling — O(log n) rounds — before raising this.)
+        raise RuntimeError(
+            "q_dedup_cluster_labels: label propagation did not converge "
+            "within 64 rounds (component diameter too large)"
+        )
     return labels.select(
         "doc_id", F.col("label").cast("long").alias("cluster_id")
     )

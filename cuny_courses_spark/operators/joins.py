@@ -390,17 +390,25 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str] | None:
     """Materialize orders & customer as 8-bucket tables on o_custkey /
-    c_custkey (external parquet under /tmp, content-keyed). Returns the
-    table names, or None if the environment can't write (query then falls
-    back to plain frames — correctness never depends on the layout)."""
+    c_custkey (external parquet under /tmp). Returns the table names, or
+    None if the environment can't write (query then falls back to plain
+    frames — correctness never depends on the layout).
+
+    Paths are (content-sig, pid)-scoped: two processes benching the same
+    sf_dir never write the same directory, so a reader can't observe a
+    half-overwritten table. On any failure the partially-created catalog
+    entries are dropped before falling back, so nothing dangling remains.
+    """
     import hashlib
+    import os as _os
 
     from cuny_courses_spark.session import _dir_signature
 
     sig = hashlib.md5(
         repr((sf_dir, _dir_signature(sf_dir))).encode()
     ).hexdigest()[:10]
-    names = (f"ccs_bkt_orders_{sig}", f"ccs_bkt_customer_{sig}")
+    scope = f"{sig}_{_os.getpid()}"
+    names = (f"ccs_bkt_orders_{scope}", f"ccs_bkt_customer_{scope}")
     specs = (("orders", "o_custkey"), ("customer", "c_custkey"))
     try:
         for name, (table, key) in zip(names, specs):
@@ -410,13 +418,18 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str] | None
                 load(spark, sf_dir, table)
                 .write.bucketBy(8, key)
                 .sortBy(key)
-                .option("path", f"/tmp/ccs_bucketed/{sig}/{table}")
+                .option("path", f"/tmp/ccs_bucketed/{scope}/{table}")
                 .mode("overwrite")
                 .format("parquet")
                 .saveAsTable(name)
             )
         return names
     except Exception:
+        for name in names:  # drop partial state; fallback path needs none
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            except Exception:
+                pass
         return None
 
 

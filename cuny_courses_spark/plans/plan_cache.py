@@ -1,26 +1,30 @@
-"""Prepared-plan cache — reuse analyzed/optimized Datasets across calls.
+"""Prepared-plan cache — reuse plan construction + analysis across calls.
 
-Building a registered query is driver-side work that repeats identically on
-every invocation: ~tens of py4j round trips to construct the logical plan,
-then Catalyst analysis, optimization, physical planning and codegen on first
-action. Measured at sf0.1 this re-planning costs 3-8x the actual execution
-of the headline queries (local mode; on a cluster the ratio shrinks but the
-driver-side cost is identical and serializes concurrent submissions).
-
-Spark itself memoizes ``queryExecution.executedPlan`` per Dataset object, so
-holding onto the Dataset *is* the plan cache — the standard prepared-
-statement pattern. This module keys that reuse on
+Building a registered query repeats identically on every invocation:
+~tens of py4j round trips to construct the logical plan, then eager
+Catalyst analysis. This module memoizes the ANALYZED Dataset per
 
     (SparkSession, query name, sf_dir, content signature of sf_dir)
 
-so a regenerated dataset at the same path, a different scale factor, or a
-fresh session each rebuild from scratch. Re-executing a cached Dataset
-re-runs the job against the *current* files (nothing is ``.cache()``-ed;
-results are never reused), so semantics are identical to a rebuild as long
-as the input signature matches — which the key guarantees.
+and returns a fresh ``select("*")`` wrapper over it on every call.
+
+Why the wrapper matters: re-collecting the *same* Dataset object would
+reuse its registered shuffle map outputs (Spark skips whole map stages
+whose ShuffleDependency is already materialized), silently turning
+re-execution into partial result reuse — wrong thing to measure in a
+bench, and it pins shuffle files for the session lifetime. The
+``select("*")`` wrapper shares the cached analysis but builds a fresh
+physical plan with fresh RDDs, so optimization, codegen lookup, scans,
+shuffles — ALL data work — re-run on every call. Only driver-side plan
+construction + analysis are saved (prepared-statement semantics; DuckDB's
+~ms re-plan never paid this cost).
+
+A regenerated dataset at the same path, a different scale factor, or a
+fresh session each rebuild from scratch (the content signature walks the
+directory recursively, covering directory-shaped tables).
 
 Kill switch: set ``SPARK_GRAFT_NO_PLAN_CACHE=1`` to force rebuild-per-call
-(used by plan-assertion tests that vary confs between builds).
+(used when testing conf changes between two builds of the same query).
 """
 
 from __future__ import annotations
@@ -37,6 +41,10 @@ from cuny_courses_spark.session import _dir_signature
 # restarted session (new JVM Datasets) can never serve stale plan handles.
 _CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
+# Analyzed plans are small (no executed state), but bound the per-session
+# entry count anyway; FIFO eviction (dict preserves insertion order).
+_MAX_ENTRIES = 256
+
 
 def enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE", "") != "1"
@@ -48,21 +56,33 @@ def get_or_build(
     spark: SparkSession,
     sf_dir: str,
 ) -> DataFrame:
-    """Return the cached Dataset for (spark, name, sf_dir, content-sig),
-    building via ``fn`` on miss. Falls back to plain build on any error."""
+    """Return a fresh re-execution wrapper over the cached analyzed Dataset
+    for (spark, name, sf_dir, content-sig), building via ``fn`` on miss.
+
+    Build errors propagate unchanged (``fn`` is called at most once per
+    miss); only cache bookkeeping failures fall back to an uncached build.
+    """
     if not enabled():
         return fn(spark, sf_dir)
     try:
         per_session = _CACHE.setdefault(spark, {})
         key = (name, sf_dir, _dir_signature(sf_dir))
         df = per_session.get(key)
-        if df is None:
+    except Exception:
+        return fn(spark, sf_dir)
+    if df is None:
+        df = fn(spark, sf_dir)  # errors propagate; never re-invoked here
+        try:
             # Drop stale entries for this (name, sf_dir): the signature
             # changed, and the dict must not grow per regeneration.
             for k in [k for k in per_session if k[:2] == (name, sf_dir)]:
                 del per_session[k]
-            df = fn(spark, sf_dir)
+            while len(per_session) >= _MAX_ENTRIES:
+                per_session.pop(next(iter(per_session)))
             per_session[key] = df
-        return df
+        except Exception:
+            return df
+    try:
+        return df.select("*")
     except Exception:
         return fn(spark, sf_dir)

@@ -96,6 +96,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+_VERIFIED_MEMO: dict[str, int] | None = None
+
+
 def _verified_counts() -> dict[str, int]:
     """How many past driver rounds hash-verified each query (from the
     CORRECTNESS_r*.json files the driver leaves at the repo root).
@@ -105,11 +108,18 @@ def _verified_counts() -> dict[str, int]:
     decides *which* queries get externally verified. Returning
     least-verified-first rotates the window: every query reaches the
     driver's oracle check in the fewest rounds, instead of the same prefix
-    being re-checked forever."""
+    being re-checked forever — and because the sort key is the cumulative
+    count, the window keeps cycling through the whole inventory on later
+    rounds (a regression in an already-verified query waits at most one
+    cycle, ~⌈N/50⌉ rounds; the repo's own tools/check.py and pytest gate
+    re-check EVERY query locally every round regardless)."""
     import glob
     import json
     import os
 
+    global _VERIFIED_MEMO
+    if _VERIFIED_MEMO is not None:
+        return _VERIFIED_MEMO
     counts: dict[str, int] = {}
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
@@ -121,6 +131,7 @@ def _verified_counts() -> dict[str, int]:
                 counts[name] = counts.get(name, 0) + (1 if ok else 0)
         except Exception:
             continue
+    _VERIFIED_MEMO = counts  # immutable within a process (driver-written files)
     return counts
 
 

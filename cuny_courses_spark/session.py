@@ -60,18 +60,28 @@ SMALL_INPUT_BYTES = 16 << 30  # 16 GiB
 _DIR_BYTES: dict[tuple[str, tuple], int] = {}
 
 
-def _dir_signature(sf_dir: str) -> tuple:
-    """Cheap content identity for the tuning cache: (name, size, mtime_ns)
-    of the directory's immediate files. O(#files) stat calls — no reads."""
+def _dir_signature(sf_dir: str, max_files: int = 10_000) -> tuple:
+    """Cheap content identity for the tuning and plan caches:
+    (relpath, size, mtime_ns) of every file under ``sf_dir``, RECURSIVE —
+    directory-shaped tables (Spark-written parquet dirs) must change the
+    signature when their part files change. O(#files) stat calls, no
+    reads; capped at ``max_files`` entries (plus a total count so growth
+    beyond the cap still changes the signature)."""
     try:
-        with os.scandir(sf_dir) as it:
-            return tuple(
-                sorted(
-                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                    for e in it
-                    if e.is_file()
-                )
-            )
+        acc: list[tuple] = []
+        n_total = 0
+        for root, dirs, files in os.walk(sf_dir):
+            dirs.sort()
+            for f in sorted(files):
+                n_total += 1
+                if len(acc) < max_files:
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    acc.append(
+                        (os.path.relpath(p, sf_dir), st.st_size, st.st_mtime_ns)
+                    )
+        acc.append(("<n_files>", n_total, 0))
+        return tuple(acc)
     except OSError:
         return ("<unreadable>",)
 

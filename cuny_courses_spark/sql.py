@@ -23,14 +23,23 @@ from cuny_courses_spark.sources.loaders import TABLES, load
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Create/replace a temp view per table over ``sf_dir``.
 
-    Re-registering is cheap (plan replacement, no I/O) and keeps the view
-    set consistent if the caller switches scale factors mid-session.
+    The engine OWNS the ten contract view names (``region`` … ``embeddings``)
+    in any session it touches — callers must not bind those names to other
+    datasets, since every SQL-surface query (re)points them at its own
+    ``sf_dir``. Re-registering is cheap (plan replacement, no I/O).
     """
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark._ccs_views_sf_dir = sf_dir
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    """Register views over ``sf_dir`` and evaluate ``sql`` against them."""
-    register_views(spark, sf_dir)
+    """Evaluate ``sql`` against the table views over ``sf_dir``.
+
+    Views are (re)registered only when this session's current view binding
+    differs — repeated same-dir calls skip the ten createOrReplace round
+    trips and, more importantly, don't churn bindings under a caller
+    already working against the same directory."""
+    if getattr(spark, "_ccs_views_sf_dir", None) != sf_dir:
+        register_views(spark, sf_dir)
     return spark.sql(sql)

@@ -185,7 +185,10 @@ def test_cluster_confs_profile():
 
 
 def test_plan_cache_invalidation(tmp_path, spark):
-    # Same (name, dir): cached; content change under the dir: rebuilt.
+    # Same (name, dir): built once, but every call returns a FRESH wrapper
+    # (fresh physical plan/RDDs — same-object reuse would silently skip
+    # shuffle map stages). Content change under the dir: rebuilt. Changes
+    # inside a SUBDIRECTORY (directory-shaped tables) also rebuild.
     from cuny_courses_spark.plans import plan_cache
 
     calls = []
@@ -197,10 +200,17 @@ def test_plan_cache_invalidation(tmp_path, spark):
     p = str(tmp_path)
     df1 = plan_cache.get_or_build("t", fn, spark, p)
     df2 = plan_cache.get_or_build("t", fn, spark, p)
-    assert df1 is df2 and len(calls) == 1
+    assert len(calls) == 1  # analysis cached...
+    assert df1 is not df2  # ...but execution wrappers are always fresh
+    assert df1.collect() == df2.collect()
     (tmp_path / "new.parquet").write_bytes(b"x")  # content signature changes
-    df3 = plan_cache.get_or_build("t", fn, spark, p)
-    assert df3 is not df1 and len(calls) == 2
+    plan_cache.get_or_build("t", fn, spark, p)
+    assert len(calls) == 2
+    sub = tmp_path / "tbl.parquet"  # directory-shaped table
+    sub.mkdir()
+    (sub / "part-0.parquet").write_bytes(b"y")
+    plan_cache.get_or_build("t", fn, spark, p)
+    assert len(calls) == 3
 
 
 def test_df_capped_neardup_matches_exact(spark):
