@@ -267,3 +267,39 @@ def q_win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@register(
+    "q_win_distinct_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       count(DISTINCT o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS n_prios
+FROM orders
+""",
+)
+def q_win_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window frame — per customer, how many
+    distinct order priorities seen so far in date order.
+
+    Spark does not support DISTINCT aggregates over windows; the idiomatic
+    rewrite is ``size(collect_set(...))`` over the same frame — exact, and
+    bounded state because the set holds only distinct values (here ≤ 5
+    priorities; for high-cardinality columns the scale form swaps in an
+    HLL sketch column with a tolerance contract). DuckDB runs the native
+    windowed DISTINCT; both count sets, so results agree exactly."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w))
+        .cast("long")
+        .alias("n_prios"),
+    )
