@@ -192,3 +192,34 @@ def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
     )
+
+
+@register(
+    "q_stream_static_join",
+    oracle=f"""
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       {O_dsum('value', 'sum_value')}
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: each event joins the (bounded,
+    slowly-changing) customer dim on user_id, aggregated per market
+    segment — THE streaming enrichment pattern. The static side is a plain
+    batch DataFrame: Spark re-plans it per micro-batch (picking up dim
+    updates between batches) and broadcasts it when small; no state, no
+    watermark needed for the join itself. Batch twin here = the same join
+    on the bounded table; the streaming twin (tests) runs readStream ⋈
+    static customer and must produce the identical frame."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+    )

@@ -278,3 +278,27 @@ def test_foreach_batch_idempotent_sink(spark, replay_dir):
         .toPandas()
     )
     assert _frames_equal(got, want[["user_id", "n_events", "sum_value"]])
+
+
+def test_stream_static_join_equals_batch(spark, replay_dir):
+    # Stream-static enrichment: streaming events joined to the static
+    # customer dim must equal the batch twin exactly.
+    from cuny_courses_spark.sources.loaders import load
+
+    c = load(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+
+    def enrich(src):
+        return (
+            src.join(c, src.user_id == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 4
+                ).alias("sum_value"),
+            )
+        )
+
+    got = _stream_result(spark, replay_dir, enrich)
+    want = _QS["q_stream_static_join"](spark, SF_DIR).toPandas()
+    assert _frames_equal(got, want)
