@@ -132,3 +132,38 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_md5"
     )
+
+
+@register(
+    "q_mm_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(length(array_to_string(
+           list_transform(range(1, length(text) + 1, 4), i -> text[i]), ''))
+           AS BIGINT) AS out_len,
+       md5(array_to_string(
+           list_transform(range(1, length(text) + 1, 4), i -> text[i]), ''))
+           AS out_md5
+FROM documents
+""",
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize/downsample pattern: stride-4 subsampling of each blob
+    (the 1-D analog of image downscaling — a real decoder+resampler slots
+    into the same mapInPandas seam as q_mm_feature_extract; here the
+    deterministic text-derived stand-in keeps it oracle-checkable). The
+    output carries (new length, content digest) — the shape/fingerprint
+    metadata a resize stage emits. Pure per-row narrow transform: no
+    shuffle, rows in place, output strictly smaller — exactly how a
+    resize stage behaves in a 100 TB media pipeline (bytes shrink early,
+    before anything wide)."""
+    d = load(spark, sf_dir, "documents")
+    down = F.expr(
+        "concat_ws('', transform(sequence(1, length(text), 4), "
+        "i -> substring(text, i, 1)))"
+    )
+    return d.select(
+        "doc_id",
+        F.length(down).cast("long").alias("out_len"),
+        F.md5(F.encode(down, "utf-8")).alias("out_md5"),
+    )
