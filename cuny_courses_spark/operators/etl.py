@@ -365,3 +365,87 @@ def q_etl_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_orders"),
         F.round(F.coalesce("cents", F.lit(0)) / 100.0, 4).alias("sum_price"),
     )
+
+
+@register(
+    "q_etl_compact_small_files",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY day
+""",
+)
+def q_etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lake-maintenance job that keeps a 100 TB
+    table scannable. A fragmented landing write (64 shards here; thousands
+    of per-micro-batch files in production) is rewritten into a few
+    well-sized files via ``coalesce`` (narrow — no shuffle: each output
+    task concatenates input shards). Correctness contract: compaction must
+    be content-neutral — the per-day aggregate over the compacted copy
+    hash-matches the oracle over the original table. The test additionally
+    asserts the file count actually dropped (tests/test_internal.py)."""
+    from pathlib import Path
+
+    from cuny_courses_spark.common import dsum
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    frag = _io_dir(sf_dir, "events_fragmented")
+    compact = _io_dir(sf_dir, "events_compacted")
+    e = load(spark, sf_dir, "events")
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(
+        compact
+    )
+    back = spark.read.parquet(compact)
+    return back.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+
+
+@register(
+    "q_etl_partition_overwrite_dynamic",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CASE WHEN year(o_orderdate) = 1997
+            THEN lower(o_orderstatus) ELSE o_orderstatus END AS status,
+       count(*) AS n
+FROM orders GROUP BY o_year, status
+""",
+)
+def q_etl_partition_overwrite_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the backfill primitive: rewrite ONE
+    partition of a partitioned table in place, leaving every other
+    partition's files untouched (no full-table rewrite — at 100 TB a
+    year's backfill must not rewrite the decade). With
+    ``partitionOverwriteMode=dynamic``, an overwrite-mode write replaces
+    only the partitions present in the incoming DataFrame. Here: seed the
+    year-partitioned table, then backfill 1997 with a transformed copy
+    (status lowercased); the readback must show 1997 transformed and all
+    other years intact."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    out = _io_dir(sf_dir, "orders_backfill")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_year"]
+    o.select(cols).write.mode("overwrite").partitionBy("o_year").parquet(out)
+    fixed = (
+        o.filter(F.col("o_year") == 1997)
+        .withColumn("o_orderstatus", F.lower("o_orderstatus"))
+        .select(cols)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.col("o_year").cast("long").alias("o_year"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -109,6 +109,59 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scan_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip of ``nation`` — the second columnar lake format the
+    engine speaks natively (Spark's vectorized ORC reader, same pushdown /
+    pruning machinery as parquet). Oracle reads the parquet view; values
+    must survive the format round-trip bit-exactly."""
+    out = _io_dir(sf_dir, "nation_orc")
+    load(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "q_scan_schema_evolution",
+    oracle=f"""
+WITH merged AS (
+    SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_total FROM orders
+    WHERE year(o_orderdate) < 1997
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS o_total FROM orders
+    WHERE year(o_orderdate) >= 1997
+)
+SELECT CAST(o_total IS NOT NULL AS BIGINT) AS has_total,
+       count(*) AS n,
+       {O_fpsum(O_fp('o_total'), 2, 'total')}
+FROM merged GROUP BY has_total
+""",
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an old batch written without ``o_total`` and a
+    new batch written with it live in one dataset; ``mergeSchema=true``
+    unions the file schemas and back-fills NULL for the missing column —
+    how a 100 TB lake absorbs additive schema change without rewriting
+    history. Aggregates by column presence so the NULL back-fill itself is
+    what's checked."""
+    base = Path(_io_dir(sf_dir, "orders_evolving"))
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.year("o_orderdate") < 1997).select("o_orderkey")
+    new = o.filter(F.year("o_orderdate") >= 1997).select(
+        "o_orderkey", F.col("o_totalprice").alias("o_total")
+    )
+    old.write.mode("overwrite").parquet(str(base / "batch=v1"))
+    new.write.mode("overwrite").parquet(str(base / "batch=v2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        str(base / "batch=v1"), str(base / "batch=v2")
+    )
+    return back.groupBy(
+        F.col("o_total").isNotNull().cast("long").alias("has_total")
+    ).agg(F.count(F.lit(1)).alias("n"), fpsum(fp("o_total"), 2, "total"))
+
+
+@register(
     "q_scan_partition_pruned",
     oracle=f"""
 SELECT count(*) AS n, {O_fpsum(O_fp('o_totalprice'), 2, 'total')}
