@@ -221,10 +221,10 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.selectExpr(
         "doc_id",
         "nt AS n_tokens",
-        "((nd * 20000 + nt) div (2 * nt)) / 10000.0 AS distinct_ratio",
-        "((ns * 20000 + nt) div (2 * nt)) / 10000.0 AS stopword_ratio",
+        "((nd * 20000 + nt) div (2 * nt)) / 1e4 AS distinct_ratio",
+        "((ns * 20000 + nt) div (2 * nt)) / 1e4 AS stopword_ratio",
         "(((250 * nd + 100 * ns + 3 * least(nt, 50) * nt) * 20000 + 500 * nt)"
-        " div (2 * 500 * nt)) / 10000.0 AS quality",
+        " div (2 * 500 * nt)) / 1e4 AS quality",
     )
 
 
@@ -368,4 +368,186 @@ def q_text_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tfidf").desc(), F.col("tok").asc())
         .limit(20)
+    )
+
+
+@register(
+    "q_text_chunk_overlap",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks,
+           len(string_split(lower(text), ' ')) AS nt
+    FROM documents
+), starts AS (
+    SELECT doc_id, toks, nt, unnest(range(1, nt + 1, 24)) AS s
+    FROM t
+)
+SELECT doc_id,
+       CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, s, least(s + 31, nt))) AS BIGINT) AS n_tok,
+       md5(array_to_string(list_slice(toks, s, least(s + 31, nt)), ' '))
+           AS chunk_md5
+FROM starts
+""",
+)
+def q_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 32-token chunks at stride 24
+    (8-token overlap) — the context-window prep primitive that turns a
+    document corpus into trainable sequences. Each chunk is emitted with
+    its index, token count, and content md5 (the chunk-level exact-dedup
+    key downstream).
+
+    Plan shape: chunk starts come from `sequence(...)` + higher-order
+    `transform` entirely JVM-side, then one `posexplode` fans out to chunk
+    rows — a narrow per-row operation (no shuffle, no Python). At 100 TB
+    the fan-out factor is bounded (~nt/24 per doc), rows scale linearly
+    with corpus token count, and the explode feeds the next keyed stage
+    directly (map-side partial agg bounds any downstream aggregate, module
+    header)."""
+    d = load(spark, sf_dir, "documents")
+    chunks = F.expr(
+        "transform(sequence(1, size(split(lower(text), ' ')), 24), "
+        "s -> slice(split(lower(text), ' '), s, 32))"
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    )
+
+
+@register(
+    "q_text_pii_redact",
+    oracle=r"""
+WITH landing AS (
+    SELECT doc_id,
+           lower(text) || ' contact user' || doc_id || '@mail-' || lang ||
+           '.com ph 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS raw
+    FROM documents
+), red AS (
+    SELECT doc_id, raw,
+           regexp_replace(
+               regexp_replace(raw, '[a-z0-9.-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g') AS clean
+    FROM landing
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '[a-z0-9.-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+            AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+       CAST(length(raw) AS BIGINT) AS len_raw,
+       CAST(length(clean) AS BIGINT) AS len_clean,
+       md5(clean) AS clean_md5
+FROM red
+""",
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the C4-style scrub pass: regex-mask email addresses
+    and phone-shaped substrings in a landing text column, report per-doc
+    match counts, length delta, and a digest of the scrubbed text. (The
+    synthetic corpus carries no PII, so a deterministic contact line
+    derived from doc_id/lang is appended first — the *operator* under test
+    is the masking pass, and the oracle builds the identical landing text.)
+
+    Entirely JVM-side `regexp_replace`/`regexp_count` (patterns restricted
+    to the class/quantifier subset where Java regex and RE2 agree); a
+    narrow per-row map with no shuffle — the shape that runs at
+    100 TB as a single scan-transform-write pass."""
+    email = r"[a-z0-9.-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"555-[0-9]{4}"
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lower("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("lang"),
+        F.lit(".com ph 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = d.select("doc_id", raw.alias("raw")).withColumn(
+        "clean",
+        F.regexp_replace(
+            F.regexp_replace("raw", email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+    )
+    return red.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(email)).cast("long").alias("n_email"),
+        F.regexp_count("raw", F.lit(phone)).cast("long").alias("n_phone"),
+        F.length("raw").cast("long").alias("len_raw"),
+        F.length("clean").cast("long").alias("len_clean"),
+        F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+    FROM documents
+), bg AS (
+    SELECT doc_id, nt,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+           list_transform(range(1, greatest(nt, 2)),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+    FROM t
+), mx AS (
+    SELECT doc_id, nt, nd,
+           CAST(len(bgs) AS BIGINT) AS nb,
+           CAST(list_max(list_transform(list_distinct(bgs),
+                    b -> len(list_filter(bgs, x -> x = b)))) AS BIGINT) AS top
+    FROM bg
+)
+SELECT doc_id, nt AS n_tokens,
+       (((nt - nd) * 20000 + nt) // (2 * nt)) / 10000.0 AS dup_token_ratio,
+       ((top * 20000 + nb) // (2 * nb)) / 10000.0 AS top_bigram_ratio
+FROM mx
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-doc duplicate-token fraction
+    (1 − distinct/total) and top-bigram fraction (most frequent bigram's
+    share of all bigrams) — the signals that catch boilerplate and
+    degenerate/looping text before it reaches training.
+
+    All higher-order array functions, per-row and JVM-side (no explode, no
+    shuffle). The distinct-bigram scan is per-doc quadratic but documents
+    are bounded-length, so the per-row cost is a constant at any corpus
+    scale. The 4-dp ratios use the exact BIGINT rounding identity
+    (q_text_quality_score) so both engines agree bit-exactly."""
+    d = load(spark, sf_dir, "documents")
+    toks = _toks()
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        F.expr(
+            "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 1, 1)), "
+            "i -> element_at(split(lower(text), ' '), i) || ' ' || "
+            "element_at(split(lower(text), ' '), i + 1))"
+        ).alias("bgs"),
+    )
+    mx = base.select(
+        "doc_id",
+        "nt",
+        "nd",
+        F.size("bgs").cast("long").alias("nb"),
+        F.expr(
+            "CAST(array_max(transform(array_distinct(bgs), "
+            "b -> size(filter(bgs, x -> x = b)))) AS BIGINT)"
+        ).alias("top"),
+    )
+    return mx.selectExpr(
+        "doc_id",
+        "nt AS n_tokens",
+        "(((nt - nd) * 20000 + nt) div (2 * nt)) / 1e4 AS dup_token_ratio",
+        "((top * 20000 + nb) div (2 * nb)) / 1e4 AS top_bigram_ratio",
     )
