@@ -449,3 +449,43 @@ def q_etl_partition_overwrite_dynamic(
         F.col("o_year").cast("long").alias("o_year"),
         F.col("o_orderstatus").alias("status"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_etl_skew_audit",
+    oracle="""
+WITH per_key AS (
+    SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS log2_bucket,
+       count(*) AS n_keys,
+       min(cnt) AS min_cnt,
+       max(cnt) AS max_cnt,
+       CAST(sum(cnt) AS BIGINT) AS sum_rows
+FROM per_key
+GROUP BY log2_bucket
+""",
+)
+def q_etl_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew audit: per-key row counts bucketed into a log2 histogram —
+    the pre-join diagnostic that finds heavy-hitter keys BEFORE they melt a
+    shuffle at 100 TB (feeds the salting / AQE-skew-join decision, see
+    q_agg_salted_skew). Two keyed aggregations, both with map-side partial
+    agg; the histogram output is tiny regardless of input scale.
+
+    The log2 bucket is computed as length(bin(cnt))−1 — pure integer/string
+    arithmetic, exact at power-of-2 boundaries where a float log2 could
+    round either way (both engines share the identity)."""
+    e = load(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_key.groupBy(
+            (F.length(F.bin("cnt")) - 1).cast("long").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("cnt").alias("min_cnt"),
+            F.max("cnt").alias("max_cnt"),
+            F.sum("cnt").alias("sum_rows"),
+        )
+    )

@@ -365,3 +365,64 @@ def neardup_lsh_pairs(e: DataFrame, threshold: float = 0.95) -> DataFrame:
         .filter(F.col("cos") >= threshold)
     )
     return verified.select("id_a", "id_b", "cos")
+
+
+@register(
+    "q_sim_quantize_int8",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> greatest(least(CAST(floor(x::DOUBLE * 127) AS BIGINT),
+                                   127), -127)) AS qv,
+           embedding
+    FROM embeddings
+)
+SELECT vec_id, label,
+       CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS qnorm2,
+       CAST(len(list_filter(qv, v -> v = 0)) AS BIGINT) AS n_zero,
+       CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+       round(list_sum(list_transform(list_zip(embedding, qv),
+             p -> (p[1]::DOUBLE - p[2] / 127.0)
+                  * (p[1]::DOUBLE - p[2] / 127.0))), 6) AS sq_err
+FROM q
+""",
+)
+def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit: symmetric scale-127 codes
+    (clamped to [−127, 127]) with per-vector integer norm, zero/saturation
+    counts, and reconstruction squared error — the storage-compression
+    pass that cuts a 100 TB embedding store 4× before ANN indexing.
+
+    Determinism: the code is floor(x·127) on the double-widened float32
+    value — multiply and floor are single IEEE ops both engines share, and
+    every downstream stat except sq_err is pure integer arithmetic.
+    sq_err folds doubles sequentially in index order on both sides (module
+    header) and rounds at 6 dp. Narrow per-row map, JVM-side, no shuffle."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        "transform(embedding, "
+        "x -> greatest(least(CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT), "
+        "127L), -127L))"
+    )
+    q = e.select("vec_id", "label", F.col("embedding"), qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CAST(aggregate(qv, 0L, (acc, v) -> acc + v * v) AS BIGINT)"
+        ).alias("qnorm2"),
+        F.expr("CAST(size(filter(qv, v -> v = 0)) AS BIGINT)").alias("n_zero"),
+        F.expr("CAST(size(filter(qv, v -> abs(v) = 127)) AS BIGINT)").alias(
+            "n_sat"
+        ),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(embedding, qv, "
+                "(x, v) -> (CAST(x AS DOUBLE) - v / CAST(127 AS DOUBLE)) "
+                "* (CAST(x AS DOUBLE) - v / CAST(127 AS DOUBLE))), "
+                "CAST(0 AS DOUBLE), (acc, s) -> acc + s)"
+            ),
+            6,
+        ).alias("sq_err"),
+    )
