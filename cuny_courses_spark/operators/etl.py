@@ -489,3 +489,79 @@ def q_etl_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("sum_rows"),
         )
     )
+
+
+def _z16(x: str, y: str, div: str) -> str:
+    """16-bit Morton/Z-value of two 8-bit bucket expressions, as pure
+    div/mod/multiply arithmetic (identical semantics in Spark SQL—``div``—
+    and DuckDB—``//``; no engine-specific bit operators)."""
+    terms = []
+    for i in range(8):
+        p2, p4 = 1 << i, 1 << (2 * i)
+        terms.append(f"((({x}) {div} {p2}) % 2) * {p4}")
+        terms.append(f"((({y}) {div} {p2}) % 2) * {2 * p4}")
+    return " + ".join(terms)
+
+
+@register(
+    "q_etl_zorder_layout",
+    oracle=f"""
+WITH b AS (
+    SELECT o_orderkey,
+           o_custkey % 256 AS xb,
+           CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+               % 256 AS yb
+    FROM orders
+), z AS (
+    SELECT xb, yb, CAST(({_z16('xb', 'yb', '//')}) // 256 AS BIGINT)
+               AS file_id
+    FROM b
+)
+SELECT file_id, count(*) AS n_rows,
+       min(xb) AS min_x, max(xb) AS max_x,
+       min(yb) AS min_y, max(yb) AS max_y,
+       CAST(max(xb) - min(xb) + max(yb) - min(yb) AS BIGINT) AS bbox_span
+FROM z GROUP BY file_id
+""",
+)
+def q_etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering audit — the multi-dimensional
+    layout optimization behind Delta/Iceberg OPTIMIZE ZORDER: interleave
+    the bits of two query dimensions (customer bucket × order-day bucket),
+    split the curve into 256 file-sized ranges, and report each range's
+    bounding box. The payoff shown by `bbox_span`: z-ranges are tight in
+    BOTH dimensions at once, so parquet min/max stats prune scans for
+    predicates on either column — a single-column sort gives tight spans
+    in one dimension and full-width spans in the other. At 100 TB this is
+    `repartitionByRange(z).sortWithinPartitions(z)` before the write; here
+    the audit aggregates the same assignment declaratively (one keyed agg,
+    map-side partials).
+
+    The Morton value is pure div/mod arithmetic (no engine bit operators)
+    so both engines compute identical file assignments."""
+    o = load(spark, sf_dir, "orders")
+    b = o.select(
+        (F.col("o_custkey") % 256).alias("xb"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            % 256
+        ).alias("yb"),
+    )
+    z = b.select(
+        "xb",
+        "yb",
+        F.expr(f"CAST(({_z16('xb', 'yb', 'div')}) div 256 AS BIGINT)").alias(
+            "file_id"
+        ),
+    )
+    return z.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xb").alias("min_x"),
+        F.max("xb").alias("max_x"),
+        F.min("yb").alias("min_y"),
+        F.max("yb").alias("max_y"),
+        F.expr(
+            "CAST(max(xb) - min(xb) + max(yb) - min(yb) AS BIGINT)"
+        ).alias("bbox_span"),
+    )

@@ -303,3 +303,64 @@ def q_win_distinct_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_prios"),
     )
+
+
+@register(
+    "q_win_funnel_steps",
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_view,
+       (SELECT count(*) FROM s2) AS n_view_click,
+       (SELECT count(*) FROM s3) AS n_view_click_purchase
+""",
+)
+def q_win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis — view → click → purchase, each step strictly
+    after the previous one's FIRST occurrence per user (the
+    MATCH_RECOGNIZE-shaped sequence query Spark lacks natively, SURVEY §4;
+    the rewrite is stepwise conditional argmin).
+
+    Plan shape: one keyed aggregation per funnel step, each joined back to
+    the (user-keyed, already-shuffled) previous step — per step one
+    map-side-partial aggregation + one same-key join, so at 100 TB the
+    user-hash partitioning is REUSED across all three steps instead of
+    re-shuffling the event log (events shuffle once on user_id; AQE keeps
+    the step frames co-partitioned). The final counts collapse to one row.
+    """
+    e = load(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_view_click"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return c1.crossJoin(c2).crossJoin(c3)
