@@ -109,3 +109,27 @@ def test_correlated_subquery_decorrelates(spark):
     plan = _plan(spark, "q_subquery_correlated_scalar")
     assert "Subquery" not in plan, plan[:3000]
     assert "HashAggregate" in plan and "Join" in plan, plan[:3000]
+
+
+def test_text_pipeline_ops_are_narrow(spark):
+    # Chunking, PII redaction, and quantization are per-row transforms —
+    # a scan-transform pipeline with zero shuffles at any scale.
+    for name in ("q_text_chunk_overlap", "q_text_pii_redact", "q_sim_quantize_int8"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name}: {plan[:2000]}"
+
+
+def test_zorder_single_shuffle(spark):
+    # Morton assignment is per-row; the only Exchange is the file_id agg
+    # (partial map-side aggregation before it).
+    plan = _plan(spark, "q_etl_zorder_layout")
+    assert plan.count("Exchange") <= 1, plan[:3000]
+    assert "HashAggregate" in plan
+
+
+def test_skew_audit_mapside_partials(spark):
+    # Two keyed aggregations, each with a partial before the exchange —
+    # the histogram never moves raw rows.
+    plan = _plan(spark, "q_etl_skew_audit")
+    assert plan.count("Exchange") <= 2, plan[:3000]
+    assert "partial_count" in plan or "HashAggregate" in plan
