@@ -565,3 +565,71 @@ def q_etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(max(xb) - min(xb) + max(yb) - min(yb) AS BIGINT)"
         ).alias("bbox_span"),
     )
+
+
+@register(
+    "q_etl_dq_rules",
+    oracle="""
+WITH m AS (
+    SELECT count(*) AS n_rows,
+           count(*) - count(o_custkey) AS null_custkey,
+           count(*) - count(o_totalprice) AS null_totalprice,
+           count(*) - count(DISTINCT o_orderkey) AS dup_orderkey,
+           count(*) FILTER (WHERE o_totalprice <= 0) AS nonpos_price,
+           count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+                               OR o_orderdate >= TIMESTAMP '1999-01-01')
+               AS date_out_of_range,
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+               AS bad_status
+    FROM orders
+)
+SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
+    SELECT 'null_custkey' AS rule, null_custkey AS violations FROM m
+    UNION ALL SELECT 'null_totalprice', null_totalprice FROM m
+    UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM m
+    UNION ALL SELECT 'nonpos_price', nonpos_price FROM m
+    UNION ALL SELECT 'date_out_of_range', date_out_of_range FROM m
+    UNION ALL SELECT 'bad_status', bad_status FROM m
+)
+""",
+)
+def q_etl_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule audit (the Deequ pattern): completeness
+    (null counts), uniqueness (key duplication), and domain/range rules
+    (non-positive price, out-of-range date, unknown status) — evaluated in
+    ONE scan as conditional aggregates, then unpivoted to (rule,
+    violations) rows. At 100 TB this is the difference between one pass
+    and six: every rule is a partial-aggregable counter, so the audit
+    costs a single map-side-combined aggregation regardless of rule count;
+    the unpivot is a 1-row Expand."""
+    o = load(spark, sf_dir, "orders")
+    m = o.agg(
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("null_totalprice"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkey"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpos_price"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("1999-01-01").cast("timestamp")
+                ),
+                1,
+            )
+        ).alias("date_out_of_range"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("bad_status"),
+    )
+    return m.selectExpr(
+        "stack(6, "
+        "'null_custkey', null_custkey, "
+        "'null_totalprice', null_totalprice, "
+        "'dup_orderkey', dup_orderkey, "
+        "'nonpos_price', nonpos_price, "
+        "'date_out_of_range', date_out_of_range, "
+        "'bad_status', bad_status) AS (rule, violations)"
+    ).selectExpr("rule", "CAST(violations AS BIGINT) AS violations")
