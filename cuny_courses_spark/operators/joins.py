@@ -466,3 +466,60 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         fpsum(fp("o_totalprice"), 2, "sum_price"),
     )
+
+
+@register(
+    "q_join_dpp",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       o_orderstatus AS status,
+       count(*) AS n
+FROM orders
+WHERE year(o_orderdate) IN (1996, 1997)
+GROUP BY o_year, status
+""",
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact table partitioned on o_year joins
+    a small year dimension whose *attribute* filter selects 1996-1997; the
+    fact scan must read only those two partition directories, with the
+    pruning predicate injected AT RUNTIME from the broadcast dim (Catalyst
+    `DynamicPartitionPruning`, visible as `dynamicpruningexpression` in the
+    scan's PartitionFilters — asserted in tests/test_plans.py). At 100 TB
+    this is the difference between scanning 2 partitions and 30: the
+    static optimizer cannot prune because the years arrive via the join,
+    not as a literal predicate on the fact.
+
+    The partitioned copy is written once per sf_dir content signature
+    (same `_io_dir` layout the scan queries use)."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    out = _io_dir(sf_dir, "orders_dpp")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    import os
+
+    if not os.path.isdir(out):
+        o.select("o_orderkey", "o_orderstatus", "o_year").write.mode(
+            "overwrite"
+        ).partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        spark.range(1992, 1999)
+        .select(
+            F.col("id").alias("d_year"),
+            F.col("id").isin(1996, 1997).alias("d_target"),
+        )
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("d_target"))),
+            fact.o_year == F.col("d_year"),
+        )
+        .groupBy(
+            F.col("o_year").cast("long").alias("o_year"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

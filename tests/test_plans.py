@@ -133,3 +133,11 @@ def test_skew_audit_mapside_partials(spark):
     plan = _plan(spark, "q_etl_skew_audit")
     assert plan.count("Exchange") <= 2, plan[:3000]
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    # The year predicate reaches the fact scan as a runtime
+    # dynamicpruningexpression on the partition column — never a full scan
+    # of all year partitions.
+    plan = _plan(spark, "q_join_dpp")
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
