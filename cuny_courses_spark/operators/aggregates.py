@@ -403,3 +403,55 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("order_keys")
     )
+
+
+@register("q_agg_hll_merge")  # rows-only: sketch estimates are engine-specific
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HyperLogLog sketches of user_id
+    (Apache DataSketches HLL via ``hll_sketch_agg``) are UNIONED per
+    event_type and only then estimated — the pre-aggregated distinct-count
+    architecture for 100 TB: daily partitions each keep a ~KB sketch, any
+    rollup window (week/month/all-time) is a cheap sketch union instead of
+    a re-scan of raw events, and the merge is associative so it
+    parallelizes like a sum. Rows-only contract (estimates are
+    engine/library-specific); tests/test_internal.py asserts the merged
+    estimate lands within 5 % of the exact distinct count."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"))
+        .select("event_type", F.col("est_users").cast("long").alias("est_users"))
+    )
+
+
+@register("q_agg_approx_quantile")  # rows-only: sketch quantiles engine-specific
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of l_extendedprice per returnflag via
+    ``approx_percentile`` (Greenwald-Khanna style mergeable summary,
+    accuracy 10⁴ ⇒ rank error ≤ 10⁻⁴) — the scale path for percentile
+    reporting: exact percentiles need a per-group sort of all values;
+    the sketch is one streaming pass with KB-sized partial state that
+    merges associatively across partitions. Output exploded to
+    (flag, quantile, value) rows. Rows-only contract;
+    tests/test_internal.py brackets each estimate between exact quantiles
+    at p ± 1 %."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+        ).alias("vals")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("vals").alias("v")
+    )
+    return agg.select(
+        "l_returnflag", F.explode(pairs).alias("p")
+    ).select(
+        "l_returnflag",
+        F.col("p.q").alias("quantile"),
+        F.round(F.col("p.v"), 4).alias("value"),
+    )

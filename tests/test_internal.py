@@ -230,3 +230,33 @@ def test_df_capped_neardup_matches_exact(spark):
     }
     assert len(exact) > 0
     assert capped == exact
+
+
+def test_hll_merge_within_5pct(spark, duck):
+    got = {
+        r["event_type"]: r["est_users"]
+        for r in _QS["q_agg_hll_merge"](spark, SF_DIR).collect()
+    }
+    exact = {
+        t: n
+        for t, n in duck.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for t, est in got.items():
+        assert abs(est - exact[t]) <= 0.05 * exact[t], (t, est, exact[t])
+
+
+def test_approx_quantile_brackets_exact(spark, duck):
+    rows = _QS["q_agg_approx_quantile"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        lo, hi = max(r["quantile"] - 0.01, 0.0), min(r["quantile"] + 0.01, 1.0)
+        b_lo, b_hi = duck.execute(
+            "SELECT quantile_disc(l_extendedprice, ?), "
+            "quantile_disc(l_extendedprice, ?) FROM lineitem "
+            "WHERE l_returnflag = ?",
+            [lo, hi, r["l_returnflag"]],
+        ).fetchone()
+        assert b_lo - 1e-6 <= r["value"] <= b_hi + 1e-6, (r, b_lo, b_hi)
