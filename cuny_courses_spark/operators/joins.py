@@ -523,3 +523,47 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def build_selective_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared plan builder for q_join_bloom_runtime_filter (also used by the
+    plan test, which re-plans it under production-scale runtime-filter
+    thresholds)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fpsum(fp("l_extendedprice"), 2, "sum_price"),
+        )
+    )
+
+
+@register(
+    "q_join_bloom_runtime_filter",
+    oracle=f"""
+SELECT l_returnflag, count(*) AS n,
+       {O_fpsum(O_fp('l_extendedprice'), 2, 'sum_price')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY l_returnflag
+""",
+)
+def q_join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈fact join — the shape where Spark's runtime Bloom
+    filter pays off at 100 TB: the filtered orders side builds a
+    `bloom_filter_agg` sketch that is pushed into the lineitem scan as a
+    `might_contain` row filter, cutting the shuffle volume of the big side
+    by the join selectivity BEFORE the exchange (InjectRuntimeFilter; the
+    row-level analogue of q_join_dpp's partition-level pruning).
+
+    Conf posture: injection is governed by size thresholds
+    (`runtime.bloomFilter.applicationSideScanSizeThreshold`, default
+    10 GB) — at test scale the filtered side simply broadcasts (the right
+    small-scale plan), while at production scale the thresholds trip and
+    the bloom filter injects with no code change. tests/test_plans.py
+    re-plans this exact builder under lowered thresholds to assert the
+    injection happens."""
+    return build_selective_fact_join(spark, sf_dir)

@@ -141,3 +141,40 @@ def test_dpp_prunes_fact_partitions(spark):
     # of all year partitions.
     plan = _plan(spark, "q_join_dpp")
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_bloom_filter_injects_at_scale_thresholds(spark):
+    # Under production-scale runtime-filter thresholds the filtered orders
+    # side must build a bloom_filter_agg that reaches the lineitem side as
+    # a might_contain row filter (InjectRuntimeFilter). Thresholds are
+    # lowered to mirror scale, then restored.
+    from cuny_courses_spark.operators.joins import build_selective_fact_join
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        df = build_selective_fact_join(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        assert "might_contain" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
