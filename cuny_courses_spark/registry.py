@@ -31,6 +31,7 @@ _OPERATOR_MODULES = [
     "cuny_courses_spark.operators.scans",        # §2 A
     "cuny_courses_spark.operators.filters",      # §2 B
     "cuny_courses_spark.operators.subqueries",   # §2 B-ext (SQL surface)
+    "cuny_courses_spark.operators.tpch_sql",     # §2 B-ext (TPC-H shapes)
     "cuny_courses_spark.operators.joins",        # §2 C
     "cuny_courses_spark.operators.aggregates",   # §2 D
     "cuny_courses_spark.operators.reshape",      # §2 D-ext (pivot/unpivot)
