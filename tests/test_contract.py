@@ -33,6 +33,8 @@ def test_registry_shapes():
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "q_agg_approx_distinct",
+        "q_agg_hll_merge",
+        "q_agg_approx_quantile",
         "q_dedup_minhash_lsh",
         "q_sim_ann_lsh",
         "q_sim_ivf_topk",
