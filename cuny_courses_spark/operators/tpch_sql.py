@@ -45,7 +45,8 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey
-                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+                AND l_shipdate > TIMESTAMP '1996-03-01 00:00:00')
 GROUP BY o_orderpriority
 """
 
@@ -53,7 +54,13 @@ GROUP BY o_orderpriority
 @register("q_sql_q4_priority_exists", oracle=_Q4)
 def q_sql_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: per-priority counts of orders with a late shipment
-    (EXISTS → left-semi join; the date predicate prunes the orders scan)."""
+    (EXISTS → left-semi join; the date predicate prunes the orders scan).
+
+    The static `l_shipdate > 1996-03-01` bound inside EXISTS is IMPLIED by
+    the correlated condition (min o_orderdate + 60 days) but not derivable
+    by either optimizer through the non-equi comparison — stating it
+    explicitly pushes a shipdate filter into the lineitem scan (row-group
+    min/max pruning at 100 TB; a 3× smaller semi-join build locally)."""
     return run_sql(spark, sf_dir, _Q4)
 
 
