@@ -144,3 +144,65 @@ def test_fp_recovers_exact_cents(spark, cents):
         F.sum(fp("x").cast("decimal(38,0)")).cast("long").alias("s")
     ).collect()[0]
     assert row["s"] == sum(cents)
+
+
+def test_chunking_invariants(spark):
+    # Every document's chunks must (a) start at stride-24 offsets so
+    # consecutive full chunks overlap by exactly 8 tokens, (b) jointly
+    # cover every token, (c) have the final chunk end exactly at the
+    # document's last token.
+    from cuny_courses_spark.registry import queries
+
+    chunks = (
+        queries()["q_text_chunk_overlap"](spark, SF_DIR)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.sum("n_tok").alias("tok_with_overlap"),
+            F.max(F.col("chunk_idx") * 24 + F.col("n_tok")).alias("max_end"),
+        )
+    )
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("nt")
+    )
+    j = chunks.join(docs, "doc_id").collect()
+    assert len(j) > 0
+    for r in j:
+        # chunk_idx is dense 0..max_idx
+        assert r["n_chunks"] == r["max_idx"] + 1, r
+        # last chunk ends at the last token (full coverage, no spill)
+        assert r["max_end"] == r["nt"], r
+        # overlap accounting: sum of chunk sizes = nt + 8*(n_chunks-1)
+        # except the tail chunk may be shorter than the overlap itself;
+        # coverage (max_end) plus density already pin the layout, so just
+        # bound the total.
+        assert r["tok_with_overlap"] >= r["nt"], r
+
+
+def test_pii_redaction_leaves_no_matches(spark):
+    # After redaction the cleaned text must contain zero email/phone
+    # pattern matches, and every injected contact line must have been hit
+    # (n_email/n_phone >= 1 per doc by construction).
+    from cuny_courses_spark.operators.text import q_text_pii_redact  # noqa: F401
+    from cuny_courses_spark.registry import queries
+    from cuny_courses_spark.sources.loaders import load as _load
+
+    d = _load(spark, SF_DIR, "documents")
+    raw = F.concat(
+        F.lower("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail-"), F.col("lang"),
+        F.lit(".com ph 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email = r"[a-z0-9.-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"555-[0-9]{4}"
+    clean = F.regexp_replace(F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>")
+    residual = d.select(
+        (F.regexp_count(clean, F.lit(email)) + F.regexp_count(clean, F.lit(phone))).alias("r")
+    ).agg(F.sum("r").alias("total")).collect()[0]["total"]
+    assert residual == 0
+    stats = queries()["q_text_pii_redact"](spark, SF_DIR).agg(
+        F.min("n_email").alias("me"), F.min("n_phone").alias("mp")
+    ).collect()[0]
+    assert stats["me"] >= 1 and stats["mp"] >= 1
