@@ -364,3 +364,72 @@ def q_win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = s2.agg(F.count(F.lit(1)).alias("n_view_click"))
     c3 = s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
     return c1.crossJoin(c2).crossJoin(c3)
+
+
+@register(
+    "q_win_ohlc_resample",
+    oracle="""
+WITH ordered AS (
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar,
+           value, ts, event_id,
+           row_number() OVER (
+               PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts ASC, event_id ASC) AS rn_a,
+           row_number() OVER (
+               PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events
+)
+SELECT event_type, bar,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+       count(*) AS n_ticks
+FROM ordered
+GROUP BY event_type, bar
+""",
+)
+def q_win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC resampling: daily open/high/low/close bars of
+    `value` per event_type — the financial/telemetry downsampling primitive
+    (complements q_stream_tumbling's count/sum with ORDER-dependent
+    endpoints). Open/close are pinned by a total order (ts, event_id) so
+    same-timestamp ticks can't make the bar nondeterministic; high/low are
+    plain extremes; rounding only on output (the values pass through, no
+    arithmetic).
+
+    Plan shape: one shuffle on (event_type, day) shared by the two window
+    passes and the final aggregate — the windows and the groupBy use the
+    SAME partitioning, so Catalyst plans a single exchange followed by two
+    in-partition sorts (asc/desc) and a partial-agg-free grouped reduce.
+    At 100 TB the bar key space (types × days) is tiny relative to ticks,
+    so map-side partial aggregation collapses the volume before the final
+    exchange when Catalyst instead picks the two-phase form."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    wa = Window.partitionBy("event_type", day).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = e.select(
+        "event_type",
+        F.date_format(day, "yyyy-MM-dd").alias("bar"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return o.groupBy("event_type", "bar").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias(
+            "open"
+        ),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias(
+            "close"
+        ),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
