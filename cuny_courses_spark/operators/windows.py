@@ -400,36 +400,62 @@ def q_win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain extremes; rounding only on output (the values pass through, no
     arithmetic).
 
-    Plan shape: one shuffle on (event_type, day) shared by the two window
-    passes and the final aggregate — the windows and the groupBy use the
-    SAME partitioning, so Catalyst plans a single exchange followed by two
-    in-partition sorts (asc/desc) and a partial-agg-free grouped reduce.
-    At 100 TB the bar key space (types × days) is tiny relative to ticks,
-    so map-side partial aggregation collapses the volume before the final
-    exchange when Catalyst instead picks the two-phase form."""
+    Plan shape: ONE shuffle on (event_type, day) shared by the two window
+    passes and the final aggregate — grouping on the raw day value (not
+    its formatted label) keeps the aggregate's required distribution equal
+    to the windows' partitioning, so Catalyst plans a single exchange,
+    two in-partition sorts (asc/desc), and an exchange-free grouped
+    reduce (plan-asserted). At 100 TB the single shuffle moves each tick
+    once; bar count (types × days) stays tiny."""
     e = load(spark, sf_dir, "events")
-    day = F.date_trunc("day", "ts")
-    wa = Window.partitionBy("event_type", day).orderBy(
+    # Materialize the bar key once, then partition windows and groupBy on
+    # the SAME attribute — if the windows partition on the raw expression
+    # Catalyst gives them a fresh internal projection (_w0) and can't see
+    # it equals the aggregate's key, planning a second shuffle.
+    base = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    wd = Window.partitionBy("event_type", day).orderBy(
+    wd = Window.partitionBy("event_type", "day").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    o = e.select(
+    o = base.select(
         "event_type",
-        F.date_format(day, "yyyy-MM-dd").alias("bar"),
+        "day",
         "value",
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"),
     )
-    return o.groupBy("event_type", "bar").agg(
-        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias(
-            "open"
-        ),
-        F.round(F.max("value"), 4).alias("high"),
-        F.round(F.min("value"), 4).alias("low"),
-        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias(
-            "close"
-        ),
-        F.count(F.lit(1)).alias("n_ticks"),
+    # Group on the raw day value the windows partitioned by — not its
+    # formatted string — so the aggregate's required distribution is
+    # already satisfied and no second Exchange is planned (asserted in
+    # tests/test_plans.py); the bar label is formatted after the reduce.
+    return (
+        o.groupBy("event_type", "day")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4
+            ).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4
+            ).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("bar"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
     )

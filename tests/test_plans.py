@@ -178,3 +178,10 @@ def test_bloom_filter_injects_at_scale_thresholds(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ohlc_single_exchange(spark):
+    # The two window passes and the bar aggregate share one (type, day)
+    # hash partitioning — exactly one Exchange in the whole plan.
+    plan = _plan(spark, "q_win_ohlc_resample")
+    assert plan.count("Exchange") == 1, plan[:3000]
