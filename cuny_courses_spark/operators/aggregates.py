@@ -455,3 +455,115 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.q").alias("quantile"),
         F.round(F.col("p.v"), 4).alias("value"),
     )
+
+
+@register(
+    "q_agg_corr_exact",
+    oracle="""
+WITH m AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+                    * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_qty_price
+FROM m
+""",
+)
+def q_agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per returnflag, computed
+    from EXACT integer co-moments — not the built-in ``corr``, whose
+    streaming co-moment accumulation is merge-order-dependent and can't
+    hash-match an oracle. All five sums run on exact cents images
+    (order-independent integers through decimal(38,0)); the final formula
+    is a fixed sequence of IEEE double ops on identical inputs, so both
+    engines round identically at 4 dp. Same single-pass map-side-combined
+    shape as any groupBy — the scale behavior of built-in corr with the
+    determinism of integer arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    x = fp("l_quantity")
+    y = fp("l_extendedprice")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            4,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "q_agg_outlier_mad",
+    oracle="""
+WITH med AS (
+    SELECT event_type, median(value) AS med
+    FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, abs(e.value - m.med) AS d, m.med
+    FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+    SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n,
+       CAST(count(*) FILTER (WHERE d.d > 3 * mad.mad) AS BIGINT) AS n_outliers,
+       round(max(d.med), 4) AS med,
+       round(max(mad.mad), 4) AS mad
+FROM dev d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+""",
+)
+def q_agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per
+    event_type, flag values whose |v − median| exceeds 3·MAD — the
+    DQ-pipeline anomaly gate that survives heavy tails where mean/stddev
+    z-scores break. Exact interpolated medians (``percentile``) agree
+    bit-for-bit with DuckDB's ``median`` on doubles (same lerp of the two
+    middle order statistics — the q_agg_stats contract), and the deviation
+    arithmetic is identical IEEE ops on identical inputs.
+
+    Plan: two grouped exact medians (per-partition sort of a bounded
+    per-type slice) with the small per-type statistics broadcast back —
+    the fact table is scanned twice but shuffled only on event_type; at
+    100 TB the exact median swaps for approx_percentile (q_agg_approx_
+    quantile) with the identical plan shape."""
+    e = load(spark, sf_dir, "events")
+    m1 = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    d = e.join(F.broadcast(m1), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    m2 = d.groupBy("event_type").agg(F.percentile("d", 0.5).alias("mad"))
+    j = d.join(F.broadcast(m2), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("d") > 3 * F.col("mad"), 1))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max("med"), 4).alias("med"),
+        F.round(F.max("mad"), 4).alias("mad"),
+    )

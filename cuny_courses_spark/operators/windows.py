@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cuny_courses_spark.common import DEC, fmt_date, r4
+from cuny_courses_spark.common import DEC, fmt_date, fp, r4
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import load
 
@@ -458,4 +458,56 @@ def q_win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close",
             "n_ticks",
         )
+    )
+
+
+@register(
+    "q_win_share_of_total",
+    oracle="""
+WITH rev AS (
+    SELECT n_name, r_name,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+)
+SELECT n_name, r_name,
+       round(CAST(bal AS DOUBLE) / 100.0, 4) AS nation_bal,
+       round(CAST(bal AS DOUBLE)
+             / CAST(sum(bal) OVER (PARTITION BY r_name) AS DOUBLE), 4)
+           AS share_of_region
+FROM rev
+""",
+)
+def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report): each nation's account-balance share
+    within its region — grouped aggregate followed by a window sum over the
+    PARTIAL results. The scale point: the window runs over the ~|nations|
+    aggregated rows, never the raw fact table, so the second pass is free;
+    sums are exact cents integers, and the share divides two doubles
+    derived from identical integers (4 dp stable both engines)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(fp("c_acctbal").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("bal")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "n_name",
+        "r_name",
+        F.round(F.col("bal").cast("double") / 100.0, 4).alias("nation_bal"),
+        F.round(
+            F.col("bal").cast("double")
+            / F.sum("bal").over(w).cast("double"),
+            4,
+        ).alias("share_of_region"),
     )
