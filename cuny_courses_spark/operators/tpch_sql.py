@@ -167,3 +167,60 @@ def q_sql_q19_composite_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan, one join, residual disjunction evaluated post-join (Catalyst
     extracts the common p_partkey equi-key; no union-of-scans rewrite)."""
     return run_sql(spark, sf_dir, _Q19)
+
+
+_REC_TREE = """
+WITH RECURSIVE tree AS (
+    SELECT n_nationkey AS node, n_name, CAST(0 AS BIGINT) AS depth,
+           CAST(n_nationkey AS STRING) AS path
+    FROM nation WHERE n_nationkey = 0
+    UNION ALL
+    SELECT n.n_nationkey, n.n_name, t.depth + 1,
+           t.path || '/' || CAST(n.n_nationkey AS STRING)
+    FROM nation n JOIN tree t
+      ON CAST(floor((n.n_nationkey - 1) / 2) AS BIGINT) = t.node
+     AND n.n_nationkey > 0
+)
+SELECT node, n_name, depth, path FROM tree
+"""
+
+
+@register("q_sql_recursive_hierarchy", oracle=_REC_TREE)
+def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE hierarchy walk (Spark 4 `WITH RECURSIVE`): treat
+    nation keys as an implicit binary tree (parent = ⌊(k−1)/2⌋) and
+    materialize every node's depth and root-to-node path — the org-chart /
+    BOM-expansion query shape, executed from ONE SQL text on both engines.
+    Notes for portability: `CAST(... AS STRING)` (DuckDB aliases STRING to
+    VARCHAR; Spark rejects bare VARCHAR), and the parent expression uses
+    floor()+CAST because `/` is float division in both dialects while
+    bare-CAST rounding differs. At scale Spark executes each recursion
+    level as a join against the previous level's frame — the same
+    iterative-join plan q_graph_pagerank builds manually, here planned by
+    the engine."""
+    return run_sql(spark, sf_dir, _REC_TREE)
+
+
+_LATERAL = """
+SELECT r.r_name, l.n_name, l.n_customers
+FROM region r, LATERAL (
+    SELECT n.n_name, count(*) AS n_customers
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    ORDER BY n_customers DESC, n.n_name ASC
+    LIMIT 2
+) l
+"""
+
+
+@register("q_sql_lateral_topk", oracle=_LATERAL)
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT: top-2
+    nations by customer count for EACH region — the "top-N per entity via
+    lateral" idiom, one SQL text on both engines. Catalyst decorrelates
+    the lateral into a window/aggregate plan (no per-outer-row
+    re-execution), so it scales like q_win_topk_per_group rather than a
+    nested loop; the ORDER BY carries a name tiebreak for deterministic
+    LIMIT."""
+    return run_sql(spark, sf_dir, _LATERAL)
