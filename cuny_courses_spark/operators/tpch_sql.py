@@ -224,3 +224,262 @@ def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested loop; the ORDER BY carries a name tiebreak for deterministic
     LIMIT."""
     return run_sql(spark, sf_dir, _LATERAL)
+
+
+_Q3 = f"""
+SELECT l_orderkey, {_REV} AS revenue, o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q_sql_q3_shipping_priority", oracle=_Q3)
+def q_sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue top-10 for one market
+    segment — 3-way join, group by order, TakeOrderedAndProject. The
+    revenue sort key is the exact-cents rounded image (identical in both
+    engines), with date+key tiebreaks so the LIMIT cut is total-ordered.
+    Scale: customer(segment) and orders(date) filters prune before the
+    lineitem shuffle; the final top-k never materializes a full sort."""
+    return run_sql(spark, sf_dir, _Q3)
+
+
+_Q5 = f"""
+SELECT n_name, {_REV} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+@register("q_sql_q5_local_volume", oracle=_Q5)
+def q_sql_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation in one region —
+    the 6-way join whose supplier join carries a SECOND equi-condition
+    (c_nationkey = s_nationkey, the "local" constraint) folded into the
+    join key, not a post-filter. nation/region broadcast; the fact chain
+    shuffles once per key."""
+    return run_sql(spark, sf_dir, _Q5)
+
+
+_Q8 = f"""
+SELECT o_year,
+       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+FROM (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {_EP} * (100 - {_DISC}) AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q_sql_q8_mkt_share", oracle=_Q8)
+def q_sql_q8_mkt_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a part type in a
+    region, by year — 8-way join with nation joined twice under different
+    roles. Both numerator and denominator are exact integer sums; the
+    share is ONE float division at the end (deterministic both engines).
+    The conditional sum is a map-side partial aggregate — no second pass
+    over the join output."""
+    return run_sql(spark, sf_dir, _Q8)
+
+
+_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q_sql_q13_cust_distribution", oracle=_Q13)
+def q_sql_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer — LEFT
+    join with a filter INSIDE the join condition (customers with zero
+    qualifying orders must survive with c_count=0; a WHERE would drop
+    them), then a second aggregation over the first's output. Two
+    shuffles by construction (custkey, then c_count); the second input is
+    one row per customer, tiny at any scale."""
+    return run_sql(spark, sf_dir, _Q13)
+
+
+_Q15 = f"""
+WITH revenue0 AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum({_EP} * (100 - {_DISC})) AS BIGINT) AS total_fixed
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total_fixed AS DOUBLE) / 1e4, 4) AS total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_fixed = (SELECT max(total_fixed) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+@register("q_sql_q15_top_supplier", oracle=_Q15)
+def q_sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    a CTE referenced twice (once as the join input, once under a scalar
+    max subquery). The max comparison runs on the BIGINT fixed-point
+    total, so revenue ties are exact, not float-fuzzy; Spark plans the
+    scalar subquery as a broadcast of one row. ORDER BY s_suppkey makes
+    multi-supplier ties deterministic."""
+    return run_sql(spark, sf_dir, _Q15)
+
+
+_Q17 = f"""
+SELECT round(CAST(sum({_EP}) AS DOUBLE) / 1e4 / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS pk, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+      FROM lineitem GROUP BY l_partkey) pa
+  ON pa.pk = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+  AND 5 * CAST(l_quantity AS BIGINT) * pa.n < pa.s
+"""
+
+
+@register("q_sql_q17_small_qty_revenue", oracle=_Q17)
+def q_sql_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    classic correlated `l_quantity < 0.2 * avg(per part)` written as a
+    per-part aggregate join with the comparison cross-multiplied into
+    integers (5·qty·n < Σqty): no float avg, so the cut is bit-exact in
+    both engines. Quantities are integer-valued by fixture contract
+    (FIXTURES.md). This is exactly the decorrelated plan Catalyst would
+    produce from the subquery form, stated explicitly."""
+    return run_sql(spark, sf_dir, _Q17)
+
+
+_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+@register("q_sql_q18_volume_customer", oracle=_Q18)
+def q_sql_q18_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (total quantity > 300) with
+    their customers — IN over a grouped HAVING subquery plans as a
+    left-semi join against the pre-aggregated keys (the aggregate runs
+    once, not per probe row). o_totalprice passes through raw (same
+    parquet double both engines); the ORDER BY sorts its exact cents
+    image with a key tiebreak so the LIMIT is total-ordered."""
+    return run_sql(spark, sf_dir, _Q18)
+
+
+_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND n_name = 'NATION_1'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
+@register("q_sql_q21_waiting_supplier", oracle=_Q21)
+def q_sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order — EXISTS + NOT EXISTS, both correlated,
+    the NOT EXISTS additionally referencing a second outer table's column
+    (o_orderdate). "Late" is l_shipdate > o_orderdate + 30 days (the slim
+    schema has no commit/receipt dates — SURVEY §1.3). Spark plans the
+    pair as left-semi + left-anti joins on l_orderkey; counts are exact
+    so the oracle is integer-stable."""
+    return run_sql(spark, sf_dir, _Q21)
+
+
+_CENTS_BAL = "CAST(round(c_acctbal * 100) AS BIGINT)"
+
+_Q22 = f"""
+SELECT c_nationkey AS cntry, count(*) AS numcust,
+       round(CAST(CAST(sum({_CENTS_BAL}) AS BIGINT) AS DOUBLE) / 100, 2)
+           AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9)
+  AND {_CENTS_BAL}
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      > (SELECT CAST(sum({_CENTS_BAL}) AS BIGINT)
+         FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("q_sql_q22_dormant_balance", oracle=_Q22)
+def q_sql_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with no recent orders, by
+    country — two uncorrelated scalar subqueries (count + sum broadcast
+    once) and a correlated NOT EXISTS (left-anti join on o_custkey). The
+    above-average test is cross-multiplied into exact cents integers
+    (cents·n > Σcents) — no float average, no rounding boundary. The
+    recency window replaces the original's "no orders at all" (which is
+    near-empty on these fixtures); DuckDB's HUGEINT sum is cast back to
+    BIGINT per the §1.3 contract."""
+    return run_sql(spark, sf_dir, _Q22)
