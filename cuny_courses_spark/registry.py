@@ -36,6 +36,7 @@ _OPERATOR_MODULES = [
     "cuny_courses_spark.operators.aggregates",   # §2 D
     "cuny_courses_spark.operators.reshape",      # §2 D-ext (pivot/unpivot)
     "cuny_courses_spark.operators.windows",      # §2 E
+    "cuny_courses_spark.operators.timeseries",   # §2 E-ext (sessionize/gapfill)
     "cuny_courses_spark.operators.sorts",        # §2 F
     "cuny_courses_spark.operators.sets",         # §2 G
     "cuny_courses_spark.functions.scalar",       # §2 H

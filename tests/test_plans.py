@@ -185,3 +185,19 @@ def test_ohlc_single_exchange(spark):
     # hash partitioning — exactly one Exchange in the whole plan.
     plan = _plan(spark, "q_win_ohlc_resample")
     assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_sessionize_single_exchange(spark):
+    # lag → running-sum window and the session aggregate all run under one
+    # HashPartitioning(user_id): the groupBy(user_id, session_id) keys are
+    # a superset of the window partition key, so no second shuffle.
+    plan = _plan(spark, "q_ts_sessionize")
+    assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_gapfill_spine_is_explode_not_loop(spark):
+    # The calendar spine comes from sequence()+explode (Generate node),
+    # never a driver-side loop or a cross join against a range table.
+    plan = _plan(spark, "q_ts_gapfill_locf")
+    assert "Generate explode" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
