@@ -483,3 +483,162 @@ def q_sql_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-empty on these fixtures); DuckDB's HUGEINT sum is cast back to
     BIGINT per the §1.3 contract."""
     return run_sql(spark, sf_dir, _Q22)
+
+
+_Q2 = """
+WITH offers AS (
+    SELECT l_partkey, l_suppkey,
+           min(CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT))
+               AS unit_cents
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, o.unit_cents
+FROM part
+JOIN offers o ON o.l_partkey = p_partkey
+JOIN supplier ON s_suppkey = o.l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+  AND o.unit_cents = (SELECT min(o2.unit_cents)
+                      FROM offers o2
+                      JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+                      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                      WHERE o2.l_partkey = p_partkey
+                        AND r2.r_name = 'EUROPE')
+ORDER BY p_partkey ASC, s_suppkey ASC
+LIMIT 100
+"""
+
+
+@register("q_sql_q2_min_cost_supplier", oracle=_Q2)
+def q_sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional supplier per part — the slim
+    schema has no partsupp, so observed unit prices from lineitem stand in
+    (min cents-per-unit per (part, supplier); one double divide + round,
+    same IEEE sequence both engines). The correlated scalar-min subquery
+    re-traverses the same offers CTE with the region restriction — Catalyst
+    decorrelates it into an aggregate-join, the canonical Q2 plan."""
+    return run_sql(spark, sf_dir, _Q2)
+
+
+_Q9 = f"""
+SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_REV} AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY supp_nation, o_year
+ORDER BY supp_nation ASC, o_year DESC
+"""
+
+
+@register("q_sql_q9_product_profit", oracle=_Q9)
+def q_sql_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name substring (no ps_supplycost on the slim schema —
+    profit is discounted revenue). The LIKE filter prunes the part build
+    side before the fact join; the 5-way join shares one l_orderkey /
+    l_suppkey / l_partkey shuffle chain."""
+    return run_sql(spark, sf_dir, _Q9)
+
+
+_Q11 = f"""
+WITH pv AS (
+    SELECT l_partkey, CAST(sum({_EP}) AS BIGINT) AS val
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS p_key, round(CAST(val AS DOUBLE) / 100, 2) AS value
+FROM pv
+WHERE val * 1000 > (SELECT CAST(sum(val) AS BIGINT) FROM pv)
+ORDER BY val DESC, p_key ASC
+"""
+
+
+@register("q_sql_q11_important_parts", oracle=_Q11)
+def q_sql_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose single-nation traded value exceeds
+    0.1% of that nation's total — the HAVING-against-global-scalar
+    pattern, cross-multiplied into exact cents (val·1000 > Σval: no float
+    threshold). The CTE is referenced twice; the scalar total broadcasts
+    as one row."""
+    return run_sql(spark, sf_dir, _Q11)
+
+
+_Q12 = """
+SELECT l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'N')
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ship_class
+ORDER BY ship_class
+"""
+
+
+@register("q_sql_q12_priority_by_class", oracle=_Q12)
+def q_sql_q12_priority_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: urgent vs non-urgent order counts per shipment
+    class (returnflag stands in for the absent shipmode column) — join +
+    dual conditional count, computed in ONE pass over the join output
+    (map-side partials; no second scan for the second counter)."""
+    return run_sql(spark, sf_dir, _Q12)
+
+
+_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+@register("q_sql_q16_supplier_cnt", oracle=_Q16)
+def q_sql_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    excluding a brand, a type prefix, and blacklisted suppliers (negative
+    balance stands in for the complaints filter). NOT IN over a non-null
+    key column plans as a null-aware anti join; count(DISTINCT) expands to
+    a two-level aggregate — both engines agree exactly on counts."""
+    return run_sql(spark, sf_dir, _Q16)
+
+
+_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+ORDER BY s_suppkey
+"""
+
+
+@register("q_sql_q20_excess_shippers", oracle=_Q20)
+def q_sql_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who moved > 50 units of
+    name-matched parts in a year (shipped quantity stands in for the
+    absent partsupp availability). IN-over-grouped-HAVING plans as an
+    aggregate then left-semi join; quantity sums are integer-exact."""
+    return run_sql(spark, sf_dir, _Q20)
