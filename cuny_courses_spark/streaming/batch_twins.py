@@ -223,3 +223,28 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "sum_value"),
         )
     )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, run as a REAL streaming job (file
+    replay, AvailableNow) and hash-oracled against the batch SQL join:
+    click→purchase attribution per user within a 1-hour horizon. Bounded
+    replay + a beyond-span watermark make the append-mode match set
+    deterministic (module runner.py docstring); timestamps compare in
+    integer µs on both engines. This is the strongest check in the §2 L
+    family — not a batch twin, the actual symmetric-hash streaming join
+    verified value-exact against DuckDB."""
+    from cuny_courses_spark.streaming.runner import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)

@@ -167,3 +167,50 @@ def run_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq.write_table(late, src_dir / "001_late.parquet")
     run_once()
     return spark.read.parquet(str(sink))
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stream-stream inner join on file replay: click→purchase
+    attribution per user within [click.ts, click.ts + 1 h).
+
+    Both sides are watermarked past the bounded stream's span, so no state
+    is evicted mid-replay and the emitted append-mode match set is exactly
+    the batch join — each match emits once when the later side arrives,
+    and Trigger.AvailableNow drains every pending match before stopping.
+    At scale the watermark delay is the product decision: state per side
+    is bounded by (rows within watermark horizon), keyed and shuffled on
+    user_id.
+    """
+    replay = chronological_replay_dir(sf_dir, n_files=4)
+    clicks = (
+        read_stream(spark, replay)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "31 days")
+    )
+    purchases = (
+        read_stream(spark, replay)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "31 days")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts < clicks.c_ts + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    return run_to_memory(joined, output_mode="append")
