@@ -633,3 +633,84 @@ def q_etl_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'date_out_of_range', date_out_of_range, "
         "'bad_status', bad_status) AS (rule, violations)"
     ).selectExpr("rule", "CAST(violations AS BIGINT) AS violations")
+
+
+@register(
+    "q_etl_snapshot_diff",
+    oracle="""
+WITH v1 AS (
+    SELECT o_orderkey, o_orderstatus AS st,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS tp
+    FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+), v2 AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                THEN 'F' ELSE o_orderstatus END AS st,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS tp
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+      AND o_orderstatus <> 'P'
+)
+SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+            WHEN v2.o_orderkey IS NULL THEN 'removed'
+            WHEN v1.st <> v2.st OR v1.tp <> v2.tp THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       count(*) AS n,
+       CAST(sum(COALESCE(v1.o_orderkey, v2.o_orderkey)) AS BIGINT) AS key_sum
+FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+GROUP BY change_type
+""",
+)
+def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC derivation: compare two table versions by
+    primary key and classify every key as added / removed / changed /
+    unchanged, with counts and a key checksum per class. v1 = orders
+    before 2000; v2 = a later cutoff with early orders force-finalized
+    (simulated update) and 'P' rows dropped (simulated delete) — so all
+    four classes are non-empty on real fixture data. One full outer join
+    on the key; values compare on the exact-cents image. At 100 TB this
+    is the incremental-ingest reconciliation pattern: both sides shuffle
+    once on the key, AQE splits skewed keys, and the classifier is a
+    narrow projection over the joined row."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("st1"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("tp1"),
+    )
+    v2 = (
+        o.filter(
+            (F.col("o_orderdate") < F.lit("2000-07-01").cast("timestamp"))
+            & (F.col("o_orderstatus") != "P")
+        )
+        .select(
+            F.col("o_orderkey").alias("k2"),
+            F.when(
+                F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), "F"
+            )
+            .otherwise(F.col("o_orderstatus"))
+            .alias("st2"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("tp2"),
+        )
+    )
+    j = v1.join(v2, v1.o_orderkey == v2.k2, "full")
+    change = (
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(
+            (F.col("st1") != F.col("st2")) | (F.col("tp1") != F.col("tp2")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            change.alias("change_type"),
+            F.coalesce("o_orderkey", "k2").alias("key"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("key").cast("long").alias("key_sum"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""§2 H-ext — Reproducible dataset splitting and class balancing.
+
+Training-pipeline primitives over the documents/embeddings tables: split
+assignment and per-class downsampling must be pure functions of the row
+key (never rand()/sample()) so that 100 TB splits are auditable,
+re-runnable, and incrementally maintainable — a new row's split is
+decided without touching any other row, and no engine/partitioning change
+moves a row between splits. The portable hash is the engine-wide
+md5-prefix contract (q_sample_hash_stratified): ``md5(key || salt)[0:8]``
+parsed as an integer is identical in Spark and DuckDB.
+
+Scale: split assignment is a narrow map (no shuffle at all — the groupBy
+here exists only to emit auditable counts); class balancing is one
+shuffle on the label plus a bounded per-label sort, with the minority
+size broadcast as a one-row scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuny_courses_spark.registry import register
+from cuny_courses_spark.sources.loaders import load
+
+
+def _bucket(key: F.Column, salt: str, mod: int) -> F.Column:
+    """Portable deterministic bucket: md5-prefix integer of key||salt."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
+def _o_bucket(key_expr: str, salt: str, mod: int) -> str:
+    """DuckDB twin of _bucket()."""
+    return (
+        f"('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 8))"
+        f"::BIGINT % {mod}"
+    )
+
+
+@register(
+    "q_sample_train_test_split",
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id, lang,
+           {_o_bucket('doc_id', '|split7', 100)} AS bkt
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN bkt < 80 THEN 'train'
+            WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM b GROUP BY lang, split
+""",
+)
+def q_sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key hash, with
+    per-(lang, split) counts and an id checksum for audit. Assignment is
+    a narrow projection — a row's split never depends on other rows, so
+    adding documents never reshuffles existing splits (the property
+    rand()-based randomSplit cannot give you)."""
+    d = load(spark, sf_dir, "documents")
+    bkt = _bucket(F.col("doc_id"), "|split7", 100)
+    split = (
+        F.when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+@register(
+    "q_sample_balance_classes",
+    oracle=f"""
+WITH k AS (
+    SELECT min(cnt) AS k
+    FROM (SELECT count(*) AS cnt FROM embeddings GROUP BY label)
+), r AS (
+    SELECT label, vec_id,
+           row_number() OVER (
+               PARTITION BY label
+               ORDER BY {_o_bucket('vec_id', '|bal', 1000000007)}, vec_id
+           ) AS rn
+    FROM embeddings
+)
+SELECT label, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM r, k WHERE rn <= k.k
+GROUP BY label
+""",
+)
+def q_sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing by deterministic undersampling: every label keeps
+    exactly minority-class-size rows, chosen by portable-hash order (a
+    uniform, reproducible, engine-independent shuffle of each class).
+    The minority size is a one-row scalar aggregate cross-joined
+    (broadcast) onto the ranked rows; ranking is one shuffle on label
+    with per-label bounded sort. Emits per-label counts + id checksum."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    k = e.groupBy("label").count().agg(F.min("count").alias("k"))
+    w = Window.partitionBy("label").orderBy(
+        _bucket(F.col("vec_id"), "|bal", 1_000_000_007), "vec_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vec_id").cast("long").alias("id_sum"),
+        )
+    )

@@ -37,6 +37,7 @@ _OPERATOR_MODULES = [
     "cuny_courses_spark.operators.reshape",      # §2 D-ext (pivot/unpivot)
     "cuny_courses_spark.operators.windows",      # §2 E
     "cuny_courses_spark.operators.timeseries",   # §2 E-ext (sessionize/gapfill)
+    "cuny_courses_spark.operators.sampling",     # §2 H-ext (splits/balancing)
     "cuny_courses_spark.operators.sorts",        # §2 F
     "cuny_courses_spark.operators.sets",         # §2 G
     "cuny_courses_spark.functions.scalar",       # §2 H

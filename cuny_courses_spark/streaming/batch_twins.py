@@ -248,3 +248,24 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuny_courses_spark.streaming.runner import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "q_stream_arbitrary_state",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_arbitrary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state as a REAL streaming job, hash-oracled: a
+    custom (count, min, max) state machine via applyInPandasWithState
+    over file replay, final emission per user compared value-exact
+    against the batch aggregate (runner.run_arbitrary_state docstring).
+    State is one fixed-width tuple per user — memory bounded by
+    |users|, not stream length — and the state shuffle is the same
+    user_id hash partitioning the batch groupBy uses."""
+    from cuny_courses_spark.streaming.runner import run_arbitrary_state
+
+    return run_arbitrary_state(spark, sf_dir)

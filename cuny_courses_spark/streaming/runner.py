@@ -214,3 +214,58 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
     return run_to_memory(joined, output_mode="append")
+
+
+def run_arbitrary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real arbitrary-stateful streaming (applyInPandasWithState; the
+    newer transformWithStateInPandas needs protobuf, absent here): one
+    (count, min, max) state per user, re-emitted on every micro-batch the
+    user appears in. Returns only each user's FINAL emission (count
+    strictly increases per emission, so max-count row_number = 1 picks
+    it) — which must equal the batch aggregate. State uses only exact
+    ops (int count, min/max pass-through), so the result is value-exact
+    regardless of batch boundaries."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    replay = chronological_replay_dir(sf_dir, n_files=4)
+
+    def track(key, pdfs, state):
+        n, vmin, vmax = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                lo, hi = float(pdf["value"].min()), float(pdf["value"].max())
+                vmin = lo if vmin is None else min(vmin, lo)
+                vmax = hi if vmax is None else max(vmax, hi)
+        state.update((n, vmin, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "vmin": [vmin], "vmax": [vmax]}
+        )
+
+    emissions = (
+        read_stream(spark, replay)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, vmin double, vmax double",
+            stateStructType="n long, lo double, hi double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = run_to_memory(emissions, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("vmin", 4).alias("vmin"),
+            F.round("vmax", 4).alias("vmax"),
+        )
+    )
