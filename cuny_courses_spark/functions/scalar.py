@@ -329,3 +329,44 @@ def q_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return e.select("event_id", F.explode(m).alias("key", "value"))
+
+
+@register(
+    "q_variant_shred",
+    oracle="""
+WITH inj AS (
+    SELECT props FROM events
+    UNION ALL
+    SELECT 'not json' FROM events WHERE event_id < 50
+)
+SELECT CASE WHEN json_valid(props)
+            THEN CAST(json_extract(props, '$.k') AS BIGINT) % 10 END AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CASE WHEN json_valid(props)
+                     THEN CAST(json_extract(props, '$.k') AS BIGINT) END)
+            AS BIGINT) AS sum_k
+FROM inj
+GROUP BY k_bucket
+""",
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through the Spark 4 VARIANT type:
+    ``try_parse_json`` (NULL on malformed input — 50 injected junk rows
+    land in the NULL bucket, never fail the job) → ``variant_get`` typed
+    shredding → aggregate. VARIANT keeps the parsed binary form, so
+    repeated path access avoids text re-parsing — at 100 TB the parse
+    cost is paid once per row, not once per extracted field; the DuckDB
+    oracle guards with json_valid to match try_parse_json's tolerance."""
+    e = load(spark, sf_dir, "events")
+    inj = e.select("props").unionByName(
+        e.filter(F.col("event_id") < 50).select(F.lit("not json").alias("props"))
+    )
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    return (
+        inj.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )

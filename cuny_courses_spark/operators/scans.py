@@ -181,3 +181,37 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n"), fpsum(fp("o_totalprice"), 2, "total")
     )
+
+
+@register(
+    "q_scan_python_datasource",
+    oracle="""
+SELECT CAST(id % 7 AS BIGINT) AS bucket, count(*) AS n,
+       CAST(sum(id * id) AS BIGINT) AS sum_sq,
+       min(concat('row-', CAST(id AS VARCHAR))) AS min_label
+FROM range(10000) t(id)
+GROUP BY bucket
+""",
+)
+def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python Data Source API
+    (sources/pyds.py): a deterministic generator source planned as 8
+    InputPartitions — each task generates only its slice (no driver
+    materialization), then a normal distributed aggregate on top. The
+    DuckDB oracle regenerates the same rows from range(); sf_dir is
+    unused (the source is external by construction, like the REST/feed
+    connectors it models)."""
+    from cuny_courses_spark.sources.pyds import ensure_registered
+
+    ensure_registered(spark)
+    df = spark.read.format("seqgen").option("n", 10000).option("partitions", 8).load()
+    return (
+        df.groupBy((F.col("id") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("square").cast("long").alias("sum_sq"),
+            F.min(F.concat(F.lit("row-"), F.col("id").cast("string"))).alias(
+                "min_label"
+            ),
+        )
+    )

@@ -1,0 +1,68 @@
+"""§2 A-ext — custom connector via the Spark 4 Python Data Source API.
+
+The reference ships pluggable source connectors (CSV exports, HTTP-ish
+feeds — SURVEY §2 A); Spark 4's ``pyspark.sql.datasource`` is the
+idiomatic extension point for a source Spark lacks natively. This module
+implements a deterministic generator source ("seqgen") demonstrating the
+full surface: options, schema declaration, partition planning (the source
+reports P ``InputPartition``s, so the scan parallelizes across executors
+with NO driver materialization — each task generates only its slice), and
+per-partition iteration.
+
+The same shape carries a real paginated-API or message-feed connector at
+100 TB: partitions = page ranges / shard ids, ``read`` streams one
+partition's rows, and Spark handles distribution, retries, and the
+downstream plan. Rows are generated lazily per partition — memory is O(1)
+per task regardless of n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _SeqPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _SeqReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.p = int(options.get("partitions", "8"))
+
+    def partitions(self):
+        step = (self.n + self.p - 1) // self.p
+        return [
+            _SeqPartition(i, min(i + step, self.n))
+            for i in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _SeqPartition):
+        for i in range(partition.start, partition.end):
+            yield (i, i * i, f"row-{i}")
+
+
+class SeqDataSource(DataSource):
+    """``spark.read.format("seqgen").option("n", N)`` → (id, square, label)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "seqgen"
+
+    def schema(self) -> str:
+        return "id bigint, square bigint, label string"
+
+    def reader(self, schema) -> _SeqReader:
+        return _SeqReader(self.options)
+
+
+_REGISTERED: set[int] = set()
+
+
+def ensure_registered(spark) -> None:
+    """Idempotent per-session registration of the seqgen source."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(SeqDataSource)
+        _REGISTERED.add(key)
