@@ -112,3 +112,59 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return r.select("node", F.col("r").alias("rank"))
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+WITH pe AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WHERE a.l_partkey IN (SELECT p_partkey FROM pe)
+      AND b.l_partkey IN (SELECT p_partkey FROM pe)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       (SELECT count(*) FROM e) AS n_edges
+FROM e e1
+JOIN e e2 ON e1.v = e2.u
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (motif analytics) on the part co-purchase graph:
+    parts sharing an order are adjacent; count closed triples among
+    small parts (p_size ≤ 5 bounds the subgraph). Edges are canonically
+    oriented u < v, so each triangle is counted EXACTLY once and the
+    wedge join e1(u,v)⋈e2(v,w) enumerates only id-increasing paths —
+    the standard orientation trick that turns O(Σdeg²) into the
+    out-degree-bounded form. At 100 TB: the edge list is the distinct
+    pair set (hash aggregate), wedges shuffle on the shared middle
+    vertex, and the closing-edge probe is a hash join on (u, w); skewed
+    hub vertices are the known hazard — a degree-ordered orientation
+    (orient from lower- to higher-degree endpoint) caps out-degree by
+    graph degeneracy and is the documented scale upgrade."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    small = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select("p_partkey")
+    lis = li.join(
+        F.broadcast(small), li.l_partkey == small.p_partkey
+    ).select("l_orderkey", "l_partkey")
+    a = lis.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = lis.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, ["o"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    wedges = e1.join(e2, "v")
+    tris = wedges.join(
+        e3, (wedges.u == e3.u3) & (wedges.w == e3.w3)
+    )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
