@@ -39,7 +39,7 @@ from pathlib import Path
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cuny_courses_spark.plans.plan_cache import enabled as plan_cache_enabled  # noqa: E402
-from cuny_courses_spark.registry import queries  # noqa: E402
+from cuny_courses_spark.registry import oracles, queries  # noqa: E402
 from cuny_courses_spark.session import get_session  # noqa: E402
 
 # The six BASELINE.md headline queries (SURVEY §6).
@@ -117,6 +117,33 @@ def main() -> None:
         per_query[name] = round(best, 4)
 
     total = round(sum(per_query.values()), 4)
+
+    # Same-conditions baseline: run each headline query's DuckDB oracle
+    # back-to-back in this process, same files, same machine load, same
+    # warm-up + best-of-5 method. Absolute seconds fluctuate ±30-50 % with
+    # background load on this host (BASELINE.md), inflating BOTH engines
+    # alike — the per-round ratio below is the load-fair signal the
+    # idle-machine BASELINE.md table can't give a loaded run.
+    duck_query: dict[str, float] = {}
+    try:
+        from cuny_courses_spark.oracle import duck_con
+
+        con = duck_con(sf_dir)
+        os_ = oracles()
+        for _ in range(2):  # warm-up laps (page cache, plan cache)
+            for name in HEADLINE:
+                con.execute(os_[name]).fetchall()
+        for name in HEADLINE:
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                con.execute(os_[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_query[name] = round(best, 4)
+    except Exception:
+        duck_query = {}  # Spark side still reports; ratio just absent
+    duck_total = round(sum(duck_query.values()), 4) if duck_query else None
+
     print(
         json.dumps(
             {
@@ -131,6 +158,11 @@ def main() -> None:
                     else "original"
                 ),
                 "plan_cache": plan_cache_enabled(),
+                "duckdb_queries": duck_query,
+                "duckdb_suite_sec": duck_total,
+                "ratio_vs_duckdb": (
+                    round(total / duck_total, 3) if duck_total else None
+                ),
             }
         )
     )
