@@ -1,0 +1,72 @@
+"""The large-input tuning path must be correct, not just the small one.
+
+tune_for_input (session.py) switches to AQE-on + 32 shuffle partitions
+above SMALL_INPUT_BYTES — the profile every real-scale run executes — but
+test data is megabytes, so nothing else in the suite ever runs that path.
+Forcing it here (SMALL_INPUT_BYTES = -1) and re-checking a shuffle-heavy
+query subset against the DuckDB oracle guards two things: that adaptive
+re-planning (coalescing, skew-join split, SMJ→BHJ conversion) preserves
+results bit-exactly, and that the switch itself actually flips at runtime
+on a session mid-lifetime (a driver-owned session is tuned per query, not
+per session).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import cuny_courses_spark.session as sess
+from cuny_courses_spark.oracle import compare
+from cuny_courses_spark.registry import oracles, queries
+from tests.conftest import SF_DIR
+
+_QS = queries()
+_OS = oracles()
+
+# Shuffle-heavy / AQE-sensitive representatives, one per plan family:
+# partial+final agg, fact-fact join + top-k, 6-way star, window dedup,
+# salted two-phase agg, inverted-index self-join, EXISTS/NOT-EXISTS
+# semi+anti, set difference, sliding-window twin, grouped similarity top-k.
+SCALE_SUBSET = [
+    "q_agg_groupby",
+    "q_limit_topk",
+    "q_join_star_multiway",
+    "q_win_latest_per_key",
+    "q_agg_salted_skew",
+    "q_dedup_near_jaccard",
+    "q_sql_q21_waiting_supplier",
+    "q_set_except",
+    "q_stream_sliding",
+    "q_sim_topk_per_query",
+]
+
+
+@pytest.fixture()
+def large_profile(monkeypatch):
+    # Every input now classifies as large → AQE on, 32 shuffle partitions.
+    monkeypatch.setattr(sess, "SMALL_INPUT_BYTES", -1)
+    # Plan cache entries built under the small profile would be reused for
+    # the same (query, sf_dir); analysis is conf-independent but this test
+    # must measure a build made under the large profile end to end.
+    monkeypatch.setenv("SPARK_GRAFT_NO_PLAN_CACHE", "1")
+    yield
+
+
+@pytest.mark.parametrize("name", SCALE_SUBSET)
+def test_large_profile_oracle_match(spark, duck, large_profile, name):
+    df = _QS[name](spark, SF_DIR)
+    # The tuner must have flipped this session to the adaptive profile.
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    sp = df.toPandas()
+    du = duck.execute(_OS[name]).df()
+    status, msg = compare(sp, du)
+    assert status == "PASS", f"{name} under AQE profile: {status} — {msg}"
+
+
+def test_profile_switches_back(spark, duck):
+    # A subsequent small-input query on the SAME session must re-tune down
+    # — per-query tuning, not sticky session state.
+    _QS["q_agg_groupby"](spark, SF_DIR).collect()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
