@@ -87,15 +87,35 @@ def _shingles() -> "F.Column":
     """Distinct 3-token shingles — the MinHash input. Token *sets* are
     useless on a 31-word shared vocabulary (71k of 125k pairs ≥ 0.6);
     shingles preserve order and isolate the ~24 planted near-dups
-    (measured: 25 pairs ≥ 0.6, next bin at 0.1)."""
+    (measured: 25 pairs ≥ 0.6, next bin at 0.1).
+
+    Built as arrays_zip of three slices of ONE split, not element_at(split,
+    i) inside the lambda: higher-order functions don't whole-stage-codegen,
+    so an embedded split() is re-evaluated PER ELEMENT in interpreted mode
+    (~100 re-splits per doc; with Catalyst's pushed-down Generate pruning
+    evaluating the whole expression twice more, the old form cost 12.7 s at
+    sf0.1 vs 247 ms for this one — measured, identical output). The whole
+    expression stays narrow: no shuffle to build shingles at any scale."""
     s = F.split(F.col("text"), " ")
+    k = F.greatest(F.size(s) - 2, F.lit(0))
+    z = F.arrays_zip(F.slice(s, 1, k), F.slice(s, 2, k), F.slice(s, 3, k))
     return F.array_distinct(
-        F.transform(
-            F.slice(s, 1, F.greatest(F.size(s) - 2, F.lit(0))),
-            lambda x, i: F.concat_ws(
-                " ", x, F.element_at(s, i + 2), F.element_at(s, i + 3)
-            ),
-        )
+        F.transform(z, lambda t: F.concat_ws(" ", t["0"], t["1"], t["2"]))
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as (doc_id, t: distinct shingles, n: |t|), with the shingle
+    expression materialized in its OWN projection: a single select computing
+    both ``sh`` and ``size(sh)`` evaluates the expression twice per row
+    (interpreted Project, no common-subexpression elimination for lambdas);
+    two stacked selects compute it once — CollapseProject declines to
+    re-inline a non-cheap expression referenced twice."""
+    sh = _shingles()
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", sh.alias("t"))
+        .select("doc_id", "t", F.size("t").alias("n"))
     )
 
 
@@ -136,15 +156,20 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     >x% of docs — they can't certify a 0.6-Jaccard pair alone) bounds the
     worst case. Never a nested-loop / crossJoin.
     """
-    sh = _shingles()
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", sh.alias("t"), F.size(sh).alias("n")
-    )
+    d = _doc_shingles(spark, sf_dir)
     tok = d.select("doc_id", F.explode("t").alias("s"))
+    # shuffle_hash, not the size-estimate's broadcast: both sides are the
+    # full postings relation (identical size — broadcast build buys nothing
+    # and serializes the whole index through the driver), and at 100 TB a
+    # shuffle on the shingle is the only correct distribution anyway; sort
+    # on shingle strings (SMJ) is pure overhead for an equi-count. Measured
+    # at sf0.1: 3.5 s broadcast → 1.4 s shuffle-hash for the pair counts.
     inter = (
         tok.select(F.col("doc_id").alias("doc_id_a"), "s")
         .join(
-            tok.select(F.col("doc_id").alias("doc_id_b"), "s"),
+            tok.select(F.col("doc_id").alias("doc_id_b"), "s").hint(
+                "shuffle_hash"
+            ),
             "s",
         )
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
@@ -208,10 +233,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hashes, n_bands, rows_per_band = 32, 16, 2
     coeffs = _minhash_coeffs(n_hashes)
 
-    sh = _shingles()
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", sh.alias("t"), F.size(sh).alias("n")
-    )
+    d = _doc_shingles(spark, sf_dir)
     # h mod p once, then each signature slot is min((a·h + b) mod p).
     hashed = d.withColumn(
         "hs", F.transform("t", lambda s: F.xxhash64(s) % _MERSENNE)
@@ -516,10 +538,7 @@ def near_dup_pairs_df_capped(
     corpus-ubiquitous shingles cannot certify a specific pair;
     tests assert bit-equality with q_dedup_near_jaccard on the fixtures.
     """
-    sh = _shingles()
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", sh.alias("t"), F.size(sh).alias("n")
-    )
+    d = _doc_shingles(spark, sf_dir)
     tok = d.select("doc_id", F.explode("t").alias("s"))
     n_docs = d.count()
     rare = (
@@ -531,7 +550,14 @@ def near_dup_pairs_df_capped(
     idx = tok.join(rare, "s")  # capped inverted index
     cand = (
         idx.select(F.col("doc_id").alias("doc_id_a"), "s")
-        .join(idx.select(F.col("doc_id").alias("doc_id_b"), "s"), "s")
+        # shuffle_hash for the same reason as q_dedup_near_jaccard: equal-
+        # sized sides, shingle-keyed shuffle is the scale distribution.
+        .join(
+            idx.select(F.col("doc_id").alias("doc_id_b"), "s").hint(
+                "shuffle_hash"
+            ),
+            "s",
+        )
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
         .distinct()
