@@ -567,3 +567,74 @@ def q_join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-plans this exact builder under lowered thresholds to assert the
     injection happens."""
     return build_selective_fact_join(spark, sf_dir)
+
+
+# ------------------------------------------------------- q_join_salted_skew
+
+
+@register(
+    "q_join_salted_skew",
+    oracle="""
+WITH t AS (
+    SELECT o_orderpriority AS p,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+               AS s,
+           count(*) AS c
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CASE WHEN CAST(round(o_totalprice * 100) AS HUGEINT) * c > s
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM orders JOIN t ON o_orderpriority = p
+GROUP BY o_orderpriority
+""",
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: orders ⋈ per-priority stats on
+    o_orderpriority — a 5-value join key, the worst-case skew shape (a
+    plain shuffle join funnels every row through ≤ 5 reducers no matter
+    the cluster size). The salt replicates the 5-row stats side 16× and
+    routes each fact row to (key, pmod(o_orderkey, 16)), bounding any
+    reducer's input to ~1/16 of a key's rows. Result is provably identical
+    to the unsalted join (every fact row still meets exactly one replica
+    of its key's stats row) — the oracle is the PLAIN join.
+
+    This is the portable skew plan for when the small side is too big to
+    broadcast and AQE skew-split isn't available (e.g. a non-AQE engine
+    boundary, or a skewed BUILD side AQE won't split); with AQE on, the
+    runtime split achieves the same bound adaptively
+    (tests/test_scale_profile.py exercises that profile). The above-mean
+    test is cross-multiplied into exact integers (cents·c > Σcents) — no
+    float average on either side; shuffle_hash hint keeps the join a real
+    shuffle so the salt path is what executes (broadcast would bypass it
+    at test scale).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", fp("o_totalprice").alias("cents")
+    )
+    stats = o.groupBy("o_orderpriority").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    salted_stats = stats.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(15)))
+    )
+    fact = o.withColumn("_salt", F.pmod("o_orderkey", F.lit(16)))
+    return (
+        fact.join(
+            salted_stats.hint("shuffle_hash"), ["o_orderpriority", "_salt"]
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.col("cents").cast("decimal(38,0)") * F.col("c")
+                    > F.col("s"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above"),
+        )
+    )

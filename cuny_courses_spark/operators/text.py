@@ -551,3 +551,117 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(((nt - nd) * 20000 + nt) div (2 * nt)) / 1e4 AS dup_token_ratio",
         "((top * 20000 + nb) div (2 * nb)) / 1e4 AS top_bigram_ratio",
     )
+
+
+# ----------------------------------------------------- q_text_pack_sequences
+
+
+@register(
+    "q_text_pack_sequences",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+    FROM documents
+), packed AS (
+    SELECT shard, doc_id, nt,
+           CAST((sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - nt) // 256
+                AS BIGINT) AS pack_id
+    FROM d
+)
+SELECT shard, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+FROM packed
+GROUP BY shard, pack_id
+""",
+)
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed-token-budget packs
+    (256 whitespace tokens), the batch-construction primitive that turns a
+    tokenized corpus into training sequences: pack_id = (tokens before this
+    doc in its shard) // budget, a contiguous greedy fill in doc_id order.
+
+    Scale design: packing is PER-SHARD (doc_id % 8), never a global running
+    sum — a global prefix-sum serializes the corpus through one ordering,
+    while per-shard packing is embarrassingly parallel and is what real
+    pipelines ship (shard count scales with the cluster; here 8 keeps the
+    oracle readable). Plan: one exchange on shard for the window; the
+    (shard, pack_id) re-aggregation reuses that partitioning (hash on a
+    prefix of the grouping keys co-locates every group — no second
+    exchange). All arithmetic integer-exact."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(8)).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn("cum", F.sum("nt").over(w)).selectExpr(
+        "shard", "doc_id", "nt", "(cum - nt) div 256 AS pack_id"
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("doc_lo"),
+        F.max("doc_id").alias("doc_hi"),
+    )
+
+
+# ----------------------------------------------------- q_text_contamination
+
+
+@register(
+    "q_text_contamination",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(arr) - 1),
+               i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS s
+    FROM w
+), bench AS (
+    SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, count(*) AS n_hits
+FROM g JOIN bench USING (s)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+""",
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every training document, how many
+    of its distinct 3-token shingles also occur in the held-out benchmark
+    set (docs with doc_id % 97 == 0 stand in for an eval suite). The
+    decontamination primitive every training pipeline runs before a data
+    release — an ASYMMETRIC n-gram join, unlike the symmetric near-dup
+    self-join (q_dedup_near_jaccard).
+
+    Scale design: the benchmark side is small by construction (eval suites
+    are MBs against a 100 TB corpus), so its distinct-gram set is the one
+    side that SHOULD broadcast — candidate generation is then a map-side
+    hash probe over the corpus postings with no shuffle of the corpus at
+    all; the only exchange is the per-doc count aggregation. The shingle
+    expression is the shared arrays_zip builder (narrow, one evaluation
+    per row — see dedup._shingles)."""
+    from cuny_courses_spark.operators.dedup import _shingles
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _shingles().alias("t")
+    )
+    grams = docs.select("doc_id", F.explode("t").alias("s"))
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
