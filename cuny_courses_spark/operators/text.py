@@ -108,9 +108,13 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 bigrams via an indexed transform over the token array
     (zip-with-shifted-self; DuckDB twin indexes with range)."""
     d = load(spark, sf_dir, "documents")
-    bigrams = F.transform(
-        F.slice(_toks(), 1, F.size(_toks()) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(_toks(), i + 2)),
+    t = _toks()
+    k = F.size(t) - 1
+    # zip of two slices of ONE token array — element_at(_toks(), i) inside
+    # the lambda would re-split the text per element in interpreted mode
+    # (higher-order functions don't codegen; see dedup._shingles).
+    bigrams = F.zip_with(
+        F.slice(t, 1, k), F.slice(t, 2, k), lambda x, y: F.concat_ws(" ", x, y)
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))
@@ -519,30 +523,39 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate/looping text before it reaches training.
 
     All higher-order array functions, per-row and JVM-side (no explode, no
-    shuffle). The distinct-bigram scan is per-doc quadratic but documents
-    are bounded-length, so the per-row cost is a constant at any corpus
-    scale. The 4-dp ratios use the exact BIGINT rounding identity
+    shuffle). The top-bigram count sorts the bigram array and takes the
+    longest equal run in ONE sequential fold — O(n log n) per doc, not the
+    distinct×filter quadratic, and (like every lambda here) built over a
+    materialized token array, never re-splitting text per element. The
+    4-dp ratios use the exact BIGINT rounding identity
     (q_text_quality_score) so both engines agree bit-exactly."""
     d = load(spark, sf_dir, "documents")
     toks = _toks()
+    t1 = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1)))
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
+    # zip_with pads the shorter slice with NULL, and concat propagates it —
+    # same single-token-doc element the oracle's out-of-range index yields.
+    bgs = F.zip_with(t1, t2, lambda x, y: F.concat(x, F.lit(" "), y))
     base = d.select(
         "doc_id",
         F.size(toks).cast("long").alias("nt"),
         F.size(F.array_distinct(toks)).cast("long").alias("nd"),
-        F.expr(
-            "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 1, 1)), "
-            "i -> element_at(split(lower(text), ' '), i) || ' ' || "
-            "element_at(split(lower(text), ' '), i + 1))"
-        ).alias("bgs"),
+        bgs.alias("bgs"),
     )
+    # Longest equal run of the sorted bigrams = max bigram frequency.
     mx = base.select(
         "doc_id",
         "nt",
         "nd",
         F.size("bgs").cast("long").alias("nb"),
         F.expr(
-            "CAST(array_max(transform(array_distinct(bgs), "
-            "b -> size(filter(bgs, x -> x = b)))) AS BIGINT)"
+            "aggregate(array_sort(bgs), "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+            "(a, x) -> named_struct("
+            "  'prev', x, "
+            "  'run',  IF(a.prev <=> x, a.run + 1L, 1L), "
+            "  'best', GREATEST(a.best, IF(a.prev <=> x, a.run + 1L, 1L))), "
+            "a -> a.best)"
         ).alias("top"),
     )
     return mx.selectExpr(
