@@ -227,31 +227,32 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     1−(1−0.36)¹⁶ ≈ 0.9992 per pair, so with seed fixed the output is
     deterministic and (with overwhelming probability) equals
     q_dedup_near_jaccard; tests assert recall ≥ 0.9. Everything is
-    JVM-side higher-order-function arithmetic — no Python, no ml-lib
-    explode-join overhead.
+    JVM-side whole-stage-codegen arithmetic (exploded hash rows + 32 MIN
+    accumulators) — no Python, no interpreted lambdas in the hot path, no
+    ml-lib explode-join overhead.
     """
     n_hashes, n_bands, rows_per_band = 32, 16, 2
     coeffs = _minhash_coeffs(n_hashes)
 
     d = _doc_shingles(spark, sf_dir)
-    # h mod p once, then each signature slot is min((a·h + b) mod p).
-    hashed = d.withColumn(
-        "hs", F.transform("t", lambda s: F.xxhash64(s) % _MERSENNE)
-    )
-    def _perm(a: int, b: int):
-        # factory, not default-arg lambda: F.transform inspects arity
-        return lambda h: (a * h + b) % _MERSENNE
-
-    sig = hashed.select(
-        "doc_id",
-        "t",
-        "n",
-        F.array(
-            *[
-                F.array_min(F.transform("hs", _perm(a, b)))
-                for a, b in coeffs
-            ]
-        ).alias("sig"),
+    # Signatures as 32 codegen MIN aggregates over EXPLODED shingle-hash
+    # rows — not array_min(transform(...)) per slot: higher-order lambdas
+    # run interpreted (no whole-stage codegen), so 32 permutation passes
+    # over every doc's hash array cost ~n_docs·|shingles|·32 interpreted
+    # steps; the exploded groupBy form is one codegen hash-agg pass with
+    # 32 accumulators and identical values ((a·h+b) mod p over the same
+    # signed xxhash64 % p inputs). Map-side partial aggregation keeps the
+    # shuffle at |docs| rows of 32 longs at any scale.
+    h = d.select(
+        "doc_id", F.explode("t").alias("s")
+    ).select("doc_id", (F.xxhash64("s") % _MERSENNE).alias("h"))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
     # Band hash = xxhash64 over the band's signature slots (r=2 per band).
     bands = sig.select(
@@ -261,7 +262,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.xxhash64(
                         *[
-                            F.element_at("sig", k * rows_per_band + r + 1)
+                            F.col(f"m{k * rows_per_band + r}")
                             for r in range(rows_per_band)
                         ]
                     )
@@ -286,7 +287,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with the corpus, so no broadcast hint: candidates ⋈ docs is a hash
     # equi-join on doc_id (threshold-broadcast at test scale, shuffle at
     # 100 TB, where the candidate set is also the far smaller side).
-    docs = sig.select("doc_id", "t", "n")
+    docs = d.select("doc_id", "t", "n")
     verified = (
         cand.join(
             docs.select(
