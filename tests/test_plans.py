@@ -201,3 +201,45 @@ def test_gapfill_spine_is_explode_not_loop(spark):
     plan = _plan(spark, "q_ts_gapfill_locf")
     assert "Generate explode" in plan, plan[:3000]
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_salted_skew_join_shuffles_on_salt(spark):
+    # The salt only bounds reducer input if the join actually shuffles on
+    # (key, salt) — a broadcast would silently bypass the whole mechanism.
+    plan = _plan(spark, "q_join_salted_skew")
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+    join_head = plan.split("ShuffledHashJoin")[1].splitlines()[0]
+    assert "_salt" in join_head, join_head
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    # Asymmetric join contract: the small benchmark gram set broadcasts;
+    # the corpus postings must NOT appear under a BroadcastExchange.
+    plan = _plan(spark, "q_text_contamination")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_pack_sequences_single_exchange(spark):
+    # One shuffle on shard for the window; the (shard, pack) re-agg reuses
+    # that partitioning (hash on a prefix of the grouping keys).
+    plan = _plan(spark, "q_text_pack_sequences")
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, f"{n_shuffles} exchanges\n{plan[:3000]}"
+
+
+def test_minhash_signatures_are_codegen_aggregates(spark):
+    # Signature mins must be hash-aggregates over exploded rows (codegen),
+    # not interpreted array_min(transform(...)) per slot.
+    df = _QS["q_dedup_minhash_lsh"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]
+
+
+def test_neardup_cosine_no_corpus_broadcast(spark):
+    # Block-partitioned exact scan: no BroadcastNestedLoopJoin over the
+    # corpus, pair grids are computed per block-pair in Arrow batches.
+    plan = _plan(spark, "q_sim_neardup_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "FlatMapGroupsInPandas" in plan, plan[:3000]
