@@ -567,3 +567,64 @@ def q_agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("med"), 4).alias("med"),
         F.round(F.max("mad"), 4).alias("mad"),
     )
+
+
+# ---------------------------------------------------- q_agg_exact_percentile
+
+
+@register(
+    "q_agg_exact_percentile",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+               + o_orderkey) AS top_order,
+       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+             / 100, 4) AS median_price,
+       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)
+             / 100, 4) AS p90_price,
+       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75)
+             / 100
+             - quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)
+             / 100, 4) AS iqr
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics per group: continuous-interpolation median /
+    p90 / IQR (Spark ``percentile`` ≡ DuckDB ``quantile_cont``: same
+    (n−1)·p rank and linear interpolation, bit-verified at three SFs) plus
+    ``max_by`` with a composite integer key (cents·10⁸ + orderkey) so ties
+    on price resolve identically to DuckDB ``arg_max`` — a bare max_by on
+    a non-unique key is nondeterministic in both engines.
+
+    Runs on exact int64 cents (2-dp contract column): integer midpoints
+    interpolate exactly in double. Scale: exact percentile state is the
+    group's full value multiset (sorted at evaluation) — fine for bounded
+    groups; the unbounded-cardinality path is the mergeable-sketch twin
+    q_agg_approx_quantile (KLL-style bounded state), with this op as its
+    oracle-checked exact reference."""
+    o = load(spark, sf_dir, "orders")
+    cents = fp("o_totalprice")
+    g = (
+        o.select("o_orderpriority", cents.alias("c"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderkey, c * 100000000 + o_orderkey)").alias(
+                "top_order"
+            ),
+            F.expr("percentile(c, 0.5)").alias("_p50"),
+            F.expr("percentile(c, 0.9)").alias("_p90"),
+            F.expr("percentile(c, array(0.25, 0.75))").alias("_pq"),
+        )
+    )
+    return g.select(
+        "o_orderpriority",
+        "top_order",
+        F.round(F.col("_p50") / 100.0, 4).alias("median_price"),
+        F.round(F.col("_p90") / 100.0, 4).alias("p90_price"),
+        F.round(
+            F.col("_pq")[1] / 100.0 - F.col("_pq")[0] / 100.0, 4
+        ).alias("iqr"),
+    )
