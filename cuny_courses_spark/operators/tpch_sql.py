@@ -491,21 +491,20 @@ WITH offers AS (
            min(CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT))
                AS unit_cents
     FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+    SELECT p_partkey, p_name, p_size, p_type, s_suppkey, s_name,
+           o.unit_cents,
+           min(o.unit_cents) OVER (PARTITION BY p_partkey) AS min_cents
+    FROM part
+    JOIN offers o ON o.l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = o.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
 )
-SELECT p_partkey, p_name, s_suppkey, s_name, o.unit_cents
-FROM part
-JOIN offers o ON o.l_partkey = p_partkey
-JOIN supplier ON s_suppkey = o.l_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
-  AND o.unit_cents = (SELECT min(o2.unit_cents)
-                      FROM offers o2
-                      JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
-                      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-                      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-                      WHERE o2.l_partkey = p_partkey
-                        AND r2.r_name = 'EUROPE')
+SELECT p_partkey, p_name, s_suppkey, s_name, unit_cents
+FROM eu
+WHERE p_size = 15 AND p_type = 'ECONOMY' AND unit_cents = min_cents
 ORDER BY p_partkey ASC, s_suppkey ASC
 LIMIT 100
 """
@@ -516,9 +515,19 @@ def q_sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: cheapest regional supplier per part — the slim
     schema has no partsupp, so observed unit prices from lineitem stand in
     (min cents-per-unit per (part, supplier); one double divide + round,
-    same IEEE sequence both engines). The correlated scalar-min subquery
-    re-traverses the same offers CTE with the region restriction — Catalyst
-    decorrelates it into an aggregate-join, the canonical Q2 plan."""
+    same IEEE sequence both engines).
+
+    Written as a window min over the region-restricted offer rows, not the
+    classic correlated scalar subquery: the correlated form re-traverses
+    the offers CTE, and Spark inlines CTEs — lineitem was aggregated TWICE
+    (the decorrelated aggregate-join re-scans it). The window form
+    aggregates lineitem once and min-partitions by p_partkey; the
+    attribute filter (p_size/p_type) correctly stays ABOVE the window
+    (the per-part regional minimum is independent of part attributes, and
+    Catalyst won't push a non-partition-key predicate below a Window).
+    One dialect-portable text, both engines, same plan story at 100 TB:
+    one fact aggregation + one window shuffle instead of two fact
+    aggregations + a decorrelated join."""
     return run_sql(spark, sf_dir, _Q2)
 
 
