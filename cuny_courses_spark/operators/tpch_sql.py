@@ -350,19 +350,26 @@ WITH revenue0 AS (
 )
 SELECT s_suppkey, s_name,
        round(CAST(total_fixed AS DOUBLE) / 1e4, 4) AS total_revenue
-FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
-WHERE total_fixed = (SELECT max(total_fixed) FROM revenue0)
+FROM supplier
+JOIN (SELECT supplier_no, total_fixed,
+             max(total_fixed) OVER () AS mx
+      FROM revenue0) r ON s_suppkey = supplier_no
+WHERE total_fixed = mx
 ORDER BY s_suppkey
 """
 
 
 @register("q_sql_q15_top_supplier", oracle=_Q15)
 def q_sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
-    a CTE referenced twice (once as the join input, once under a scalar
-    max subquery). The max comparison runs on the BIGINT fixed-point
-    total, so revenue ties are exact, not float-fuzzy; Spark plans the
-    scalar subquery as a broadcast of one row. ORDER BY s_suppkey makes
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+
+    Written with ``max() OVER ()`` on the grouped CTE, not the classic
+    scalar-max subquery: Spark inlines deterministic CTEs, so the subquery
+    form aggregated lineitem TWICE. The empty-partition window does route
+    the grouped rows through one task — acceptable because revenue0 is
+    |suppliers| rows (orders of magnitude below the fact it replaced a
+    second full aggregation of); the max comparison stays on the BIGINT
+    fixed-point total, so ties are exact, and ORDER BY s_suppkey makes
     multi-supplier ties deterministic."""
     return run_sql(spark, sf_dir, _Q15)
 
@@ -564,9 +571,11 @@ WITH pv AS (
     WHERE n_name = 'NATION_5'
     GROUP BY l_partkey
 )
-SELECT l_partkey AS p_key, round(CAST(val AS DOUBLE) / 100, 2) AS value
-FROM pv
-WHERE val * 1000 > (SELECT CAST(sum(val) AS BIGINT) FROM pv)
+SELECT p_key, value FROM (
+    SELECT l_partkey AS p_key, round(CAST(val AS DOUBLE) / 100, 2) AS value,
+           val, CAST(sum(val) OVER () AS BIGINT) AS tot
+    FROM pv)
+WHERE val * 1000 > tot
 ORDER BY val DESC, p_key ASC
 """
 
@@ -574,10 +583,14 @@ ORDER BY val DESC, p_key ASC
 @register("q_sql_q11_important_parts", oracle=_Q11)
 def q_sql_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose single-nation traded value exceeds
-    0.1% of that nation's total — the HAVING-against-global-scalar
-    pattern, cross-multiplied into exact cents (val·1000 > Σval: no float
-    threshold). The CTE is referenced twice; the scalar total broadcasts
-    as one row."""
+    0.1% of that nation's total — share-of-total via ``sum() OVER ()`` on
+    the grouped CTE instead of a scalar-sum subquery: Spark inlines
+    deterministic CTEs, so the subquery form re-ran the lineitem⋈supplier
+    ⋈nation aggregation. The single-partition window passes |parts in one
+    nation| grouped rows through one task — far below a second full fact
+    aggregation. Cross-multiplied into exact cents (val·1000 > Σval: no
+    float threshold; the window sum is HUGEINT in DuckDB, hence the CAST
+    for BIGINT parity)."""
     return run_sql(spark, sf_dir, _Q11)
 
 
