@@ -108,6 +108,38 @@ def test_neardup_lsh_recall_on_injected_neardups(spark):
     assert lsh <= exact, "LSH emitted a pair the exact twin rejects"
 
 
+def test_neardup_cosine_block_count_invariant(spark):
+    # The block-partitioned exact scan is an execution strategy, not a
+    # semantic knob: the pair set (ids AND rounded cosines) must be
+    # identical for any block count, including B=1 (single local grid).
+    import numpy as np
+    import pandas as pd
+
+    from cuny_courses_spark.operators.similarity import neardup_cosine_pairs
+
+    pdf = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").toPandas()
+    rng = np.random.RandomState(11)
+    base = pdf.head(20).copy()
+    vecs = np.vstack(base["embedding"].to_numpy()).astype(np.float64)
+    noisy = vecs + rng.standard_normal(vecs.shape) * 0.02
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    base["vec_id"] = base["vec_id"] + 2_000_000
+    base["embedding"] = [row.astype(np.float32).tolist() for row in noisy]
+    aug = spark.createDataFrame(
+        pd.concat([pdf, base], ignore_index=True),
+        "vec_id long, embedding array<float>",
+    )
+    results = [
+        sorted(
+            (r["id_a"], r["id_b"], r["cos"])
+            for r in neardup_cosine_pairs(aug, n_blocks=b).collect()
+        )
+        for b in (1, 3, 8)
+    ]
+    assert len(results[0]) >= 15, f"expected injected pairs, got {len(results[0])}"
+    assert results[0] == results[1] == results[2]
+
+
 def test_fixture_invariants(spark, duck):
     # FK closure + zero-null + normalization invariants (FIXTURES.md)
     orphans = {
