@@ -243,3 +243,31 @@ def test_neardup_cosine_no_corpus_broadcast(spark):
     plan = _plan(spark, "q_sim_neardup_cosine")
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "FlatMapGroupsInPandas" in plan, plan[:3000]
+
+
+def test_plan_hygiene_no_unbounded_pair_scans(spark):
+    """Every registered query's plan is scanned for the two operators that
+    silently stop scaling: CartesianProduct (never acceptable — even the
+    deliberate cross join broadcasts its 5-row side) and
+    BroadcastNestedLoopJoin (acceptable ONLY when the build side is a
+    scalar/1-row aggregate or a deliberately bounded set, allowlisted
+    below with the justification). A new query that ships an unbounded
+    pair scan fails here before it ever meets real data."""
+    bnlj_allowed = {
+        "q_join_cross",            # deliberate 5×25 cartesian demo, tiny side
+        "q_etl_csv_validation",    # 1-row global count broadcast (scalar)
+        "q_text_idf_top_terms",    # 1-row corpus-size N broadcast (scalar)
+        "q_sample_balance_classes",  # 1-row global min-class-count (scalar)
+        "q_sim_topk_per_query",    # bounded query set (vec_id < 10) non-equi
+        "q_sim_ivf_topk",          # queries × 16 centroids (bounded dim)
+        "q_graph_triangles",       # 1-row scalar total broadcast
+        "q_win_funnel_steps",      # 1-row scalar funnel-start broadcast
+    }
+    offenders = {}
+    for name, fn in _QS.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, offenders
