@@ -215,3 +215,38 @@ def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_scan_text_lines",
+    oracle="""
+SELECT count(*) AS n_lines,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents
+""",
+)
+def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text round-trip: documents' text written with
+    ``df.write.text`` (one line per doc — the fixture text is newline-free
+    by contract) and read back with ``spark.read.text``, the raw-corpus
+    ingestion format every training pipeline starts from. Aggregate
+    totals, not per-line rows: text files carry no key, so line order is
+    partition-dependent — the roundtrip invariant is the multiset, probed
+    by order-independent counts/lengths the oracle computes off the
+    original table. Completes the source matrix (parquet/CSV/JSON/ORC/
+    text); at scale the reader splits on line boundaries within
+    maxPartitionBytes ranges like any other splittable source."""
+    out = _io_dir(sf_dir, "documents_txt")
+    load(spark, sf_dir, "documents").select("text").write.mode(
+        "overwrite"
+    ).text(out)
+    lines = spark.read.text(out)
+    ln = F.length("value")
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(ln).cast("long").alias("total_chars"),
+        F.min(ln).cast("long").alias("min_chars"),
+        F.max(ln).cast("long").alias("max_chars"),
+    )
