@@ -52,6 +52,18 @@ HEADLINE = [
     "q_sim_pairs_threshold",
 ]
 
+# Heavy data-pipeline operators, reported Spark-only ("extended" in the
+# JSON): their DuckDB oracles are deliberately quadratic (all-pairs
+# list_intersect, etc. — BASELINE.md "scale divergence") and take minutes
+# at sf0.1, so the per-round bench records only the engine side; the
+# oracle correctness runs at sf0.01 in the driver's own gate.
+EXTENDED = [
+    "q_dedup_near_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_sim_neardup_cosine",
+    "q_text_repetition",
+]
+
 N_ROW_GROUPS = 32
 
 
@@ -118,6 +130,20 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 4)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        try:
+            fn = qs[name]
+            fn(spark, sf_dir).collect()  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            extended[name] = round(best, 4)
+        except Exception:
+            continue  # headline metric must survive an extended-op failure
+
     # Same-conditions baseline: run each headline query's DuckDB oracle
     # back-to-back in this process, same files, same machine load, same
     # warm-up + best-of-5 method. Absolute seconds fluctuate ±30-50 % with
@@ -158,6 +184,7 @@ def main() -> None:
                     else "original"
                 ),
                 "plan_cache": plan_cache_enabled(),
+                "extended": extended,
                 "duckdb_queries": duck_query,
                 "duckdb_suite_sec": duck_total,
                 "ratio_vs_duckdb": (
