@@ -735,3 +735,66 @@ def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 12)
         .select("key_a", "key_b", "dist")
     )
+
+
+@register(
+    "q_dedup_keep_canonical",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, {_O_SHINGLES} AS t, len({_O_SHINGLES}) AS n
+    FROM documents
+), pairs AS (
+    SELECT a.doc_id AS pa, b.doc_id AS pb
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE 5 * len(list_intersect(a.t, b.t))
+          >= 3 * (a.n + b.n - len(list_intersect(a.t, b.t)))
+      AND len(list_intersect(a.t, b.t)) > 0
+), sym AS (
+    SELECT pa AS a, pb AS b FROM pairs
+    UNION ALL
+    SELECT pb, pa FROM pairs
+), reach AS (
+    SELECT a, b FROM sym
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), labels AS (
+    SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY a
+)
+SELECT lang,
+       count(*) AS n_before,
+       CAST(count(*) - sum(CASE WHEN l.doc_id IS NOT NULL
+                                 AND l.doc_id <> l.cluster_id
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       CAST(sum(CASE WHEN l.doc_id IS NOT NULL AND l.doc_id <> l.cluster_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+GROUP BY lang
+""",
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLICATION step: turn near-dup cluster labels into
+    keep/drop decisions — keep each cluster's canonical doc (its min
+    doc_id, the cluster_id by construction) plus every unclustered doc,
+    and report per-language corpus shrinkage (before/after/dropped).
+
+    Composes the registered q_dedup_cluster_labels (iterative min-label
+    connected components — the scale path) and left-joins the labels back
+    to the corpus: a doc is dropped iff it is labeled and not its own
+    cluster id. The drop set scales with near-dup density, not corpus
+    size; the join is doc_id-keyed (broadcast at test scale, shuffle at
+    100 TB). Oracle recomputes the same decision through the recursive-CTE
+    closure."""
+    labels = q_dedup_cluster_labels(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = d.join(labels, "doc_id", "left")
+    dropped = F.when(
+        F.col("cluster_id").isNotNull()
+        & (F.col("doc_id") != F.col("cluster_id")),
+        1,
+    ).otherwise(0)
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        (F.count(F.lit(1)) - F.sum(dropped)).cast("long").alias("n_after"),
+        F.sum(dropped).cast("long").alias("n_dropped"),
+    )

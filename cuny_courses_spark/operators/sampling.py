@@ -119,3 +119,48 @@ def q_sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").cast("long").alias("id_sum"),
         )
     )
+
+
+@register(
+    "q_sample_importance_weighted",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, lang, n_chars,
+           {_o_bucket('doc_id', '|imp42', 10000)} AS bkt,
+           least(n_chars, 400) * 10000 / 400 AS keep_thresh
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN bkt < keep_thresh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN bkt < keep_thresh THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM w
+GROUP BY lang
+""",
+)
+def q_sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic subsampling: each doc is kept with
+    probability proportional to its quality weight (here length saturated
+    at 400 chars — stand-in for any per-doc quality score), decided by
+    comparing the portable md5 bucket against the weight-scaled threshold
+    in pure integer arithmetic. The up/down-sampling primitive training
+    mixtures are built from (importance-weight a source, keep p ∝ w).
+
+    Deterministic by construction — the keep decision is a pure function
+    of (doc_id, weight), so re-runs, retries and partition moves agree;
+    embarrassingly parallel (narrow filter + one aggregation exchange) at
+    any scale. Integer threshold math (bkt < w·10⁴/400 in BIGINT) avoids
+    any float boundary between engines."""
+    d = load(spark, sf_dir, "documents")
+    bkt = _bucket(F.col("doc_id"), "|imp42", 10000)
+    keep_thresh = F.least(F.col("n_chars"), F.lit(400)) * 10000 / 400
+    kept = F.when(bkt < keep_thresh, 1).otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(bkt < keep_thresh, F.col("n_chars")).otherwise(0)
+        ).cast("long").alias("kept_chars"),
+    )
