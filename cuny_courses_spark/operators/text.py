@@ -683,3 +683,56 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+# ------------------------------------------------------ q_text_rarity_score
+
+
+@register(
+    "q_text_rarity_score",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+    FROM documents
+), df AS (
+    SELECT tok, count(*) AS df FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       count(*) AS n_distinct_toks,
+       CAST(sum(df.df) AS BIGINT) AS df_sum,
+       CAST(min(df.df) AS BIGINT) AS rarest_df
+FROM toks t JOIN df ON t.tok = df.tok
+GROUP BY t.doc_id
+""",
+)
+def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistic scoring: every document scored against a statistic
+    computed FROM the whole corpus — per-doc sum and min of its distinct
+    tokens' document frequencies (high df_sum ⇒ common-word text, low
+    rarest_df ⇒ contains corpus-rare tokens). The join-back plan shape the
+    quality-filter family needs (per-row ops can't see corpus statistics):
+    explode distinct tokens → aggregate df per token → join the df table
+    back to the postings → re-aggregate per doc.
+
+    Scale: the df table is |vocabulary| rows — small relative to the
+    corpus (vocabularies grow sublinearly), so it is the broadcast side at
+    any scale and the corpus postings never shuffle for the join; the two
+    aggregations are map-side-partial bounded. All outputs are exact
+    integers — no ln()/float scoring, whose cross-engine 1-ulp drift
+    under a value-hash gate is exactly the flake class the determinism
+    rules exist to prevent (rank-transformed df carries the same signal
+    hash-safely)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(_toks())).alias("tok")
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(F.broadcast(df), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_toks"),
+            F.sum("df").cast("long").alias("df_sum"),
+            F.min("df").cast("long").alias("rarest_df"),
+        )
+    )
