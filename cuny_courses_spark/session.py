@@ -24,6 +24,11 @@ from pyspark.sql import SparkSession
 # Runtime-settable confs applied to any session the engine touches.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4 defaults ANSI on and every oracle alignment in this repo was
+    # built under it; pin it so a driver-owned session that was started
+    # with ANSI off (legacy configs) can't silently flip cast/division/
+    # overflow semantics away from what the DuckDB twins verify.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
