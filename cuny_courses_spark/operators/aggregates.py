@@ -628,3 +628,38 @@ def q_agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_pq")[1] / 100.0 - F.col("_pq")[0] / 100.0, 4
         ).alias("iqr"),
     )
+
+
+# ------------------------------------------------------ q_agg_bool_condagg
+
+
+@register(
+    "q_agg_bool_condagg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+           AS n_large,
+       bool_and(o_totalprice > 900)  AS all_over_900,
+       bool_or(o_orderstatus = 'F')  AS any_finished,
+       min(o_orderkey) AS first_key
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_bool_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional & boolean aggregate family: count_if / FILTER-ed count,
+    bool_and (every), bool_or (any), and a DETERMINISTIC representative
+    (min key, never any_value — which is partitioning-dependent and banned
+    from checked output, same rule as dropDuplicates). All short-circuit
+    map-side: partial aggregation reduces each partition to one row per
+    group before the exchange, so the shuffle is |groups|·|partitions|
+    regardless of data size."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).cast("long").alias(
+            "n_large"
+        ),
+        F.every(F.col("o_totalprice") > 900).alias("all_over_900"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.min("o_orderkey").alias("first_key"),
+    )
