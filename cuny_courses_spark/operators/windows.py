@@ -518,3 +518,47 @@ def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("share_of_region"),
     )
+
+
+# -------------------------------------------------- q_win_time_range_frame
+
+
+@register(
+    "q_win_time_range_frame",
+    oracle="""
+SELECT event_id,
+       CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 300000000 PRECEDING AND 300000000 FOLLOWING)
+           AS BIGINT) AS n_nearby,
+       min(event_id) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 300000000 PRECEDING AND 300000000 FOLLOWING)
+           AS first_nearby
+FROM events
+""",
+)
+def q_win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, how many events (and the
+    earliest event id) fall within ±5 minutes of each event — the sliding
+    temporal-context primitive (burst detection, local density) in BATCH
+    form; the streaming twin is the sliding window (q_stream_sliding).
+
+    Framed on exact int64 epoch MICROseconds on both engines
+    (`unix_micros` ≡ DuckDB `epoch_us`) — a seconds-granularity
+    `unix_timestamp` would truncate fractional timestamps and disagree on
+    frame boundaries; µs integers make the frame edge exact. Tied
+    timestamps are RANGE peers, so every aggregate here is
+    peer-order-independent by construction. One exchange on user_id; the
+    frame scan is bounded by temporal density, not partition size."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300_000_000, 300_000_000)
+    )
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_nearby"),
+        F.min("event_id").over(w).alias("first_nearby"),
+    )
