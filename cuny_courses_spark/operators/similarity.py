@@ -31,6 +31,38 @@ def _dot(a: str, b: str):
     )
 
 
+def _round4_np(a):
+    """Decimal-faithful HALF-UP rounding to 4 dp on a float64 ndarray.
+
+    Fast path is ``np.round`` (scaled multiply, half-even on binary
+    doubles); any element whose scaled value sits within 1e-8 of a .5
+    boundary is re-rounded exactly via ``Decimal(repr(x))`` — the shortest
+    round-trip decimal, the same string Java's ``Double.toString`` feeds
+    to BigDecimal inside Spark's ``F.round`` — quantized HALF_UP, so ties
+    resolve identically to ``F.round`` / DuckDB ``round`` (away from zero)
+    instead of np.round's banker's rounding. The boundary set is empty on
+    generic data (r2 advice probe: 0/200k), so the Decimal slow path costs
+    nothing in practice.
+    """
+    import numpy as np
+
+    r = np.round(a, 4)
+    scaled = a * 1e4
+    near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-8
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        r[near] = np.array(
+            [
+                float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+                for x in a[near]
+            ],
+            dtype=np.float64,
+        )
+    return r
+
+
 _O_DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
 )
@@ -47,47 +79,131 @@ WHERE round({_O_DOT.format(a='a.embedding', b='b.embedding')}, 4) >= 0.45
 """,
 )
 def q_sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same-label pairs with cosine ≥ 0.45, label-blocked. (The synthetic
-    embeddings are near-orthogonal — max pairwise cos ≈ 0.48 at sf0.01 —
-    so the threshold sits just below the corpus maximum to keep the
-    oracle-checked output non-empty; the operator is threshold-agnostic.)
+    """Same-label pairs with cosine ≥ 0.45, label-blocked with a
+    size-triggered sub-block split (``pairs_threshold_blocked``). (The
+    synthetic embeddings are near-orthogonal — max pairwise cos ≈ 0.48 at
+    sf0.01 — so the threshold sits just below the corpus maximum to keep
+    the oracle-checked output non-empty; the operator is
+    threshold-agnostic.)"""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return pairs_threshold_blocked(e)
 
-    Physical strategy: ``applyInPandas`` per label block with a vectorized
-    float64 Gram accumulation per block (Arrow-batched, no per-pair JVM
-    array materialization — the pair join form copies |block|²·dim floats
-    through the join; this touches |block|·dim once). The accumulation
-    loops dimensions in index order (rank-1 outer-product updates), so each
-    pair's dot is the *sequential* float64 fold 0..dim-1 — bit-identical to
-    the engine's ``aggregate``-based ``_dot`` and to DuckDB's ``list_sum``
-    fold, unlike a BLAS matmul whose blocked/pairwise summation could
-    diverge on a 4-dp half-boundary. At 100 TB the same shape holds:
-    blocks shuffle once on the blocking key and each block's quadratic
-    work is local to its task; blocking keys with quadratic blowup get
-    split by LSH/banding first (q_sim_ann_lsh)."""
+
+# Rows per sub-block before a label's quadratic scan splits: caps any one
+# task at ~cap²·dim vectorized flops plus a cap×cap float64 Gram (~128 MB
+# at 4096), regardless of how hot the blocking key is.
+_PAIRS_BLOCK_CAP = 4096
+
+
+def pairs_threshold_blocked(
+    e: DataFrame, threshold: float = 0.45, cap: int = _PAIRS_BLOCK_CAP
+) -> DataFrame:
+    """Exact same-label cosine pairs over (vec_id, label, embedding), with
+    oversized labels split into bounded sub-block pairs.
+
+    Physical strategy: ``applyInPandas`` per (label, sub-block pair) with a
+    vectorized float64 Gram accumulation per group (Arrow-batched, no
+    per-pair JVM array materialization — the pair-join form copies
+    |block|²·dim floats through the join; this touches |block|·dim·B once).
+    The accumulation loops dimensions in index order (rank-1 outer-product
+    updates), so each pair's dot is the *sequential* float64 fold 0..dim-1
+    — bit-identical to the engine's ``aggregate``-based ``_dot`` and to
+    DuckDB's ``list_sum`` fold, unlike a BLAS matmul whose blocked/pairwise
+    summation could diverge on a 4-dp half-boundary; rounding is the
+    decimal-faithful ``_round4_np``.
+
+    The skew guard (r2 verdict): a label with n ≤ cap rows stays ONE group
+    (B = 1 — the plan collapses to the original per-label scan with zero
+    replication). A label with n > cap rows is banded into B = ⌈n/cap⌉
+    sub-blocks by vec_id residue; each of the B(B+1)/2 sub-block PAIRS is
+    its own group holding ≤ 2·cap vectors (rows replicated B times — n·B
+    rows moved, never n²), so one hot label becomes bounded parallel tasks
+    instead of a quadratic straggler. Output is identical to the unsplit
+    scan by construction — every unordered same-label pair lands in
+    exactly one group, and per-pair arithmetic/rounding is unchanged
+    (tests/test_properties.py asserts frame equality with a forced split).
+    At 100 TB the blocking key shuffles once and B scales with the hottest
+    label, not the corpus; sub-quadratic candidate generation, when
+    approximation is acceptable, is the LSH twin (q_sim_neardup_lsh /
+    q_sim_ann_lsh)."""
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_lbl"))
+    e2 = (
+        e.join(F.broadcast(cnt), "label")
+        .withColumn(
+            "n_sub", F.ceil(F.col("n_lbl") / F.lit(cap)).cast("int")
+        )
+        .withColumn("sb", F.pmod("vec_id", F.col("n_sub")).cast("int"))
+    )
+    # Replicate each row to every sub-block pair it participates in:
+    # (bi, bj) = sorted (own block, other block); the diagonal pair is
+    # generated once (o == sb). For n_sub == 1 this is a no-op replication.
+    grouped = e2.select(
+        "label",
+        "vec_id",
+        "embedding",
+        "sb",
+        F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1)).alias("o"),
+    ).select(
+        "label",
+        "vec_id",
+        "embedding",
+        F.least("sb", "o").alias("bi"),
+        F.greatest("sb", "o").alias("bj"),
+        F.when(F.col("sb") <= F.col("o"), 0).otherwise(1).alias("side"),
+    )
 
-    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        # Sequential-in-dimension Gram matrix: acc += m[:,k] ⊗ m[:,k] for
-        # k = 0..dim-1 keeps the per-pair summation order identical to a
-        # left fold over the dimension index (see docstring).
-        gram = np.zeros((len(ids), len(ids)), dtype=np.float64)
-        for k in range(m.shape[1]):
-            col = m[:, k]
-            gram += np.multiply.outer(col, col)
-        cos = np.round(gram, 4)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = cos[ia, ib] >= 0.45
+    def block(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        _label, bi, bj = key
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        if bi == bj:
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            if len(ids) < 2:
+                return empty
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            gram = np.zeros((len(ids), len(ids)), dtype=np.float64)
+            for k in range(m.shape[1]):  # sequential fold over the dimension
+                col = m[:, k]
+                gram += np.multiply.outer(col, col)
+            cos = _round4_np(gram)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = cos[ia, ib] >= threshold
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia[keep]],
+                    "id_b": ids[ib[keep]],
+                    "cos": cos[ia, ib][keep],
+                }
+            )
+        a = pdf[pdf["side"] == 0].sort_values("vec_id")
+        b = pdf[pdf["side"] == 1].sort_values("vec_id")
+        if not len(a) or not len(b):
+            return empty
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        ma = np.vstack(a["embedding"].to_numpy()).astype(np.float64)
+        mb = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+        acc = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
+        for k in range(ma.shape[1]):
+            acc += np.multiply.outer(ma[:, k], mb[:, k])
+        cos = _round4_np(acc)
+        keep = cos >= threshold  # distinct residues: each pair appears once
+        ga = np.broadcast_to(ids_a[:, None], cos.shape)[keep]
+        gb = np.broadcast_to(ids_b[None, :], cos.shape)[keep]
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": cos[ia, ib][keep]}
+            {
+                "id_a": np.minimum(ga, gb),
+                "id_b": np.maximum(ga, gb),
+                "cos": cos[keep],
+            }
         )
 
-    return e.groupBy("label").applyInPandas(block, "id_a long, id_b long, cos double")
+    return grouped.groupBy("label", "bi", "bj").applyInPandas(
+        block, "id_a long, id_b long, cos double"
+    )
 
 
 @register(
@@ -348,7 +464,7 @@ def neardup_cosine_pairs(
         acc = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
         for k in range(ma.shape[1]):  # sequential fold over the dimension
             acc += np.multiply.outer(ma[:, k], mb[:, k])
-        cos = np.round(acc, 4)
+        cos = _round4_np(acc)  # decimal-faithful HALF_UP (r2 advice)
         grid_a = np.broadcast_to(ids_a[:, None], cos.shape)
         grid_b = np.broadcast_to(ids_b[None, :], cos.shape)
         if bi == bj:
