@@ -135,16 +135,14 @@ JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting (motif analytics) on the part co-purchase graph:
     parts sharing an order are adjacent; count closed triples among
-    small parts (p_size ≤ 5 bounds the subgraph). Edges are canonically
-    oriented u < v, so each triangle is counted EXACTLY once and the
-    wedge join e1(u,v)⋈e2(v,w) enumerates only id-increasing paths —
-    the standard orientation trick that turns O(Σdeg²) into the
-    out-degree-bounded form. At 100 TB: the edge list is the distinct
-    pair set (hash aggregate), wedges shuffle on the shared middle
-    vertex, and the closing-edge probe is a hash join on (u, w); skewed
-    hub vertices are the known hazard — a degree-ordered orientation
-    (orient from lower- to higher-degree endpoint) caps out-degree by
-    graph degeneracy and is the documented scale upgrade."""
+    small parts (p_size ≤ 5 bounds the subgraph). Uses the DEGREE-ORDERED
+    orientation (``triangle_count``): each undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, so per-vertex out-degree
+    is bounded by the graph's degeneracy — a hub of degree d contributes
+    O(d) wedges instead of O(d²), which is the difference between a
+    straggler task and a balanced shuffle on natural (power-law) graphs at
+    100 TB. The triangle count is orientation-invariant, so the DuckDB
+    oracle keeps the simpler canonical u < v form."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     small = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select("p_partkey")
     lis = li.join(
@@ -158,13 +156,59 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    e1 = edges
-    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
-    wedges = e1.join(e2, "v")
-    tris = wedges.join(
-        e3, (wedges.u == e3.u3) & (wedges.w == e3.w3)
+    return triangle_count(edges)
+
+
+def degree_oriented(edges: DataFrame) -> DataFrame:
+    """Orient canonical u < v edges from the lower-(degree, id) endpoint to
+    the higher one: (src, dst, ddst) where ddst is dst's degree (kept so a
+    wedge can order its endpoints without re-joining degrees). Out-degree
+    under this orientation is bounded by the graph's degeneracy."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return ed.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """(n_triangles, n_edges) for an undirected graph given as canonical
+    u < v edge pairs, via degree-ordered orientation.
+
+    Re-orient every edge from its lower-(degree, id) endpoint to the
+    higher one — a total order, so each triangle {a ≺ b ≺ c} has exactly
+    one source (a), one wedge (a→b, a→c with b ≺ c), and one closing edge
+    (b→c): counted exactly once, no double counting, no post-hoc dedup.
+    Out-degree under this orientation is bounded by the graph degeneracy
+    (arboricity), NOT the raw degree: a star hub of degree d has every
+    edge pointing inward (leaves have degree 1 < d), contributing zero
+    wedges where the id-canonical orientation could contribute O(d²)
+    (tests/test_properties.py asserts this on a hub fixture). Plan shape:
+    one degree aggregate, one broadcast-or-shuffle join to attach degrees,
+    a self-join on the wedge source, and a hash-join probe for the closing
+    edge — every shuffle keyed, no driver-side graph state."""
+    o = degree_oriented(edges)
+    w1 = o.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+    w2 = o.select("src", F.col("dst").alias("z"), F.col("ddst").alias("dz"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tris = wedges.join(closing, ["y", "z"])
     return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
     )

@@ -262,3 +262,34 @@ def test_round4_np_matches_decimal_half_up():
         ]
     )
     assert (got == want).all()
+
+
+def test_triangles_degree_oriented_hub_bounded(spark):
+    # Degeneracy-bounded orientation (r2 verdict #4): on a star-plus-ring
+    # graph the hub (id 0, degree n) must source ZERO wedges — every hub
+    # edge points inward because leaves have lower degree — while the
+    # id-canonical orientation would fan out O(n²) wedges from it. Count
+    # correctness: each ring edge (i, i+1) closes exactly one triangle
+    # with the hub.
+    from cuny_courses_spark.operators.graph import degree_oriented, triangle_count
+
+    n = 60
+    star = [(0, i) for i in range(1, n + 1)]
+    ring = [(i, i + 1) for i in range(1, n)]
+    edges = spark.createDataFrame(star + ring, "u long, v long")
+
+    row = triangle_count(edges).collect()[0]
+    assert row["n_triangles"] == n - 1  # one per ring edge
+    assert row["n_edges"] == len(star) + len(ring)
+
+    out = (
+        degree_oriented(edges)
+        .groupBy("src")
+        .count()
+        .toPandas()
+        .set_index("src")["count"]
+    )
+    assert 0 not in out.index  # hub sources no edges at all
+    # per-key wedge fan-out is bounded by the degeneracy (2 here), not by
+    # the hub degree: max out-degree ≤ 3 (leaf: ≤2 ring + 1 star edge).
+    assert out.max() <= 3
