@@ -547,17 +547,26 @@ def q_agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: two grouped exact medians (per-partition sort of a bounded
     per-type slice) with the small per-type statistics broadcast back —
-    the fact table is scanned twice but shuffled only on event_type; at
-    100 TB the exact median swaps for approx_percentile (q_agg_approx_
-    quantile) with the identical plan shape."""
+    the fact table is scanned twice but shuffled only on event_type.
+    Above the scale threshold (session.is_small_input) the exact median
+    SWAPS for approx_percentile — the mergeable Greenwald-Khanna summary
+    with KB-sized partial state (same family as q_agg_approx_quantile) —
+    keeping the identical plan shape while removing the full-multiset
+    percentile state; tests/test_scale_profile.py brackets the large-
+    profile medians between exact quantiles at p ± 1 %."""
+    from cuny_courses_spark.session import is_small_input
+
+    def med(col: str):
+        if is_small_input(sf_dir):
+            return F.percentile(col, 0.5)
+        return F.approx_percentile(col, F.lit(0.5), F.lit(10000))
+
     e = load(spark, sf_dir, "events")
-    m1 = e.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("med")
-    )
+    m1 = e.groupBy("event_type").agg(med("value").alias("med"))
     d = e.join(F.broadcast(m1), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
     )
-    m2 = d.groupBy("event_type").agg(F.percentile("d", 0.5).alias("mad"))
+    m2 = d.groupBy("event_type").agg(med("d").alias("mad"))
     j = d.join(F.broadcast(m2), "event_type")
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -152,10 +152,19 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing ≥1 shingle exist, produced by a hash equi-join keyed on
     the shingle plus one groupBy(a,b) shuffle. Hot shingles are the skew
     risk at 100 TB (stopword-like shingles touch every doc); AQE skew-join
-    handles moderate skew, and a document-frequency cap (drop shingles in
-    >x% of docs — they can't certify a 0.6-Jaccard pair alone) bounds the
-    worst case. Never a nested-loop / crossJoin.
+    handles moderate skew. Above the scale threshold
+    (session.is_small_input) the registered query SWAPS to the
+    document-frequency-capped index (``near_dup_pairs_df_capped``): hot
+    shingles are dropped from the index only, the verify step stays exact,
+    and the capped output is bit-equal to this form on the fixtures
+    (tests/test_internal.py) and oracle-checked under the forced large
+    profile (tests/test_scale_profile.py). Never a nested-loop /
+    crossJoin.
     """
+    from cuny_courses_spark.session import is_small_input
+
+    if not is_small_input(sf_dir):
+        return near_dup_pairs_df_capped(spark, sf_dir)
     d = _doc_shingles(spark, sf_dir)
     tok = d.select("doc_id", F.explode("t").alias("s"))
     # shuffle_hash, not the size-estimate's broadcast: both sides are the

@@ -35,6 +35,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import cuny_courses_spark.session as _session
 from cuny_courses_spark.session import _dir_signature
 
 # WeakKeyDictionary on the SparkSession: entries die with the session, so a
@@ -66,7 +67,14 @@ def get_or_build(
         return fn(spark, sf_dir)
     try:
         per_session = _CACHE.setdefault(spark, {})
-        key = (name, sf_dir, _dir_signature(sf_dir))
+        # The scale profile picks ALGORITHMS (session.is_small_input), so a
+        # plan built under one profile must never serve the other.
+        key = (
+            name,
+            sf_dir,
+            _dir_signature(sf_dir),
+            _session.is_small_input(sf_dir),
+        )
         df = per_session.get(key)
     except Exception:
         return fn(spark, sf_dir)

@@ -109,6 +109,18 @@ def _input_bytes(sf_dir: str) -> int:
     return b
 
 
+def is_small_input(sf_dir: str) -> bool:
+    """True when ``sf_dir`` is below the SMALL_INPUT_BYTES threshold.
+
+    Queries use this to pick ALGORITHMS, not just confs: the large profile
+    swaps exact-but-unbounded-state forms for their mergeable/capped scale
+    twins (exact median → approx_percentile in q_agg_outlier_mad; full
+    inverted index → DF-capped index in q_dedup_near_jaccard). Reads
+    SMALL_INPUT_BYTES at call time so tests can force the large profile.
+    """
+    return _input_bytes(sf_dir) < SMALL_INPUT_BYTES
+
+
 def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     """Set size-dependent confs for a query over ``sf_dir``.
 

@@ -70,3 +70,53 @@ def test_profile_switches_back(spark, duck):
     _QS["q_agg_groupby"](spark, SF_DIR).collect()
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
     assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+
+
+def test_outlier_mad_algorithm_switch(spark, duck, large_profile):
+    # Above the scale threshold the exact grouped median must SWAP for the
+    # mergeable approx_percentile sketch (r2 verdict #5). The sketch at
+    # accuracy 10^4 has rank error <= 1e-4; bracket each reported med/mad
+    # between the exact quantiles at p -/+ 1% — same pattern as the
+    # q_agg_approx_quantile tolerance test — and n must stay exact.
+    df = _QS["q_agg_outlier_mad"](spark, SF_DIR).toPandas()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    exact = duck.execute(
+        """
+        WITH med AS (
+            SELECT event_type, median(value) AS med,
+                   quantile_cont(value, 0.49) AS med_lo,
+                   quantile_cont(value, 0.51) AS med_hi,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, abs(e.value - m.med) AS d
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        )
+        SELECT d.event_type, max(m.n) AS n,
+               max(m.med_lo) AS med_lo, max(m.med_hi) AS med_hi,
+               quantile_cont(d.d, 0.49) AS mad_lo,
+               quantile_cont(d.d, 0.51) AS mad_hi
+        FROM dev d JOIN med m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+        """
+    ).df().set_index("event_type")
+    assert len(df) == len(exact)
+    for _, r in df.iterrows():
+        ex = exact.loc[r["event_type"]]
+        assert ex["n"] == r["n"]
+        assert ex["med_lo"] - 1e-4 <= r["med"] <= ex["med_hi"] + 1e-4, r
+        # mad brackets use deviations from the APPROX median, which shifts
+        # the distribution by |approx_med - exact_med| <= (med_hi - med_lo)
+        slack = float(ex["med_hi"] - ex["med_lo"]) + 1e-4
+        assert ex["mad_lo"] - slack <= r["mad"] <= ex["mad_hi"] + slack, r
+
+
+def test_outlier_mad_small_profile_stays_exact(spark, duck):
+    # Direction two of the switch: without the forced large profile the
+    # query must still hash-match the exact-median oracle.
+    from cuny_courses_spark.oracle import compare
+
+    sp = _QS["q_agg_outlier_mad"](spark, SF_DIR).toPandas()
+    du = duck.execute(_OS["q_agg_outlier_mad"]).df()
+    status, msg = compare(sp, du)
+    assert status == "PASS", msg
