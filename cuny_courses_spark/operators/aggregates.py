@@ -586,7 +586,7 @@ def q_agg_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        arg_max(o_orderkey,
-               CAST(round(o_totalprice * 100) AS BIGINT) * 100000000
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
                + o_orderkey) AS top_order,
        round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
              / 100, 4) AS median_price,
@@ -604,9 +604,10 @@ def q_agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order statistics per group: continuous-interpolation median /
     p90 / IQR (Spark ``percentile`` ≡ DuckDB ``quantile_cont``: same
     (n−1)·p rank and linear interpolation, bit-verified at three SFs) plus
-    ``max_by`` with a composite integer key (cents·10⁸ + orderkey) so ties
+    ``max_by`` with a composite integer key (cents·10¹⁰ + orderkey) so ties
     on price resolve identically to DuckDB ``arg_max`` — a bare max_by on
-    a non-unique key is nondeterministic in both engines.
+    a non-unique key is nondeterministic in both engines. The 10¹⁰ spread
+    keeps price dominant for any orderkey < 10¹⁰ without overflowing int64.
 
     Runs on exact int64 cents (2-dp contract column): integer midpoints
     interpolate exactly in double. Scale: exact percentile state is the
@@ -620,7 +621,12 @@ def q_agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderpriority", cents.alias("c"), "o_orderkey")
         .groupBy("o_orderpriority")
         .agg(
-            F.expr("max_by(o_orderkey, c * 100000000 + o_orderkey)").alias(
+            # 10^10 multiplier: price strictly dominates the orderkey
+            # tiebreak while o_orderkey < 10^10 (sf100 keys ≈ 6·10^8), and
+            # 6·10^7 cents × 10^10 ≈ 6·10^17 stays inside int64 (r2 advice
+            # — the old 10^8 let a huge orderkey outrank a 1-cent-lower
+            # price once keys passed 10^8).
+            F.expr("max_by(o_orderkey, c * 10000000000 + o_orderkey)").alias(
                 "top_order"
             ),
             F.expr("percentile(c, 0.5)").alias("_p50"),

@@ -251,6 +251,31 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_sink_foreachbatch",
+    oracle=f"""
+SELECT user_id, count(*) AS n_events, {O_dsum('value', 'sum_value')}
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once sink contract (r2 verdict #7), hash-oracled: a REAL
+    streaming job writes each micro-batch to a batch-id-keyed parquet
+    directory via ``foreachBatch`` (overwrite per batch id = idempotent on
+    replay), runs the whole replay TWICE to simulate at-least-once
+    re-delivery, and the per-user aggregate over the sink's union must
+    still hash-match the batch aggregate of the input — duplicates from
+    the replay would break the count, so the oracle check certifies the
+    effectively-once write path, not just the query semantics
+    (runner.run_foreach_batch_sink docstring)."""
+    from cuny_courses_spark.streaming.runner import run_foreach_batch_sink
+
+    written = run_foreach_batch_sink(spark, sf_dir)
+    return written.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+
+
+@register(
     "q_stream_arbitrary_state",
     oracle="""
 SELECT user_id, count(*) AS n_events,

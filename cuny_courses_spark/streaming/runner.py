@@ -216,6 +216,44 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append")
 
 
+def run_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent parquet sink — the exactly-once WRITE path.
+
+    Each micro-batch overwrites its own ``batch=<id>`` directory (the
+    batch-id-keyed overwrite is what makes an at-least-once replay
+    effectively-once: re-processing a batch rewrites the same path instead
+    of appending duplicates). To PROVE that, the job runs TWICE with a
+    fresh checkpoint each time — the second run re-delivers every batch;
+    deterministic file order (pinned mtimes, maxFilesPerTrigger=1) keeps
+    batch composition identical, so every directory is overwritten with
+    identical content and the sink's union remains exactly the input.
+    Returns the sink readback (union of all batch directories). At scale
+    this is the standard transactional-sink recipe: the sink key is
+    (batch_id), commits are per-partition file swaps, and replay cost is
+    bounded by one batch, not the stream."""
+    replay = chronological_replay_dir(sf_dir, n_files=4)
+    base = _replay_base(sf_dir, "feb_sink_q")
+    if base.exists():
+        shutil.rmtree(base)
+    sink = base / "sink"
+    sink.mkdir(parents=True)
+
+    def sink_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(str(sink / f"batch={batch_id}"))
+
+    for _ in range(2):  # run 2 = full replay; idempotent by overwrite
+        q = (
+            read_stream(spark, replay)
+            .select("event_id", "user_id", "value")
+            .writeStream.foreachBatch(sink_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.option("basePath", str(sink)).parquet(str(sink))
+
+
 def run_arbitrary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real arbitrary-stateful streaming (applyInPandasWithState; the
     newer transformWithStateInPandas needs protobuf, absent here): one

@@ -292,3 +292,27 @@ def test_approx_quantile_brackets_exact(spark, duck):
             [lo, hi, r["l_returnflag"]],
         ).fetchone()
         assert b_lo - 1e-6 <= r["value"] <= b_hi + 1e-6, (r, b_lo, b_hi)
+
+
+def test_merge_cow_rewrites_only_affected_partitions(spark):
+    # The COW MERGE must leave unaffected partitions' files physically
+    # untouched: the changeset touches years 1999/2000 (updates+deletes)
+    # and 2001 (inserts), so o_year=1995..1998 keep their seed-time files
+    # while every affected partition's files are strictly newer.
+    from pathlib import Path
+
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    _QS["q_etl_merge_cow"](spark, SF_DIR).collect()
+    out = Path(_io_dir(SF_DIR, "orders_merge_cow"))
+
+    def newest(year):
+        files = list((out / f"o_year={year}").glob("*.parquet"))
+        assert files, f"missing partition o_year={year}"
+        return max(f.stat().st_mtime_ns for f in files)
+
+    untouched = max(newest(y) for y in (1995, 1996, 1997, 1998))
+    affected = min(newest(y) for y in (1999, 2000, 2001))
+    assert untouched < affected, (
+        "unaffected partitions were rewritten by the merge"
+    )
