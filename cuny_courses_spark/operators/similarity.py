@@ -129,9 +129,13 @@ def pairs_threshold_blocked(
     import numpy as np
     import pandas as pd
 
-    cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_lbl"))
+    # Label sizes via a window over the SAME partitioning key the group
+    # stage shuffles on — no separate count job / broadcast build (each
+    # BroadcastExchange is its own Spark job; this keeps the query at one).
     e2 = (
-        e.join(F.broadcast(cnt), "label")
+        e.withColumn(
+            "n_lbl", F.count(F.lit(1)).over(Window.partitionBy("label"))
+        )
         .withColumn(
             "n_sub", F.ceil(F.col("n_lbl") / F.lit(cap)).cast("int")
         )
