@@ -678,3 +678,90 @@ def q_agg_bool_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.min("o_orderkey").alias("first_key"),
     )
+
+
+# ------------------------------------------------------------- q_agg_mode
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+WITH c AS (
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_mode
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+), r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY n_mode DESC, o_orderpriority) AS rn
+    FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n_mode
+FROM r WHERE rn = 1
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent order priority per order
+    status, ties broken by smallest priority string. The built-in
+    ``mode()`` aggregate is tie-nondeterministic (banned from checked
+    output, same rule as any_value); instead the mode is an arg-max over
+    the grouped COUNTS relation — |statuses|·|priorities| rows (bounded by
+    domain cardinality, not data size), so the row_number window and final
+    filter run on a handful of rows after one map-side-combined exchange.
+    ASCII priority strings order identically in both engines."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    cnt = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_mode")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n_mode").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n_mode",
+        )
+    )
+
+
+# -------------------------------------------------------- q_agg_histogram
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+SELECT least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min({O_fp('o_totalprice')}) AS min_cents,
+       max({O_fp('o_totalprice')}) AS max_cents
+FROM orders
+GROUP BY bucket
+""",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: 30 000-wide buckets with the
+    tail clamped into bucket 19 (open-ended top bin), per-bucket count and
+    exact-cents min/max. The bucket id is ``floor(price/30000)`` computed
+    on the same IEEE double in both engines — a single multiply-free
+    division + floor, bit-identical — so bin edges can never disagree;
+    only non-empty buckets are emitted (identical on both sides by
+    construction). Scale: this is one map-side-combined groupBy on a
+    20-value key — the canonical profile/summarization primitive whose
+    shuffle is |buckets|·|partitions| rows regardless of table size."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(30000.0)), F.lit(19)
+    ).cast("long")
+    return (
+        o.select(bucket.alias("bucket"), fp("o_totalprice").alias("_c"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("_c").alias("min_cents"),
+            F.max("_c").alias("max_cents"),
+        )
+    )

@@ -141,3 +141,147 @@ def q_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("total", ignorenulls=True).over(w).alias("total_locf"),
         F.col("total").isNull().alias("filled"),
     )
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+SELECT event_id,
+       round(list_reduce(
+           list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+           (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma10
+FROM events
+""",
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.3), state truncated to
+    the last 10 observations per user — the streaming-friendly smoother
+    (trend estimate, anomaly baseline) in batch form. The recursive form
+    ``e_t = α·x_t + (1−α)·e_{t−1}`` is a LEFT FOLD over the ordered frame:
+    both engines collect the ≤10-value frame in frame order (window
+    aggregate accumulation order) and fold with the identical two IEEE ops
+    per step — no ``pow()``, whose libm vs JVM last-ulp differences could
+    straddle the 4 dp grain. Truncation at 10 lags bounds the weight error
+    by 0.7^10 ≈ 2.8 % of a value, and — the scale point — makes per-row
+    state O(1): one exchange on user_id + a per-partition sort, identical
+    plan at any data size."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    fold = (
+        "aggregate(slice(_vals, 2, size(_vals) - 1), _vals[0],"
+        " (acc, x) -> 0.3D * x + 0.7D * acc)"
+    )
+    return (
+        e.select("event_id", F.collect_list("value").over(w).alias("_vals"))
+        .select("event_id", F.round(F.expr(fold), 4).alias("ewma10"))
+    )
+
+
+@register(
+    "q_ts_interpolate_linear",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4)
+               AS total
+    FROM events GROUP BY 1, 2
+), spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+                                       CAST(max(day) AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM daily GROUP BY user_id
+), ctx AS (
+    SELECT s.user_id, s.day, d.total,
+           last_value(d.total IGNORE NULLS) OVER wp AS prev_v,
+           last_value(CASE WHEN d.total IS NOT NULL THEN s.day END
+                      IGNORE NULLS) OVER wp AS prev_d,
+           first_value(d.total IGNORE NULLS) OVER wn AS next_v,
+           first_value(CASE WHEN d.total IS NOT NULL THEN s.day END
+                       IGNORE NULLS) OVER wn AS next_d
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       round(CASE
+           WHEN total IS NOT NULL THEN total
+           WHEN prev_v IS NULL THEN next_v
+           WHEN next_v IS NULL THEN prev_v
+           ELSE prev_v + (next_v - prev_v)
+                * (CAST(date_diff('day', prev_d, day) AS DOUBLE)
+                   / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+       END, 4) AS total_interp,
+       total IS NULL AS filled
+FROM ctx
+""",
+)
+def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with LINEAR interpolation: missing days take the
+    straight line between the surrounding observed daily totals (LOCF's
+    step function is wrong for rates/levels that drift). Same bounded
+    spine as q_ts_gapfill_locf; the bracketing observation on each side
+    comes from two frames over ONE sorted partition — last non-null
+    before (value + its day) and first non-null after — then one lerp:
+    ``prev + (next−prev)·Δ/span`` on day-count integers cast to double,
+    identical IEEE ops both engines, inputs already 4 dp-rounded decimals.
+    Edge days (no bracket on one side) degrade to nearest-observation
+    fill; observed days pass through exactly. Scale: the spine is bounded
+    by calendar span per user, both windows share the user_id exchange and
+    ONE per-partition sort (frames differ, sort key doesn't) — no second
+    shuffle, no self-join against observation pairs."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(dsum("value", "total"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("total").isNotNull(), F.col("day"))
+    ctx = j.select(
+        "user_id",
+        "day",
+        "total",
+        F.last("total", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("total", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    lerp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.datediff("day", "prev_d").cast("double")
+        / F.datediff("next_d", "prev_d").cast("double")
+    )
+    return ctx.select(
+        "user_id",
+        fmt_date("day", "day"),
+        F.round(
+            F.when(F.col("total").isNotNull(), F.col("total"))
+            .when(F.col("prev_v").isNull(), F.col("next_v"))
+            .when(F.col("next_v").isNull(), F.col("prev_v"))
+            .otherwise(lerp),
+            4,
+        ).alias("total_interp"),
+        F.col("total").isNull().alias("filled"),
+    )

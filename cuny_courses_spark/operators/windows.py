@@ -562,3 +562,72 @@ def q_win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_nearby"),
         F.min("event_id").over(w).alias("first_nearby"),
     )
+
+
+# -------------------------------------------------- q_win_median_sliding
+
+
+@register(
+    "q_win_median_sliding",
+    oracle="""
+SELECT event_id,
+       round(median(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+FROM events
+""",
+)
+def q_win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding exact median: per user, the continuous-interpolation median
+    of the last 5 event values — the robust smoother (sensor denoising,
+    spike rejection) that a sliding MEAN can't give. Spark ``percentile``
+    as a window aggregate ≡ DuckDB ``median`` (both lerp the two middle
+    doubles with identical IEEE ops — the q_agg_stats-proven identity), and
+    the ROWS frame is made total by the (ts, event_id) tiebreak so both
+    engines see the same 5 rows. Scale: one exchange on user_id + a
+    per-partition sort; frame state is 5 values per row — O(1) memory, no
+    global sort, the same plan shape at any data size."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return e.select(
+        "event_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("med5"),
+    )
+
+
+# ------------------------------------------------------- q_win_cume_pct
+
+
+@register(
+    "q_win_cume_pct",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS pct_rank,
+       round(cume_dist() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS cume
+FROM orders
+""",
+)
+def q_win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions: each order's percent_rank and cume_dist of
+    total price within its priority class — the CDF position primitive
+    (price-percentile badging, fraud percentile cuts). Both functions are
+    TIE-AWARE (rank / peer-count based), so per-row output is independent
+    of intra-tie row order — no tiebreak column needed for determinism,
+    unlike row_number. The divisions are the same two integers in both
+    engines, rounded at 4 dp. Scale: one exchange on the priority key +
+    per-partition sort; percent_rank needs only the partition row count
+    (computed in the same sort pass), never a global sort."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
