@@ -823,3 +823,83 @@ def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("key").cast("long").alias("key_sum"),
         )
     )
+
+
+# --------------------------------------------------------- q_etl_table_stats
+
+
+def _profile_cols():
+    """(column, exact-int image Spark col, DuckDB twin expr) per profiled
+    lineitem column — all stats land in ONE integer domain so the output
+    schema is a uniform long-format table."""
+    return [
+        ("l_orderkey", F.col("l_orderkey"), "l_orderkey"),
+        ("l_partkey", F.col("l_partkey"), "l_partkey"),
+        ("l_quantity", fp("l_quantity", 0), O_fp("l_quantity", 0)),
+        ("l_extendedprice", fp("l_extendedprice"), O_fp("l_extendedprice")),
+        ("l_discount", fp("l_discount"), O_fp("l_discount")),
+        ("l_tax", fp("l_tax"), O_fp("l_tax")),
+    ]
+
+
+def _table_stats_oracle() -> str:
+    parts = [
+        f"""
+SELECT '{name}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({expr}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {expr}) AS BIGINT) AS ndv,
+       min({expr}) AS min_v,
+       max({expr}) AS max_v
+FROM lineitem"""
+        for name, _, expr in _profile_cols()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("q_etl_table_stats", oracle=_table_stats_oracle())
+def q_etl_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the fact table: per column, row
+    count, null count, EXACT distinct count, and min/max — the statistics
+    a cost-based optimizer, data-quality monitor, or file-skipping index
+    builds at ingest. Long format (one row per column), values in each
+    column's exact-integer image (keys as-is, decimals in fixed-point
+    cents) so the whole profile is one BIGINT-typed relation. Plan: ONE
+    pass over the table computing all per-column aggregates together —
+    Catalyst plans the multi-DISTINCT via Expand (one shuffle carrying a
+    grouping-id tag, partial-agg-combined), not N table scans; the scan
+    reads only the 6 profiled columns (pruned). At 100 TB the exact NDVs
+    are the expensive term — the sketch swap (approx_count_distinct, the
+    q_agg_approx_distinct twin) is the declared large-profile path, same
+    tolerance-bracket pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    stats = [
+        (
+            F.count(F.lit(1)).cast("long"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long"),
+            F.count_distinct(col).cast("long"),
+            F.min(col).cast("long"),
+            F.max(col).cast("long"),
+        )
+        for _, col, _ in _profile_cols()
+    ]
+    flat = [c for tup in stats for c in tup]
+    row = li.agg(*[c.alias(f"_s{i}") for i, c in enumerate(flat)])
+    names = [name for name, _, _ in _profile_cols()]
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col(f"_s{i * 5}").alias("n_rows"),
+                F.col(f"_s{i * 5 + 1}").alias("n_nulls"),
+                F.col(f"_s{i * 5 + 2}").alias("ndv"),
+                F.col(f"_s{i * 5 + 3}").alias("min_v"),
+                F.col(f"_s{i * 5 + 4}").alias("max_v"),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    return (
+        row.select(F.explode(cols).alias("s"))
+        .select("s.column_name", "s.n_rows", "s.n_nulls", "s.ndv", "s.min_v", "s.max_v")
+    )

@@ -212,3 +212,103 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tris.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+@register(
+    "q_graph_common_neighbors",
+    oracle="""
+WITH pe AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WHERE a.l_partkey IN (SELECT p_partkey FROM pe)
+      AND b.l_partkey IN (SELECT p_partkey FROM pe)
+), adj AS (
+    SELECT u AS node, v AS nbr FROM e
+    UNION ALL
+    SELECT v AS node, u AS nbr FROM e
+), deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node
+), cn AS (
+    SELECT a1.node AS a, a2.node AS b, CAST(count(*) AS BIGINT) AS n_common
+    FROM adj a1 JOIN adj a2
+      ON a1.nbr = a2.nbr AND a1.node < a2.node
+    GROUP BY a1.node, a2.node
+)
+SELECT cn.a, cn.b, cn.n_common,
+       round(CAST(cn.n_common AS DOUBLE)
+             / CAST(da.d + db.d - cn.n_common AS DOUBLE), 4) AS jaccard
+FROM cn
+JOIN deg da ON cn.a = da.node
+JOIN deg db ON cn.b = db.node
+LEFT JOIN e ON e.u = cn.a AND e.v = cn.b
+WHERE e.u IS NULL AND cn.n_common >= 2
+""",
+)
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count: non-adjacent small-part
+    pairs sharing ≥ 2 co-purchase neighbors, scored by neighborhood
+    Jaccard — the classic "people also bought" / entity-resolution
+    candidate generator. Same inverted-index shape as the engine's dedup
+    family: candidate pairs come from an equi-join of the adjacency list
+    on the SHARED neighbor (work ∝ Σ_w deg(w)², never all-pairs), then a
+    grouped count, a degree join back, and an anti join against existing
+    edges to keep only *predicted* links. The Σ deg² term is the hub
+    exposure at 100 TB — the mitigation is the same as the dedup DF cap:
+    drop hub vertices above a degree ceiling (they predict everything and
+    rank last by Jaccard anyway); the n_common ≥ 2 floor prunes the long
+    tail before the degree join. One exchange per step, all equi-joins."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    small = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey")
+    )
+    lis = li.join(
+        F.broadcast(small), li.l_partkey == small.p_partkey
+    ).select("l_orderkey", "l_partkey")
+    a = lis.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = lis.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, ["o"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    a1 = adj.select(F.col("node").alias("a"), "nbr")
+    a2 = adj.select(F.col("node").alias("b"), "nbr")
+    cn = (
+        a1.join(a2, "nbr")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        cn.join(
+            edges,
+            (cn.a == edges.u) & (cn.b == edges.v),
+            "left_anti",
+        )
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -164,3 +164,45 @@ def q_sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(bkt < keep_thresh, F.col("n_chars")).otherwise(0)
         ).cast("long").alias("kept_chars"),
     )
+
+
+@register(
+    "q_sample_reservoir_group",
+    oracle=f"""
+WITH h AS (
+    SELECT c_mktsegment, c_custkey, c_name,
+           {_o_bucket('c_custkey', '|rsvr42', 1 << 31)} AS hv
+    FROM customer
+), r AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY c_mktsegment ORDER BY hv, c_custkey) AS BIGINT) AS rk
+    FROM h
+)
+SELECT c_mktsegment, c_custkey, c_name, rk FROM r WHERE rk <= 5
+""",
+)
+def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir sample: exactly min(5, |group|) customers
+    per market segment, drawn uniformly by ranking on the portable
+    md5-prefix hash of the row key (the engine-wide split contract — never
+    ``rand()``/``TABLESAMPLE``, whose draw depends on partitioning and
+    engine). Equivalent to distributed reservoir sampling with a
+    key-derived priority: the sample is a pure function of the key set, so
+    re-runs, engine swaps, and incremental appends keep every previously
+    sampled row unless a lower-hash row arrives — auditable at 100 TB.
+    Scale: hash is a narrow map; per-group top-5 is a bounded-heap
+    aggregate after one exchange on the group key (no global sort; the
+    row_number window never materializes more than the partition)."""
+    c = load(spark, sf_dir, "customer")
+    h = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_name",
+        _bucket(F.col("c_custkey"), "|rsvr42", 1 << 31).alias("hv"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("hv", "c_custkey")
+    return (
+        h.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_name", "rk")
+    )

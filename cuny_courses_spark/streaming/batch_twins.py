@@ -294,3 +294,54 @@ def q_stream_arbitrary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuny_courses_spark.streaming.runner import run_arbitrary_state
 
     return run_arbitrary_state(spark, sf_dir)
+
+
+@register(
+    "q_stream_topk_windowed",
+    oracle=f"""
+WITH w AS (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY window_start, event_type
+), r AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY window_start ORDER BY n DESC, event_type) AS BIGINT)
+        AS rk
+    FROM w
+)
+SELECT window_start, event_type, n, rk FROM r WHERE rk <= 3
+""",
+)
+def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: the 3 most frequent event types per 1-hour tumbling
+    window (trending-topics / top-URLs — the canonical streaming leaderboard).
+    Batch twin of the two-stage streaming form: the windowed COUNT is the
+    incremental stateful aggregation (same state bound as q_stream_tumbling:
+    windows × types, watermark-evicted), and the top-3 rank runs on the
+    COMPACTED per-window rows in the foreachBatch sink — never on raw
+    events. Ties break on the type string, so the leaderboard is total-
+    ordered both engines. Scale: rank input is |windows|·|types| rows
+    regardless of stream length; one exchange for the count, one bounded
+    window sort."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    rk = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        w.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
