@@ -828,23 +828,33 @@ def q_etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- q_etl_table_stats
 
 
+# (column, fixed-point digits or None for raw ints) per profiled lineitem
+# column — all stats land in ONE integer domain so the output schema is a
+# uniform long-format table. Spark Column objects are built lazily inside
+# the query (a module import must never need an active SparkContext).
+_PROFILE_COLS = [
+    ("l_orderkey", None),
+    ("l_partkey", None),
+    ("l_quantity", 0),
+    ("l_extendedprice", 2),
+    ("l_discount", 2),
+    ("l_tax", 2),
+]
+
+
 def _profile_cols():
-    """(column, exact-int image Spark col, DuckDB twin expr) per profiled
-    lineitem column — all stats land in ONE integer domain so the output
-    schema is a uniform long-format table."""
     return [
-        ("l_orderkey", F.col("l_orderkey"), "l_orderkey"),
-        ("l_partkey", F.col("l_partkey"), "l_partkey"),
-        ("l_quantity", fp("l_quantity", 0), O_fp("l_quantity", 0)),
-        ("l_extendedprice", fp("l_extendedprice"), O_fp("l_extendedprice")),
-        ("l_discount", fp("l_discount"), O_fp("l_discount")),
-        ("l_tax", fp("l_tax"), O_fp("l_tax")),
+        (name, F.col(name) if d is None else fp(name, d))
+        for name, d in _PROFILE_COLS
     ]
 
 
 def _table_stats_oracle() -> str:
-    parts = [
-        f"""
+    parts = []
+    for name, d in _PROFILE_COLS:
+        expr = name if d is None else O_fp(name, d)
+        parts.append(
+            f"""
 SELECT '{name}' AS column_name,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) - count({expr}) AS BIGINT) AS n_nulls,
@@ -852,8 +862,7 @@ SELECT '{name}' AS column_name,
        min({expr}) AS min_v,
        max({expr}) AS max_v
 FROM lineitem"""
-        for name, _, expr in _profile_cols()
-    ]
+        )
     return "\nUNION ALL\n".join(parts)
 
 
@@ -881,11 +890,11 @@ def q_etl_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(col).cast("long"),
             F.max(col).cast("long"),
         )
-        for _, col, _ in _profile_cols()
+        for _, col in _profile_cols()
     ]
     flat = [c for tup in stats for c in tup]
     row = li.agg(*[c.alias(f"_s{i}") for i, c in enumerate(flat)])
-    names = [name for name, _, _ in _profile_cols()]
+    names = [name for name, _ in _PROFILE_COLS]
     cols = F.array(
         *[
             F.struct(
