@@ -218,8 +218,19 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(fpsum(fp("l_extendedprice") * (100 - fp("l_discount")), 4, "revenue"))
+        # Profile-switched accumulator (common.fplsum rationale): raw long
+        # adds under the small profile, decimal(38,0) at scale.
+        .agg(_rev_sum(sf_dir)(
+            fp("l_extendedprice") * (100 - fp("l_discount")), 4, "revenue"
+        ))
     )
+
+
+def _rev_sum(sf_dir: str):
+    from cuny_courses_spark.common import fplsum
+    from cuny_courses_spark.session import is_small_input
+
+    return fplsum if is_small_input(sf_dir) else fpsum
 
 
 @register(

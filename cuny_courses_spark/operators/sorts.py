@@ -105,9 +105,14 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
+            # Raw long accumulation (codegen adds, no Decimal objects):
+            # the group key is l_orderkey, so a partial sum is bounded by
+            # ONE order's lines — ≤ 7 per TPC-H spec, ≤ ~1.1e9 per line in
+            # fixed point — about 9 orders of magnitude inside int64 at
+            # ANY scale factor. ANSI mode would throw, never wrap, if the
+            # data ever broke that invariant.
             F.sum(
-                (fp("l_extendedprice") * (100 - fp("l_discount")))
-                .cast("decimal(38,0)")
+                fp("l_extendedprice") * (100 - fp("l_discount"))
             ).alias("revenue_fp")
         )
     )
