@@ -776,3 +776,37 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_c").alias("max_cents"),
         )
     )
+
+
+# ---------------------------------------------------- q_agg_weighted_avg
+
+
+@register(
+    "q_agg_weighted_avg",
+    oracle=f"""
+SELECT l_returnflag,
+       round(CAST(sum({O_fp('l_quantity')} * {O_fp('l_extendedprice')})
+                  AS DOUBLE)
+             / CAST(sum({O_fp('l_quantity')}) AS DOUBLE) / 100.0, 4)
+           AS wavg_price,
+       {O_fpavg(O_fp('l_extendedprice'), 2, 'l_extendedprice', 'avg_price')}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per returnflag (vs the unweighted mean
+    for contrast) — the weighted-aggregate primitive (importance-weighted
+    metrics, blended rates). Numerator and denominator are exact
+    fixed-point integer sums (qty·price products, decimal(38,0)
+    accumulation — the weighted sum crosses int64 around sf1, unlike the
+    plain sums), so the final division is the same two exact integers in
+    both engines. One map-side-combined exchange on a 3-value key."""
+    li = load(spark, sf_dir, "lineitem")
+    qty, ep = fp("l_quantity"), fp("l_extendedprice")
+    num = F.sum((qty * ep).cast("decimal(38,0)")).cast("double")
+    den = F.sum(qty.cast("decimal(38,0)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(num / den / 100.0, 4).alias("wavg_price"),
+        fpavg(ep, 2, "l_extendedprice", "avg_price"),
+    )

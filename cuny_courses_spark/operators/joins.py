@@ -649,3 +649,111 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_above"),
         )
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (
+    SELECT user_id, ts, max(event_id) AS event_id
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, ts
+),
+b AS (
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.ts AS c_ts
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+),
+f AS (
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.ts AS c_ts
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts >= p.ts
+)
+SELECT p.event_id AS purchase_id,
+       CASE WHEN f.click_id IS NULL
+                 OR (b.click_id IS NOT NULL
+                     AND epoch_us(p.ts) - epoch_us(b.c_ts)
+                         <= epoch_us(f.c_ts) - epoch_us(p.ts))
+            THEN b.click_id ELSE f.click_id END AS click_id,
+       CASE WHEN f.click_id IS NULL
+                 OR (b.click_id IS NOT NULL
+                     AND epoch_us(p.ts) - epoch_us(b.c_ts)
+                         <= epoch_us(f.c_ts) - epoch_us(p.ts))
+            THEN epoch_us(p.ts) - epoch_us(b.c_ts)
+            ELSE epoch_us(p.ts) - epoch_us(f.c_ts) END AS gap_us
+FROM p
+JOIN b ON p.event_id = b.purchase_id
+JOIN f ON p.event_id = f.purchase_id
+WHERE b.click_id IS NOT NULL OR f.click_id IS NOT NULL
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join: each purchase matched to the temporally
+    closest same-user click in EITHER direction (sensor alignment /
+    attribution when the event clock skews both ways); ties go backward,
+    `gap_us` keeps the sign (negative = click after purchase).
+
+    Same union-sweep architecture as q_join_asof — clicks pre-deduped to
+    the max event_id per (user_id, ts) (the exact-tie representative BOTH
+    engines agree on), one shuffle on user_id, ONE per-user sort feeding
+    two frames: `last(click≤)` backward and `first(click>)` forward (a
+    same-ts click lands in the backward frame by the (ts, kind) sort, and
+    its 0 gap always wins, matching the oracle's ≥-inclusive forward
+    pick). Zero candidate materialization — O(history) per user versus
+    the join-then-argmin plan that is quadratic on hot users; the oracle
+    states the same semantics as two DuckDB ASOF joins + a CASE."""
+    e = load(spark, sf_dir, "events")
+    ck_t = "struct<click_id:bigint,c_ts:timestamp>"
+    clicks = (
+        e.filter(e.event_type == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            "event_id",
+            F.struct(
+                F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+            ).alias("ck"),
+        )
+    )
+    purchases = e.filter(e.event_type == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast(ck_t).alias("ck"),
+    )
+    order = [F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc()]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    swept = (
+        clicks.unionByName(purchases)
+        .withColumn("bk", F.last("ck", ignorenulls=True).over(wb))
+        .withColumn("fw", F.first("ck", ignorenulls=True).over(wf))
+    )
+    pu = F.unix_micros("ts")
+    bgap = pu - F.unix_micros("bk.c_ts")
+    fgap = F.unix_micros("fw.c_ts") - pu
+    back_wins = F.col("fw").isNull() | (F.col("bk").isNotNull() & (bgap <= fgap))
+    return (
+        swept.filter(F.col("kind") == 1)
+        .filter(F.col("bk").isNotNull() | F.col("fw").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.when(back_wins, F.col("bk.click_id"))
+            .otherwise(F.col("fw.click_id"))
+            .alias("click_id"),
+            F.when(back_wins, bgap).otherwise(-fgap).alias("gap_us"),
+        )
+    )

@@ -631,3 +631,58 @@ def q_win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+# ---------------------------------------------------------- q_win_streak
+
+
+@register(
+    "q_win_streak",
+    oracle="""
+WITH d AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+), g AS (
+    SELECT user_id, day,
+           date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+    FROM d
+), s AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS streak
+    FROM g GROUP BY user_id, island
+)
+SELECT user_id,
+       max(streak) AS longest_streak,
+       CAST(sum(streak) AS BIGINT) AS n_active_days
+FROM s GROUP BY user_id
+""",
+)
+def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (retention/habit metrics): distinct active
+    days, then ``day_index − row_number`` is constant exactly within a
+    consecutive run, so one grouped count per (user, island) and a max
+    recovers the streak. Day indexing is integer days since epoch on both
+    engines (DATE subtraction — no timezone or DST arithmetic can split
+    an island). Scale: the distinct, the window, and both groupBys all
+    key on user_id — ONE exchange reused down the whole chain
+    (EnsureRequirements inserts nothing after the first); state per user
+    is its active-day count, never raw events."""
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "island",
+        F.datediff("day", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    s = g.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("streak")
+    )
+    return s.groupBy("user_id").agg(
+        F.max("streak").alias("longest_streak"),
+        F.sum("streak").cast("long").alias("n_active_days"),
+    )

@@ -316,3 +316,58 @@ def test_merge_cow_rewrites_only_affected_partitions(spark):
     assert untouched < affected, (
         "unaffected partitions were rewritten by the merge"
     )
+
+
+def test_neardup_cosine_oracle_on_injected_pairs(spark, tmp_path):
+    """r2 advice: the sf fixtures certify only the EMPTY pair set for
+    q_sim_neardup_cosine, so the np-vs-decimal rounding seam was never
+    oracle-exercised on real near-dups. Build a corpus WITH near-dup pairs
+    (same perturbation recipe as the recall test), stage it as an sf_dir
+    (other tables symlinked), and run the full driver-style compare —
+    Spark query vs DuckDB oracle SQL — demanding bit-exact PASS on the
+    non-empty cosine values."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuny_courses_spark.oracle import compare, duck_con
+    from cuny_courses_spark.registry import oracles
+    from cuny_courses_spark.sources.loaders import TABLES
+
+    pdf = load(spark, SF_DIR, "embeddings").toPandas()
+    rng = np.random.RandomState(11)
+    base = pdf.head(30).copy()
+    vecs = np.vstack(base["embedding"].to_numpy()).astype(np.float64)
+    noisy = vecs + rng.standard_normal(vecs.shape) * 0.02
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    base["vec_id"] = base["vec_id"] + 1_000_000
+    base["embedding"] = [row.astype(np.float32).tolist() for row in noisy]
+    aug = pd.concat([pdf, base], ignore_index=True)
+
+    sf_dir = tmp_path / "sf_injected"
+    sf_dir.mkdir()
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_DIR}/{t}.parquet", sf_dir / f"{t}.parquet")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(aug["vec_id"], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in aug["embedding"]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(aug["label"], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, sf_dir / "embeddings.parquet")
+
+    sp = _QS["q_sim_neardup_cosine"](spark, str(sf_dir)).toPandas()
+    assert len(sp) >= 25, f"expected injected pairs in output, got {len(sp)}"
+    du = duck_con(str(sf_dir)).execute(
+        oracles()["q_sim_neardup_cosine"]
+    ).df()
+    status, msg = compare(sp, du)
+    assert status == "PASS", f"{status}: {msg}"
