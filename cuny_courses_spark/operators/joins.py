@@ -694,30 +694,30 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribution when the event clock skews both ways); ties go backward,
     `gap_us` keeps the sign (negative = click after purchase).
 
-    Same union-sweep architecture as q_join_asof — clicks pre-deduped to
-    the max event_id per (user_id, ts) (the exact-tie representative BOTH
-    engines agree on), one shuffle on user_id, ONE per-user sort feeding
-    two frames: `last(click≤)` backward and `first(click>)` forward (a
-    same-ts click lands in the backward frame by the (ts, kind) sort, and
-    its 0 gap always wins, matching the oracle's ≥-inclusive forward
-    pick). Zero candidate materialization — O(history) per user versus
-    the join-then-argmin plan that is quadratic on hot users; the oracle
-    states the same semantics as two DuckDB ASOF joins + a CASE."""
+    Same union-sweep architecture as q_join_asof: one shuffle on user_id,
+    two frames over it — `last(click≤)` backward and `first(click>)`
+    forward (a same-ts click lands in the backward frame by the (ts,
+    kind) sort, and its 0 gap always wins, matching the oracle's
+    ≥-inclusive forward pick). Exact-ts click ties resolve to the MAX
+    event_id in both directions WITHOUT a pre-dedup shuffle: the backward
+    frame's `last` reads ascending event_id order, the forward frame gets
+    its own DESCENDING event_id sort — same user_id exchange, one extra
+    in-partition sort, versus the oracle's explicit max-per-(user, ts)
+    dedup (DuckDB ASOF needs a unique right side; a second Spark exchange
+    for the same effect would double the shuffled bytes). Zero candidate
+    materialization — O(history) per user versus the join-then-argmin
+    plan that is quadratic on hot users; plan-asserted ONE exchange and
+    no join (tests/test_plans.py)."""
     e = load(spark, sf_dir, "events")
     ck_t = "struct<click_id:bigint,c_ts:timestamp>"
-    clicks = (
-        e.filter(e.event_type == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("event_id"))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("kind"),
-            "event_id",
-            F.struct(
-                F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
-            ).alias("ck"),
-        )
+    clicks = e.filter(e.event_type == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.struct(
+            F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+        ).alias("ck"),
     )
     purchases = e.filter(e.event_type == "purchase").select(
         "user_id",
@@ -726,15 +726,14 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.lit(None).cast(ck_t).alias("ck"),
     )
-    order = [F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc()]
     wb = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     swept = (

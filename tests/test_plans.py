@@ -271,3 +271,53 @@ def test_plan_hygiene_no_unbounded_pair_scans(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
             offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
     assert not offenders, offenders
+
+
+def test_interpolate_single_exchange(spark):
+    # Both interpolation frames (backward last / forward first) share one
+    # user_id partitioning + ONE sort: exactly one Exchange and one Sort
+    # after the spine join — a second would mean the frames re-shuffled.
+    plan = _plan(spark, "q_ts_interpolate_linear")
+    tail = plan.split("Generate explode", 1)[0]
+    assert tail.count("Exchange hashpartitioning(user_id") <= 1, plan[:4000]
+
+
+def test_streak_exchanges_are_dedup_then_window(spark):
+    # Exactly two exchanges, each earning its keep at scale: (1) the
+    # distinct shuffles on (user_id, day) AFTER a map-side partial dedup —
+    # collapsing the per-(user, day) duplication (10–100× on real event
+    # streams) before any bytes move; (2) the window shuffles the already-
+    # deduped day rows on user_id. Collapsing to one user_id exchange
+    # would ship every RAW event. Everything downstream of the window
+    # (both groupBys) must reuse its partitioning — no third exchange.
+    plan = _plan(spark, "q_win_streak")
+    assert plan.count("Exchange") == 2, plan[:4000]
+    assert ", day#" in plan.split("Exchange")[2], plan[:4000]  # dedup keyed on (user, day)
+
+
+def test_table_stats_single_scan(spark):
+    # The 6-column profile (incl. 6 exact NDVs) must be ONE Expand-planned
+    # scan of lineitem, never N per-column scans.
+    plan = _plan(spark, "q_etl_table_stats")
+    assert plan.count("FileScan parquet") == 1, plan[:4000]
+    assert "Expand" in plan, plan[:4000]
+
+
+def test_asof_nearest_is_sweep_not_join(spark):
+    # The nearest as-of must stay a union-sweep: no join between the
+    # purchase and click branches (the quadratic candidate plan), and one
+    # user_id window exchange feeding both frames.
+    plan = _plan(spark, "q_join_asof_nearest")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        plan[:4000]
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan[:4000]
+
+
+def test_ewma_is_frame_fold_no_python(spark):
+    # The EWMA fold is a JVM higher-order function over the window frame —
+    # no Python/Arrow evaluation anywhere in the plan.
+    plan = _plan(spark, "q_ts_ewma")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        plan[:4000]
+    )
