@@ -807,3 +807,73 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum(dropped)).cast("long").alias("n_after"),
         F.sum(dropped).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_O_SHINGLES} AS t, len({_O_SHINGLES}) AS n
+    FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+             / least(a.n, b.n), 4) AS containment,
+       CASE WHEN a.n <= b.n THEN a.doc_id ELSE b.doc_id END AS contained_doc
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE 5 * len(list_intersect(a.t, b.t)) >= 4 * least(a.n, b.n)
+  AND len(list_intersect(a.t, b.t)) > 0
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment |A∩B|/min(|A|,|B|)
+    ≥ 0.8 — catches excerpt/superset duplicates (a doc quoted inside a
+    longer one) that symmetric Jaccard misses entirely (a 100-shingle doc
+    inside a 10 000-shingle doc has Jaccard ≈ 0.01 but containment 1.0) —
+    the dedup rule LLM corpora need for boilerplate-wrapped reposts.
+
+    Same inverted-index plan as q_dedup_near_jaccard (shared-shingle
+    equi-join → pair count → size join-back), same integer-arithmetic cut
+    (5·|∩| ≥ 4·min — float-free), and the same 100 TB posture: pair space
+    ∝ shared-shingle pairs, hot-shingle skew handled by AQE + the
+    df-capped index twin; `contained_doc` marks the smaller side (ties →
+    a) as the removal candidate for the canonical-keep stage."""
+    d = _doc_shingles(spark, sf_dir)
+    tok = d.select("doc_id", F.explode("t").alias("s"))
+    inter = (
+        tok.select(F.col("doc_id").alias("doc_id_a"), "s")
+        .join(
+            tok.select(F.col("doc_id").alias("doc_id_b"), "s").hint(
+                "shuffle_hash"
+            ),
+            "s",
+        )
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = d.select("doc_id", "n")
+    return (
+        inter.join(
+            sizes.withColumnRenamed("n", "na"),
+            inter.doc_id_a == sizes.doc_id,
+        )
+        .drop("doc_id")
+        .join(
+            sizes.withColumnRenamed("n", "nb"),
+            inter.doc_id_b == sizes.doc_id,
+        )
+        .drop("doc_id")
+        .withColumn("m", F.least("na", "nb"))
+        .filter(5 * F.col("i") >= 4 * F.col("m"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("i").cast("double") / F.col("m"), 4).alias(
+                "containment"
+            ),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_id_a"))
+            .otherwise(F.col("doc_id_b"))
+            .alias("contained_doc"),
+        )
+    )

@@ -293,3 +293,119 @@ def test_triangles_degree_oriented_hub_bounded(spark):
     # per-key wedge fan-out is bounded by the degeneracy (2 here), not by
     # the hub degree: max out-degree ≤ 3 (leaf: ≤2 ring + 1 star edge).
     assert out.max() <= 3
+
+
+def test_fplsum_equals_fpsum(spark):
+    # The small-profile raw-long accumulator must compute the same exact
+    # integer as the decimal(38,0) form under any partitioning — the
+    # bit-identity the profile switch relies on.
+    from cuny_courses_spark.common import fplsum
+
+    li = load(spark, SF_DIR, "lineitem")
+    expr = fp("l_extendedprice") * (100 - fp("l_discount"))
+    for n in (1, 7, 32):
+        a = li.repartition(n).agg(fpsum(expr, 4, "s")).collect()[0]["s"]
+        b = li.repartition(n).agg(fplsum(expr, 4, "s")).collect()[0]["s"]
+        assert a == b
+
+
+def test_ewma_partition_independent_and_bounded(spark):
+    # The windowed fold must be a pure function of (user history order),
+    # not physical layout; and an EWMA is a convex combination, so every
+    # output lies within the frame's [min, max].
+    from cuny_courses_spark.registry import queries
+
+    q = queries()["q_ts_ewma"]
+    base = {r["event_id"]: r["ewma10"] for r in q(spark, SF_DIR).collect()}
+    again = {r["event_id"]: r["ewma10"] for r in q(spark, SF_DIR).collect()}
+    assert base == again
+    e = load(spark, SF_DIR, "events")
+    lo, hi = e.agg(F.min("value"), F.max("value")).collect()[0]
+    assert all(lo - 1e-4 <= v <= hi + 1e-4 for v in base.values())
+
+
+def test_interpolate_agrees_with_locf_on_observed_days(spark):
+    # On OBSERVED days both gap-fill flavors must emit the exact daily
+    # total — they may differ only on synthesized (filled) rows.
+    from cuny_courses_spark.registry import queries
+
+    qs = queries()
+    locf = {
+        (r["user_id"], r["day"]): r["total_locf"]
+        for r in qs["q_ts_gapfill_locf"](spark, SF_DIR).collect()
+        if not r["filled"]
+    }
+    lin = {
+        (r["user_id"], r["day"]): r["total_interp"]
+        for r in qs["q_ts_interpolate_linear"](spark, SF_DIR).collect()
+        if not r["filled"]
+    }
+    assert locf == lin and len(locf) > 0
+
+
+def test_interpolated_value_between_brackets(spark):
+    # A lerp never overshoots: every synthesized value lies within the
+    # [prev, next] bracket of its user's observed totals — degenerate
+    # edges (one-sided) equal the nearest observation and are covered by
+    # the bracket of all observed values.
+    from cuny_courses_spark.registry import queries
+
+    rows = queries()["q_ts_interpolate_linear"](spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rs in by_user.values():
+        obs = [r["total_interp"] for r in rs if not r["filled"]]
+        lo, hi = min(obs), max(obs)
+        for r in rs:
+            if r["filled"]:
+                assert lo - 1e-4 <= r["total_interp"] <= hi + 1e-4
+
+
+def test_containment_dominates_jaccard(spark):
+    # |∩|/min(|A|,|B|) ≥ |∩|/|∪| always — every Jaccard-0.6 pair must
+    # reappear in the containment-0.8 output iff its containment clears
+    # 0.8, and no containment value may be below the pair's jaccard.
+    from cuny_courses_spark.registry import queries
+
+    qs = queries()
+    jac = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in qs["q_dedup_near_jaccard"](spark, SF_DIR).collect()
+    }
+    con = {
+        (r["doc_id_a"], r["doc_id_b"]): r["containment"]
+        for r in qs["q_dedup_containment"](spark, SF_DIR).collect()
+    }
+    for pair, c in con.items():
+        if pair in jac:
+            assert c >= jac[pair] - 1e-4, (pair, c, jac[pair])
+    # exact duplicates (jaccard 1.0) are containment 1.0 by definition
+    for pair, j in jac.items():
+        if j >= 0.9999:
+            assert con.get(pair) == 1.0, pair
+
+
+def test_streak_matches_python_reference(spark):
+    # Gaps-and-islands vs a direct per-user Python scan over active days.
+    import datetime as dt
+
+    from cuny_courses_spark.registry import queries
+
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_active_days"])
+        for r in queries()["q_win_streak"](spark, SF_DIR).collect()
+    }
+    e = load(spark, SF_DIR, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    days_by_user: dict[int, set] = {}
+    for r in e.collect():
+        days_by_user.setdefault(r["user_id"], set()).add(r["day"])
+    for uid, days in days_by_user.items():
+        ds = sorted(days)
+        longest = cur = 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if (b - a) == dt.timedelta(days=1) else 1
+            longest = max(longest, cur)
+        assert got[uid] == (longest, len(ds)), uid
