@@ -124,3 +124,58 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 20
         """
     )
+
+
+@register(
+    "q_udf_map_in_pandas",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wsum_cents
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInPandas`` iterator transform — the whole-partition Arrow
+    surface (vs pandas_udf's per-column and applyInPandas' per-group): the
+    Python worker streams column batches, pre-aggregates each one, and
+    emits ONE partial row per batch; the exact combine is a JVM groupBy
+    over |batches| rows. This is the custom-partial-aggregation pattern
+    for logic Spark can't express as an aggregate (here a qty-weighted
+    cents sum, chosen because int64 partials make the fold exact and
+    order-independent — the determinism contract survives batch
+    boundaries by construction). Scale: Python touches each row once in
+    Arrow batches (no per-row Py4J), the shuffle carries one row per
+    batch, and the iterator form never materializes a partition in
+    memory."""
+    from collections.abc import Iterator
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cents = (b["l_extendedprice"] * 100).round().astype("int64")
+            qty = b["l_quantity"].round().astype("int64")
+            g = (
+                pd.DataFrame(
+                    {
+                        "l_returnflag": b["l_returnflag"],
+                        "n": 1,
+                        "wsum_cents": cents * qty,
+                    }
+                )
+                .groupby("l_returnflag", as_index=False)
+                .sum()
+            )
+            yield g
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    parts = li.mapInPandas(
+        partial, "l_returnflag string, n long, wsum_cents long"
+    )
+    return parts.groupBy("l_returnflag").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("wsum_cents").cast("long").alias("wsum_cents"),
+    )

@@ -756,3 +756,56 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(back_wins, bgap).otherwise(-fgap).alias("gap_us"),
         )
     )
+
+
+# The price-band dimension: a tiny TIERED lookup with range predicates —
+# the canonical "join on BETWEEN against a rate/band table" shape (tax
+# brackets, SLA tiers, grade bands). Bounded by construction (5 rows,
+# fixed forever), so the nested-loop probe against it is O(5) per row.
+_PRICE_BANDS = [
+    ("tier_1", 0, 50_000),
+    ("tier_2", 50_000, 100_000),
+    ("tier_3", 100_000, 200_000),
+    ("tier_4", 200_000, 400_000),
+    ("tier_5", 400_000, 10_000_000),
+]
+
+
+@register(
+    "q_join_band_lookup",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (VALUES
+    {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)}
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n,
+       {O_fpsum(O_fp('o_totalprice'), 2, 'total')}
+FROM orders JOIN bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+""",
+)
+def q_join_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-band lookup join: orders classified into price tiers by a
+    BETWEEN join against a 5-row band dimension — the one join shape where
+    BroadcastNestedLoopJoin IS the right plan at every scale: there is no
+    equi-key to hash on, and the build side is bounded by construction
+    (the band table is a fixed tariff, not data-derived), so the probe
+    does O(bands)=O(5) comparisons per fact row on a broadcast of a few
+    hundred bytes — cheaper than any derived-equi-key rewrite (a
+    width_bucket pre-key would work for UNIFORM bands but not for the
+    general irregular-boundary tariff this models). Plan-allowlisted in
+    the BNLJ hygiene gate with this justification. Non-overlapping bands
+    ⇒ every order matches exactly one row ⇒ deterministic counts."""
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo long, hi long")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fpsum(fp("o_totalprice"), 2, "total"),
+        )
+    )

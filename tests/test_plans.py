@@ -262,6 +262,7 @@ def test_plan_hygiene_no_unbounded_pair_scans(spark):
         "q_sim_ivf_topk",          # queries × 16 centroids (bounded dim)
         "q_graph_triangles",       # 1-row scalar total broadcast
         "q_win_funnel_steps",      # 1-row scalar funnel-start broadcast
+        "q_join_band_lookup",      # 5-row fixed tariff dim, range-only predicate
     }
     offenders = {}
     for name, fn in _QS.items():
