@@ -77,6 +77,8 @@ EXTENDED = [
     "q_dedup_minhash_lsh",
     "q_sim_neardup_cosine",
     "q_text_repetition",
+    "q_dedup_containment",
+    "q_graph_common_neighbors",
 ]
 
 N_ROW_GROUPS = 32

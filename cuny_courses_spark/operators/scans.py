@@ -250,3 +250,34 @@ def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ln).cast("long").alias("min_chars"),
         F.max(ln).cast("long").alias("max_chars"),
     )
+
+
+@register(
+    "q_scan_csv_compressed",
+    oracle="""
+SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name) AS first_name
+FROM nation GROUP BY n_regionkey
+""",
+)
+def q_scan_csv_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed CSV round-trip of ``nation`` + aggregate readback —
+    compressed text landing files are the normal ingest reality. The write
+    sets ``codec=gzip``; the read is the SAME typed reader as q_scan_csv
+    (codec inferred from the .gz extension, schema explicit, FAILFAST).
+    The scale caveat this op exists to encode: gzip is NOT splittable —
+    one .gz file = one task regardless of size, so at 100 TB the ingest
+    layout must be many medium .gz files (or zstd/bzip2 splittable
+    codecs), never one giant archive; Spark parallelizes across FILES
+    here exactly as it would on a cluster."""
+    out = _io_dir(sf_dir, "nation_csv_gz")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).option("codec", "gzip").csv(out)
+    back = spark.read.csv(
+        out, schema=SCHEMAS["nation"], header=True, mode="FAILFAST"
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
