@@ -302,3 +302,34 @@ def test_stream_static_join_equals_batch(spark, replay_dir):
     got = _stream_result(spark, replay_dir, enrich)
     want = _QS["q_stream_static_join"](spark, SF_DIR).toPandas()
     assert _frames_equal(got, want)
+
+
+def test_stream_topk_windowed_equals_batch(spark, replay_dir):
+    # Two-stage leaderboard: the WINDOWED COUNT is the real streaming
+    # stateful aggregation (complete mode over file replay); the top-3
+    # rank then runs on the compacted per-window rows exactly as the
+    # foreachBatch sink would — asserting the composed result equals the
+    # registered batch twin end to end.
+    def agg(src):
+        return (
+            src.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+            )
+        )
+
+    counts = _stream_result(spark, replay_dir, agg)
+    counts = counts.sort_values(
+        ["window_start", "n", "event_type"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    counts["rk"] = counts.groupby("window_start").cumcount() + 1
+    got = counts[counts["rk"] <= 3].reset_index(drop=True)
+    want = _QS["q_stream_topk_windowed"](spark, SF_DIR).toPandas()
+    assert _frames_equal(got, want)
