@@ -25,6 +25,10 @@ from cuny_courses_spark.sources.loaders import load
 
 _N_ITER = 5
 
+# Wedge-center degree ceiling for the large-profile candidate generator of
+# q_graph_common_neighbors (df-cap analogue; see its docstring).
+_HUB_DEGREE_CAP = 4096
+
 # Fixed-point update: r' = 0.15 + 0.85 * sum(r_u / outdeg_u), scale 1e6,
 # every division exact integer div — identical algebra on both sides.
 
@@ -255,10 +259,17 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the SHARED neighbor (work ∝ Σ_w deg(w)², never all-pairs), then a
     grouped count, a degree join back, and an anti join against existing
     edges to keep only *predicted* links. The Σ deg² term is the hub
-    exposure at 100 TB — the mitigation is the same as the dedup DF cap:
-    drop hub vertices above a degree ceiling (they predict everything and
-    rank last by Jaccard anyway); the n_common ≥ 2 floor prunes the long
-    tail before the degree join. One exchange per step, all equi-joins."""
+    exposure at 100 TB; above the scale threshold (session.is_small_input)
+    the wedge index DROPS postings whose shared-neighbor degree exceeds
+    ``_HUB_DEGREE_CAP`` — the exact analogue of the dedup family's
+    df-capped shingle index: a mega-hub connects everything to everything
+    (its wedges score near-zero Jaccard anyway) while costing deg² pairs,
+    so it is removed from the CANDIDATE GENERATOR only; true degrees still
+    score every surviving pair. The cap (4096) is far above the fixtures'
+    max degree (27 at sf0.01), so capped ≡ exact on every test corpus —
+    verified under the forced large profile (tests/test_scale_profile.py).
+    The n_common ≥ 2 floor prunes the long tail before the degree join.
+    One exchange per step, all equi-joins."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     small = (
         load(spark, sf_dir, "part")
@@ -280,8 +291,19 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    a1 = adj.select(F.col("node").alias("a"), "nbr")
-    a2 = adj.select(F.col("node").alias("b"), "nbr")
+    wedge_adj = adj
+    from cuny_courses_spark.session import is_small_input
+
+    if not is_small_input(sf_dir):
+        # Large profile: candidate generation skips mega-hub centers.
+        # Degree of the SHARED neighbor (the wedge center) is what the
+        # fan-out squares on, so the filter keys on nbr, not node.
+        hub = deg.filter(F.col("d") > _HUB_DEGREE_CAP).select(
+            F.col("node").alias("nbr")
+        )
+        wedge_adj = adj.join(hub, "nbr", "left_anti")
+    a1 = wedge_adj.select(F.col("node").alias("a"), "nbr")
+    a2 = wedge_adj.select(F.col("node").alias("b"), "nbr")
     cn = (
         a1.join(a2, "nbr")
         .filter(F.col("a") < F.col("b"))

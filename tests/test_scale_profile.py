@@ -38,6 +38,9 @@ SCALE_SUBSET = [
     "q_set_except",
     "q_stream_sliding",
     "q_sim_topk_per_query",
+    # hub-capped wedge index under the large profile must stay ≡ exact on
+    # the fixtures (max degree 27 << cap 4096) — the df-cap identity rule
+    "q_graph_common_neighbors",
 ]
 
 
