@@ -146,40 +146,81 @@ def q_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ts_ewma",
     oracle="""
-SELECT event_id,
-       round(list_reduce(
+WITH w AS (
+    SELECT event_id,
            list(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
-           (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma10
-FROM events
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+    FROM events
+), t AS (
+    SELECT event_id, len(l) AS m,
+           CAST(list_sum(list_transform(l, (x, i) ->
+               CASE WHEN i = 1
+                    THEN CAST(round(x * 100) AS BIGINT)
+                         * CAST(pow(7, len(l) - 1) AS BIGINT)
+                    ELSE 3 * CAST(round(x * 100) AS BIGINT)
+                         * CAST(pow(10, i - 2) AS BIGINT)
+                         * CAST(pow(7, len(l) - i) AS BIGINT)
+               END)) AS BIGINT) AS s
+    FROM w
+)
+SELECT event_id,
+       round(CAST(CASE WHEN m <= 3 THEN s * CAST(pow(10, 3 - m) AS BIGINT)
+                  ELSE (2 * s + CAST(pow(10, m - 3) AS BIGINT))
+                       // (2 * CAST(pow(10, m - 3) AS BIGINT))
+             END AS DOUBLE) / 10000.0, 4) AS ewma10
+FROM t
 """,
 )
 def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average (α=0.3), state truncated to
     the last 10 observations per user — the streaming-friendly smoother
-    (trend estimate, anomaly baseline) in batch form. The recursive form
-    ``e_t = α·x_t + (1−α)·e_{t−1}`` is a LEFT FOLD over the ordered frame:
-    both engines collect the ≤10-value frame in frame order (window
-    aggregate accumulation order) and fold with the identical two IEEE ops
-    per step — no ``pow()``, whose libm vs JVM last-ulp differences could
-    straddle the 4 dp grain. Truncation at 10 lags bounds the weight error
-    by 0.7^10 ≈ 2.8 % of a value, and — the scale point — makes per-row
-    state O(1): one exchange on user_id + a per-partition sort, identical
-    plan at any data size."""
+    (trend estimate, anomaly baseline) in batch form.
+
+    Arithmetic is EXACT INTEGER, not a float fold: events.value is a 2-dp
+    decimal by data contract (verified 0 violations at every SF), so with
+    X = value·100 the closed form of the truncated recursion
+    ``e_t = 0.3·x_t + 0.7·e_{t−1}`` scaled by 10^(m+1) is a sum of int64
+    terms ``3·X_k·10^(k−2)·7^(m−k)`` (plus ``X_1·7^(m−1)``), bounded by
+    ~6·10^13 at m = 10 — and the 4-dp result is a HALF-UP integer division
+    of that exact sum. A float fold was bit-identical across engines on
+    the fold itself, but its outputs land EXACTLY on x.xxxx5 boundaries
+    (finite-decimal inputs ⇒ finite-decimal EWMA), where Spark's
+    shortest-repr HALF_UP and DuckDB's scaled-multiply rounding disagree
+    on the binary neighbors — 20 divergent rows at sf0.1. Exact integers
+    remove the seam instead of narrowing it. ``pow(7,9)``/``pow(10,8)``
+    are < 2^53, exact in double, cast-exact to long. Scale: one exchange
+    on user_id + a per-partition sort; per-row state is the ≤10-value
+    frame — O(1), identical plan at any data size."""
     e = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-9, 0)
     )
-    fold = (
-        "aggregate(slice(_vals, 2, size(_vals) - 1), _vals[0],"
-        " (acc, x) -> 0.3D * x + 0.7D * acc)"
+    terms = (
+        "transform(_vals, (x, i) -> CASE WHEN i = 0"
+        " THEN CAST(round(x * 100) AS BIGINT)"
+        "      * CAST(pow(7, size(_vals) - 1) AS BIGINT)"
+        " ELSE 3 * CAST(round(x * 100) AS BIGINT)"
+        "      * CAST(pow(10, i - 1) AS BIGINT)"
+        "      * CAST(pow(7, size(_vals) - 1 - i) AS BIGINT) END)"
+    )
+    s = f"aggregate({terms}, 0L, (a, b) -> a + b)"
+    r4int = (
+        f"CASE WHEN size(_vals) <= 3"
+        f" THEN {s} * CAST(pow(10, 3 - size(_vals)) AS BIGINT)"
+        f" ELSE (2 * {s} + CAST(pow(10, size(_vals) - 3) AS BIGINT))"
+        f"      div (2 * CAST(pow(10, size(_vals) - 3) AS BIGINT)) END"
     )
     return (
         e.select("event_id", F.collect_list("value").over(w).alias("_vals"))
-        .select("event_id", F.round(F.expr(fold), 4).alias("ewma10"))
+        .select(
+            "event_id",
+            F.round(F.expr(r4int).cast("double") / 10000.0, 4).alias(
+                "ewma10"
+            ),
+        )
     )
 
 
