@@ -158,3 +158,30 @@ def fplavg(int_col: Column, scale: int, count_col: Column | str, alias: str) -> 
     return F.round(
         F.sum(int_col).cast("double") / float(10 ** scale) / F.count(c), 4
     ).alias(alias)
+
+
+def S_r4_ratio(num: str, den: str) -> str:
+    """Spark-SQL text: exact HALF-UP 4-dp of the integer ratio num/den,
+    emitted as the double of an exact 4-dp decimal.
+
+    ``num`` must be the ratio numerator PRE-SCALED so that num/den is in
+    1e-4 units of the desired value (for a plain fraction r/n pass
+    ``r * 10000``); both int64, den > 0, 2·num + den inside int64 (caller
+    bound). Why: round(double, 4) on a rational whose exact value sits on
+    a .xxxx5 boundary is engine-dependent — Spark rounds the shortest
+    DECIMAL repr half-up, DuckDB rounds the scaled BINARY half-away — and
+    with small denominators those boundaries are populated (q_ts_ewma hit
+    20 of them at sf0.1). Integer division has no boundary to disagree
+    on. Pair with O_r4_ratio; keep both sides textually identical."""
+    return (
+        f"CAST((2 * ({num}) + ({den})) div (2 * ({den})) AS DOUBLE)"
+        " / 10000.0"
+    )
+
+
+def O_r4_ratio(num: str, den: str) -> str:
+    """DuckDB twin of S_r4_ratio (// is integral division)."""
+    return (
+        f"CAST((2 * ({num}) + ({den})) // (2 * ({den})) AS DOUBLE)"
+        " / 10000.0"
+    )

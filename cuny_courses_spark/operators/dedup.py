@@ -817,8 +817,8 @@ WITH toks AS (
     FROM documents
 )
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-             / least(a.n, b.n), 4) AS containment,
+       CAST((2 * len(list_intersect(a.t, b.t)) * 10000 + least(a.n, b.n))
+            // (2 * least(a.n, b.n)) AS DOUBLE) / 10000.0 AS containment,
        CASE WHEN a.n <= b.n THEN a.doc_id ELSE b.doc_id END AS contained_doc
 FROM toks a JOIN toks b ON a.doc_id < b.doc_id
 WHERE 5 * len(list_intersect(a.t, b.t)) >= 4 * least(a.n, b.n)
@@ -869,9 +869,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(F.col("i").cast("double") / F.col("m"), 4).alias(
-                "containment"
-            ),
+            # Exact half-up 4 dp of i/m (small-denominator rational — the
+            # q_ts_ewma round() seam; common.S_r4_ratio rationale).
+            F.expr(
+                "CAST((2 * i * 10000 + m) div (2 * m) AS DOUBLE) / 10000.0"
+            ).alias("containment"),
             F.when(F.col("na") <= F.col("nb"), F.col("doc_id_a"))
             .otherwise(F.col("doc_id_b"))
             .alias("contained_doc"),

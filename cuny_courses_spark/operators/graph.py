@@ -241,8 +241,9 @@ e AS (
     GROUP BY a1.node, a2.node
 )
 SELECT cn.a, cn.b, cn.n_common,
-       round(CAST(cn.n_common AS DOUBLE)
-             / CAST(da.d + db.d - cn.n_common AS DOUBLE), 4) AS jaccard
+       CAST((2 * cn.n_common * 10000 + (da.d + db.d - cn.n_common))
+            // (2 * (da.d + db.d - cn.n_common)) AS DOUBLE) / 10000.0
+           AS jaccard
 FROM cn
 JOIN deg da ON cn.a = da.node
 JOIN deg db ON cn.b = db.node
@@ -325,12 +326,11 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             "n_common",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("da") + F.col("db") - F.col("n_common")).cast(
-                    "double"
-                ),
-                4,
+            # Exact half-up 4 dp of the small-denominator rational (the
+            # q_ts_ewma round() seam — common.S_r4_ratio rationale).
+            F.expr(
+                "CAST((2 * n_common * 10000 + (da + db - n_common))"
+                " div (2 * (da + db - n_common)) AS DOUBLE) / 10000.0"
             ).alias("jaccard"),
         )
     )

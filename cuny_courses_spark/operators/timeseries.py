@@ -254,14 +254,19 @@ WITH daily AS (
                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
-       round(CASE
+       CASE
            WHEN total IS NOT NULL THEN total
            WHEN prev_v IS NULL THEN next_v
            WHEN next_v IS NULL THEN prev_v
-           ELSE prev_v + (next_v - prev_v)
-                * (CAST(date_diff('day', prev_d, day) AS DOUBLE)
-                   / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
-       END, 4) AS total_interp,
+           ELSE CAST((2 * (CAST(round(prev_v * 10000) AS BIGINT)
+                           * (date_diff('day', prev_d, next_d)
+                              - date_diff('day', prev_d, day))
+                           + CAST(round(next_v * 10000) AS BIGINT)
+                             * date_diff('day', prev_d, day))
+                      + date_diff('day', prev_d, next_d))
+                     // (2 * date_diff('day', prev_d, next_d)) AS DOUBLE)
+                / 10000.0
+       END AS total_interp,
        total IS NULL AS filled
 FROM ctx
 """,
@@ -272,9 +277,13 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     step function is wrong for rates/levels that drift). Same bounded
     spine as q_ts_gapfill_locf; the bracketing observation on each side
     comes from two frames over ONE sorted partition — last non-null
-    before (value + its day) and first non-null after — then one lerp:
-    ``prev + (next−prev)·Δ/span`` on day-count integers cast to double,
-    identical IEEE ops both engines, inputs already 4 dp-rounded decimals.
+    before (value + its day) and first non-null after — then one lerp in
+    EXACT INT64: totals are 4-dp decimals (recovered as integer
+    ten-thousandths), day offsets integers, so
+    ``(T_prev·(n−k) + T_next·k) / n`` rounds half-up by integer division
+    (S_r4_ratio rationale — a double lerp of 4-dp values at rational
+    factor k/n lands exactly on the .xxxx5 boundaries where the engines'
+    ``round()`` implementations disagree; the q_ts_ewma seam).
     Edge days (no bracket on one side) degrade to nearest-observation
     fill; observed days pass through exactly. Scale: the spine is bounded
     by calendar span per user, both windows share the user_id exchange and
@@ -310,19 +319,21 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("total", ignorenulls=True).over(wn).alias("next_v"),
         F.first(obs_day, ignorenulls=True).over(wn).alias("next_d"),
     )
-    lerp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
-        F.datediff("day", "prev_d").cast("double")
-        / F.datediff("next_d", "prev_d").cast("double")
+    lerp = F.expr(
+        "CAST((2 * (CAST(round(prev_v * 10000) AS BIGINT)"
+        "           * (datediff(next_d, prev_d) - datediff(day, prev_d))"
+        "           + CAST(round(next_v * 10000) AS BIGINT)"
+        "             * datediff(day, prev_d))"
+        "      + datediff(next_d, prev_d))"
+        " div (2 * datediff(next_d, prev_d)) AS DOUBLE) / 10000.0"
     )
     return ctx.select(
         "user_id",
         fmt_date("day", "day"),
-        F.round(
-            F.when(F.col("total").isNotNull(), F.col("total"))
-            .when(F.col("prev_v").isNull(), F.col("next_v"))
-            .when(F.col("next_v").isNull(), F.col("prev_v"))
-            .otherwise(lerp),
-            4,
-        ).alias("total_interp"),
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(lerp)
+        .alias("total_interp"),
         F.col("total").isNull().alias("filled"),
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cuny_courses_spark.common import DEC, fmt_date, fp, r4
+from cuny_courses_spark.common import DEC, O_r4_ratio, S_r4_ratio, fmt_date, fp, r4
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import load
 
@@ -604,32 +604,65 @@ def q_win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_win_cume_pct",
-    oracle="""
+    oracle=f"""
+WITH r AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER wp AS BIGINT) AS rk,
+           CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+           CAST(count(*) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cnum
+    FROM orders
+    WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+)
 SELECT o_orderkey, o_orderpriority,
-       round(percent_rank() OVER (
-           PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS pct_rank,
-       round(cume_dist() OVER (
-           PARTITION BY o_orderpriority ORDER BY o_totalprice), 4) AS cume
-FROM orders
+       CASE WHEN n = 1 THEN 0.0
+            ELSE {O_r4_ratio('(rk - 1) * 10000', 'n - 1')} END AS pct_rank,
+       {O_r4_ratio('cnum * 10000', 'n')} AS cume
+FROM r
 """,
 )
 def q_win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution functions: each order's percent_rank and cume_dist of
     total price within its priority class — the CDF position primitive
-    (price-percentile badging, fraud percentile cuts). Both functions are
-    TIE-AWARE (rank / peer-count based), so per-row output is independent
-    of intra-tie row order — no tiebreak column needed for determinism,
-    unlike row_number. The divisions are the same two integers in both
-    engines, rounded at 4 dp. Scale: one exchange on the priority key +
-    per-partition sort; percent_rank needs only the partition row count
-    (computed in the same sort pass), never a global sort."""
+    (price-percentile badging, fraud percentile cuts). Both are TIE-AWARE
+    (rank / peer-count based), so per-row output is independent of
+    intra-tie row order. Emitted through the EXACT integer half-up form
+    (common.S_r4_ratio) rather than round(percent_rank(), 4): the built-in
+    yields small-denominator rationals ((r−1)/(n−1), peers/n) whose exact
+    .xxxx5 boundary values are where Spark's and DuckDB's double rounding
+    disagree (the q_ts_ewma seam) — the integer identity
+    ``(2·num + den) div (2·den)`` has no boundary to disagree on. Scale:
+    one exchange on the priority key + per-partition sort; rank, the
+    partition count, and the tie-inclusive running count all come out of
+    that single sort pass."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    return o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    wp = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(wp).cast("long").alias("rk"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("o_orderpriority"))
+            .cast("long")
+            .alias("n"),
+            F.count(F.lit(1))
+            .over(
+                wp.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("long")
+            .alias("cnum"),
+        )
+        .selectExpr(
+            "o_orderkey",
+            "o_orderpriority",
+            "CASE WHEN n = 1 THEN 0.0D ELSE "
+            + S_r4_ratio("(rk - 1) * 10000", "n - 1")
+            + " END AS pct_rank",
+            S_r4_ratio("cnum * 10000", "n") + " AS cume",
+        )
     )
 
 
