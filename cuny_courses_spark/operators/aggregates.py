@@ -810,3 +810,43 @@ def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den / 100.0, 4).alias("wavg_price"),
         fpavg(ep, 2, "l_extendedprice", "avg_price"),
     )
+
+
+# -------------------------------------------------- q_agg_minmax_by
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+WITH r AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rf,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rl
+    FROM events
+)
+SELECT user_id,
+       round(min(CASE WHEN rf = 1 THEN value END), 4) AS first_value,
+       round(min(CASE WHEN rl = 1 THEN value END), 4) AS last_value
+FROM r GROUP BY user_id
+""",
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic arg-min/arg-max aggregates: each user's value at
+    their earliest and latest event — ``min_by``/``max_by`` keyed on the
+    TOTAL order struct (ts, event_id), so ties on ts cannot make the
+    answer partitioning-dependent (the rule that bans bare
+    first()/any_value from checked output). Spark struct comparison is
+    lexicographic ⇒ the struct key IS the total order; the oracle states
+    the same semantics as two row_number argmins. Scale: this is the
+    hash-aggregate form of q_win_latest_per_key's sort-based window — one
+    map-side-combined exchange carrying (key, candidate) pairs, no
+    per-partition sort at all; at 100 TB prefer THIS shape whenever only
+    the argmax row (not the full ranking) is needed."""
+    e = load(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return e.groupBy("user_id").agg(
+        r4(F.min_by("value", key), "first_value"),
+        r4(F.max_by("value", key), "last_value"),
+    )
