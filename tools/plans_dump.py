@@ -29,6 +29,7 @@ SHOW = [
     ("q_dedup_near_jaccard", "inverted shingle index: shuffle-hash equi-join, no nested loop"),
     ("q_graph_common_neighbors", "wedge equi-join + anti join; hub cap at scale"),
     ("q_etl_table_stats", "single Expand-planned scan for 6-column profile"),
+    ("q_ts_ewma", "exact-int64 EWMA: JVM higher-order fold, no Python stage"),
 ]
 
 KEY_LINES = re.compile(
