@@ -809,3 +809,46 @@ def q_join_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             fpsum(fp("o_totalprice"), 2, "total"),
         )
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+WITH d AS (
+    SELECT nullif(o_orderstatus, 'P') AS k,
+           min(o_orderkey) AS first_key
+    FROM orders GROUP BY 1
+)
+SELECT coalesce(CAST(d.k AS VARCHAR), 'NULL') AS k,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       d.first_key
+FROM (SELECT nullif(o_orderstatus, 'P') AS k, o_orderkey FROM orders) o
+JOIN d ON o.k IS NOT DISTINCT FROM d.k
+GROUP BY d.k, d.first_key
+""",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` ≡ IS NOT DISTINCT FROM): orders
+    matched back to a per-status dimension where status 'P' is NULLed out
+    — the "unknown matches unknown" semantic a plain equi-join silently
+    drops (NULL = NULL is NULL ⇒ the whole NULL group vanishes), needed
+    whenever the join key comes out of an outer join or optional
+    attribute. The planner treats ``<=>`` as a HASHABLE equi-key
+    (coalesce-wrapped), so this is a broadcast/hash equi-join — same
+    shuffle posture as any dim lookup at 100 TB, never a nested loop
+    (covered by the plan-hygiene gate like every registered query)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.nullif("o_orderstatus", F.lit("P")).alias("k"), "o_orderkey"
+    )
+    d = o.groupBy(F.col("k").alias("dk")).agg(
+        F.min("o_orderkey").alias("first_key")
+    )
+    return (
+        o.join(F.broadcast(d), F.col("k").eqNullSafe(F.col("dk")))
+        .groupBy(
+            F.coalesce(F.col("dk").cast("string"), F.lit("NULL")).alias("k"),
+            "first_key",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select("k", "n_orders", "first_key")
+    )
