@@ -107,7 +107,7 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     # products (scale 4 / 6). Accumulation is profile-switched: the small
     # profile sums RAW longs (pure codegen integer adds — measured 2× on
     # the suite's heaviest query; per-group partials provably inside int64
-    # at ≤ 16 GiB input, ANSI throws if ever not), the large profile sums
+    # at ≤ 4 GiB input, ANSI throws if ever not), the large profile sums
     # through decimal(38,0), overflow-safe at any scale factor. Both
     # compute the same exact integer ⇒ bit-identical output.
     from cuny_courses_spark.common import fplavg, fplsum

@@ -57,7 +57,17 @@ RUNTIME_CONFS: dict[str, str] = {
 # is the scale story (runtime coalescing, skew-join split, SMJ→BHJ
 # conversion) and stays on. The switch is computed from the actual bytes
 # under sf_dir, so the same code path self-tunes from sf0.001 to 100 TB.
-SMALL_INPUT_BYTES = 16 << 30  # 16 GiB
+#
+# 4 GiB (was 16 GiB, r3 advice): the raw-int64 fixed-point accumulators
+# (common.fplsum) must PROVABLY not overflow inside the small profile.
+# At 4 GiB of parquet the lineitem share is ≲ 2.5 GiB ≈ 2.5e7 rows; even
+# a single group holding every row at the engine's max per-row scaled
+# product (~1.1e11 for the scale-6 charge expression) sums to ≲ 2.8e18 —
+# 3× inside int64's 9.2e18 with zero distributional assumptions. At
+# 16 GiB the same worst case crossed int64 (1.1e19), making ANSI-mode
+# aborts possible near the boundary. Above the threshold the
+# decimal(38,0) path (common.fpsum) takes over.
+SMALL_INPUT_BYTES = 4 << 30  # 4 GiB
 
 # Memoized per (path, top-level content signature): a regenerated/grown
 # dataset at the same path must re-derive the tuning decision (same contract
