@@ -162,18 +162,50 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- q_agg_approx_distinct
 
 
-@register("q_agg_approx_distinct")  # rows-only: HLL sketch has no exact oracle
-def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per event_type (rsd=0.01).
-
-    100 TB rationale: the HLL sketch is fixed-size per group and merges
+def approx_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form: HyperLogLog++ distinct users per event_type
+    (rsd=0.01). The sketch is fixed-size per group and merges
     associatively, so the shuffle carries KB-scale sketches instead of the
-    full distinct key set. Engine tests assert ±5 % of exact
-    (tests/test_internal.py).
-    """
+    full distinct key set — the 100 TB path."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance CERTIFICATE for HyperLogLog++ distinct counts (r3 verdict
+    #4): one pass computes BOTH the rsd=0.01 sketch estimate and the exact
+    distinct count per event_type, and emits the exact count plus
+    ``within_tol`` = |approx − exact| ≤ max(1, 5 % · exact) — the engine
+    contract that previously lived only in an internal test. The oracle
+    recomputes the exact side and emits constant-true flags, so the
+    driver's value-hash now FAILS if the sketch ever drifts out of
+    tolerance — the rows-only gap is closed without asking DuckDB to
+    reproduce engine-specific sketch values. The production (approx-only,
+    sketch-shuffle) form is ``approx_distinct_by_type``; the certificate
+    deliberately pays the exact distinct shuffle to referee it."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    tol = F.greatest(F.lit(1.0), 0.05 * F.col("exact_users"))
+    return g.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (F.abs(F.col("_approx") - F.col("exact_users")) <= tol).alias(
+            "within_tol"
+        ),
     )
 
 
@@ -416,17 +448,14 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_hll_merge")  # rows-only: sketch estimates are engine-specific
-def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup: per-day HyperLogLog sketches of user_id
-    (Apache DataSketches HLL via ``hll_sketch_agg``) are UNIONED per
-    event_type and only then estimated — the pre-aggregated distinct-count
-    architecture for 100 TB: daily partitions each keep a ~KB sketch, any
-    rollup window (week/month/all-time) is a cheap sketch union instead of
-    a re-scan of raw events, and the merge is associative so it
-    parallelizes like a sum. Rows-only contract (estimates are
-    engine/library-specific); tests/test_internal.py asserts the merged
-    estimate lands within 5 % of the exact distinct count."""
+def hll_merge_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form: per-day HyperLogLog sketches of user_id (Apache
+    DataSketches HLL via ``hll_sketch_agg``) UNIONED per event_type and
+    only then estimated — the pre-aggregated distinct-count architecture
+    for 100 TB: daily partitions each keep a ~KB sketch, any rollup window
+    (week/month/all-time) is a cheap sketch union instead of a re-scan of
+    raw events, and the merge is associative so it parallelizes like a
+    sum."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
@@ -438,17 +467,48 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_quantile")  # rows-only: sketch quantiles engine-specific
-def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate quantiles of l_extendedprice per returnflag via
-    ``approx_percentile`` (Greenwald-Khanna style mergeable summary,
-    accuracy 10⁴ ⇒ rank error ≤ 10⁻⁴) — the scale path for percentile
-    reporting: exact percentiles need a per-group sort of all values;
-    the sketch is one streaming pass with KB-sized partial state that
-    merges associatively across partitions. Output exploded to
-    (flag, quantile, value) rows. Rows-only contract;
-    tests/test_internal.py brackets each estimate between exact quantiles
-    at p ± 1 %."""
+@register(
+    "q_agg_hll_merge",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance CERTIFICATE for the mergeable-sketch rollup (r3 verdict
+    #4): runs the production two-level sketch path (``hll_merge_by_type``
+    — per-day ``hll_sketch_agg`` partials, ``hll_union_agg`` merge,
+    estimate only after the union) AND the exact distinct count, joined
+    per event_type; emits the exact count plus ``within_tol`` =
+    |estimate − exact| ≤ 5 % · exact. The oracle recomputes the exact side
+    with constant-true flags, so a drifting merged estimate now
+    hash-FAILS at the driver instead of hiding behind ``no_oracle``. The
+    certificate exercises the full daily-partial→union→estimate pipeline,
+    not a shortcut single-level sketch."""
+    est = hll_merge_by_type(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_tol"),
+    )
+
+
+def approx_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production form: approximate quantiles of l_extendedprice per
+    returnflag via ``approx_percentile`` (Greenwald-Khanna style mergeable
+    summary, accuracy 10⁴ ⇒ rank error ≤ 10⁻⁴) — the scale path for
+    percentile reporting: exact percentiles need a per-group full value
+    multiset; the sketch is one streaming pass with KB-sized partial state
+    that merges associatively across partitions."""
     li = load(spark, sf_dir, "lineitem")
     qs = [0.25, 0.5, 0.75, 0.95]
     agg = li.groupBy("l_returnflag").agg(
@@ -465,6 +525,68 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("p.q").alias("quantile"),
         F.round(F.col("p.v"), 4).alias("value"),
+    )
+
+
+@register(
+    "q_agg_approx_quantile",
+    oracle=f"""
+WITH g AS (
+    SELECT l_returnflag,
+           quantile_cont({O_fp('l_extendedprice')},
+                         [0.25, 0.5, 0.75, 0.95]) AS v
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT g.l_returnflag, CAST(t.q AS DOUBLE) AS quantile,
+       round(g.v[t.i] / 100, 4) AS exact_value,
+       TRUE AS within_bracket
+FROM g, (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.95)) t(i, q)
+""",
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance CERTIFICATE for the Greenwald-Khanna quantile sketch (r3
+    verdict #4): one grouped pass computes the accuracy-10⁴
+    ``approx_percentile`` of l_extendedprice at p ∈ {{.25, .5, .75, .95}}
+    AND the exact continuous percentiles on int64 cents (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the bit-verified pairing
+    from q_agg_exact_percentile) at p and p ± 0.0125. Emitted per
+    (flag, p): the exact value and ``within_bracket`` = approx ∈
+    [exact(p−.0125), exact(p+.0125)] — the GK rank-error contract (≤10⁻⁴
+    plus value granularity, far inside the ±1.25 % rank bracket). The
+    oracle recomputes the exact side with constant-true flags, so a sketch
+    estimate outside the bracket hash-FAILS at the driver. Production
+    (sketch-only) form: ``approx_quantiles_by_flag``."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    eps = 0.0125
+    los = [max(q - eps, 0.0) for q in qs]
+    his = [min(q + eps, 1.0) for q in qs]
+    c = fp("l_extendedprice")
+    agg = li.select("l_extendedprice", "l_returnflag", c.alias("_c")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+        ).alias("av"),
+        F.percentile("_c", F.array(*[F.lit(q) for q in qs])).alias("ev"),
+        F.percentile("_c", F.array(*[F.lit(q) for q in los])).alias("lv"),
+        F.percentile("_c", F.array(*[F.lit(q) for q in his])).alias("hv"),
+    )
+    z = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"),
+        F.col("av").alias("a"),
+        F.col("ev").alias("e"),
+        F.col("lv").alias("lo"),
+        F.col("hv").alias("hi"),
+    )
+    return agg.select("l_returnflag", F.explode(z).alias("p")).select(
+        "l_returnflag",
+        F.col("p.q").alias("quantile"),
+        F.round(F.col("p.e") / 100.0, 4).alias("exact_value"),
+        (
+            (F.col("p.a") >= F.col("p.lo") / 100.0 - 1e-9)
+            & (F.col("p.a") <= F.col("p.hi") / 100.0 + 1e-9)
+        ).alias("within_bracket"),
     )
 
 
@@ -785,9 +907,9 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_weighted_avg",
     oracle=f"""
 SELECT l_returnflag,
-       round(CAST(sum({O_fp('l_quantity')} * {O_fp('l_extendedprice')})
-                  AS DOUBLE)
-             / CAST(sum({O_fp('l_quantity')}) AS DOUBLE) / 100.0, 4)
+       CAST((200 * sum({O_fp('l_quantity')} * {O_fp('l_extendedprice')})
+             + sum({O_fp('l_quantity')}))
+            // (2 * sum({O_fp('l_quantity')})) AS DOUBLE) / 10000.0
            AS wavg_price,
        {O_fpavg(O_fp('l_extendedprice'), 2, 'l_extendedprice', 'avg_price')}
 FROM lineitem
@@ -800,15 +922,27 @@ def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics, blended rates). Numerator and denominator are exact
     fixed-point integer sums (qty·price products, decimal(38,0)
     accumulation — the weighted sum crosses int64 around sf1, unlike the
-    plain sums), so the final division is the same two exact integers in
-    both engines. One map-side-combined exchange on a 3-value key."""
+    plain sums), and the 4-dp emission is the exact HALF-UP integer
+    division (2N+D) div (2D) carried out IN decimal — num·200 and den
+    exceed int64 at scale, so this is the decimal-width analogue of
+    common.S_r4_ratio (DuckDB side runs the same formula in HUGEINT) —
+    closing the cross-engine round(double) .xxxx5-boundary seam the r3
+    advice flagged here. wavg·10⁴ fits comfortably in the BIGINT that
+    decimal ``div`` returns. One map-side-combined exchange on a 3-value
+    key."""
     li = load(spark, sf_dir, "lineitem")
     qty, ep = fp("l_quantity"), fp("l_extendedprice")
-    num = F.sum((qty * ep).cast("decimal(38,0)")).cast("double")
-    den = F.sum(qty.cast("decimal(38,0)")).cast("double")
-    return li.groupBy("l_returnflag").agg(
-        F.round(num / den / 100.0, 4).alias("wavg_price"),
+    g = li.groupBy("l_returnflag").agg(
+        F.sum((qty * ep).cast("decimal(38,0)")).alias("_num"),
+        F.sum(qty.cast("decimal(38,0)")).alias("_den"),
         fpavg(ep, 2, "l_extendedprice", "avg_price"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.expr(
+            "CAST((200 * _num + _den) div (2 * _den) AS DOUBLE) / 10000.0"
+        ).alias("wavg_price"),
+        "avg_price",
     )
 
 

@@ -223,8 +223,60 @@ def _minhash_coeffs(n: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-@register("q_dedup_minhash_lsh")  # rows-only: hash family ≠ any SQL oracle
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_O_SHINGLES} AS t, len({_O_SHINGLES}) AS n
+    FROM documents
+), exact AS (
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE 5 * len(list_intersect(a.t, b.t))
+          >= 3 * (a.n + b.n - len(list_intersect(a.t, b.t)))
+      AND len(list_intersect(a.t, b.t)) > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_floor_met,
+       TRUE AS precision_ok
+FROM exact
+""",
+)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall CERTIFICATE for MinHash-LSH dedup (r3 verdict #4): runs the
+    production banded-LSH pipeline (``minhash_lsh_pairs``) AND the exact
+    inverted-index Jaccard twin (q_dedup_near_jaccard) in one query,
+    emitting a single row: the exact near-dup pair count,
+    ``recall_floor_met`` = |LSH ∩ exact| ≥ 0.9·|exact| (integer-arithmetic
+    comparison, vacuously true on an empty exact set), and
+    ``precision_ok`` = LSH ⊆ exact (the LSH path verifies candidates with
+    the same exact-Jaccard cut, so a leaked pair means a real bug). The
+    oracle recomputes the exact pair count with constant-true flags —
+    recall regressions now hash-FAIL at the driver instead of hiding
+    behind ``no_oracle``. Production scale path: ``minhash_lsh_pairs``."""
+    lsh = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    exact = q_dedup_near_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hit = exact.join(lsh, ["doc_id_a", "doc_id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    n_leak = lsh.join(exact, ["doc_id_a", "doc_id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("_leaks")
+    )
+    return (
+        n_exact.crossJoin(n_hit)
+        .crossJoin(n_leak)
+        .select(
+            F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
+            (10 * F.col("_hits") >= 9 * F.col("n_exact_pairs")).alias(
+                "recall_floor_met"
+            ),
+            (F.col("_leaks") == 0).alias("precision_ok"),
+        )
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at Jaccard ≥ 0.6, seed=42, implemented
     natively on DataFrame ops: shingle → xxhash64 (seed 42) → 32 universal
     hashes mod 2³¹−1 → signature mins → 16 bands × 2 rows → band-bucket

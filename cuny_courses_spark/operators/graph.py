@@ -265,8 +265,11 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_HUB_DEGREE_CAP`` — the exact analogue of the dedup family's
     df-capped shingle index: a mega-hub connects everything to everything
     (its wedges score near-zero Jaccard anyway) while costing deg² pairs,
-    so it is removed from the CANDIDATE GENERATOR only; true degrees still
-    score every surviving pair. The cap (4096) is far above the fixtures'
+    so it is removed from the CANDIDATE GENERATOR only; surviving pairs
+    are then re-counted against the UNCAPPED adjacency, so the emitted
+    n_common/jaccard are EXACT for every emitted pair (r3 advice — only
+    candidate recall, pairs co-occurring solely under capped hubs, is
+    approximate). The cap (4096) is far above the fixtures'
     max degree (27 at sf0.01), so capped ≡ exact on every test corpus —
     verified under the forced large profile (tests/test_scale_profile.py).
     The n_common ≥ 2 floor prunes the long tail before the degree join.
@@ -292,26 +295,49 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    wedge_adj = adj
     from cuny_courses_spark.session import is_small_input
 
-    if not is_small_input(sf_dir):
+    a1 = adj.select(F.col("node").alias("a"), "nbr")
+    a2 = adj.select(F.col("node").alias("b"), "nbr")
+    if is_small_input(sf_dir):
+        cn = (
+            a1.join(a2, "nbr")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= 2)
+        )
+    else:
         # Large profile: candidate generation skips mega-hub centers.
         # Degree of the SHARED neighbor (the wedge center) is what the
         # fan-out squares on, so the filter keys on nbr, not node.
+        # n_common is then RE-COUNTED for the surviving pairs from the
+        # UNCAPPED adjacency (r3 advice: counting from the capped index
+        # made the emitted scores lower bounds, not just the candidate
+        # set) — the recount joins candidates to full adjacency, so its
+        # cost is Σ_cand deg(a), bounded by the candidate count × mean
+        # degree, never deg² on the hubs. A pair whose ONLY shared
+        # neighbors are capped hubs still never becomes a candidate —
+        # that recall trade is the documented point of the cap (hub-only
+        # co-occurrence scores near-zero Jaccard anyway).
         hub = deg.filter(F.col("d") > _HUB_DEGREE_CAP).select(
             F.col("node").alias("nbr")
         )
         wedge_adj = adj.join(hub, "nbr", "left_anti")
-    a1 = wedge_adj.select(F.col("node").alias("a"), "nbr")
-    a2 = wedge_adj.select(F.col("node").alias("b"), "nbr")
-    cn = (
-        a1.join(a2, "nbr")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= 2)
-    )
+        cand = (
+            wedge_adj.select(F.col("node").alias("a"), "nbr")
+            .join(wedge_adj.select(F.col("node").alias("b"), "nbr"), "nbr")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        cn = (
+            a1.join(cand, "a")
+            .join(a2, ["nbr", "b"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= 2)
+        )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
     return (

@@ -281,12 +281,60 @@ def q_sim_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_ann_lsh")  # rows-only: hash family ≠ any SQL oracle
+# Exact-vs-approx top-k certificate plumbing shared by the ANN entries
+# (q_sim_ann_lsh / q_sim_ivf_topk). The oracle twin recomputes the exact
+# per-query best cosine and emits a constant-true recall flag.
+_O_TOPK_CERT = f"""
+SELECT q.vec_id AS q_id,
+       round(max({_O_DOT.format(a='q.embedding', b='c.embedding')}), 4)
+           AS top1_cos,
+       TRUE AS recall_floor_met
+FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+WHERE q.vec_id < 10
+GROUP BY q.vec_id
+"""
+
+
+def _topk_recall_certificate(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
+) -> DataFrame:
+    """Join an approximate top-5 result (q_id, n_id, …) against the exact
+    brute-force top-5 (q_sim_topk_per_query) and emit per query the exact
+    top-1 cosine plus a GLOBAL ``recall_floor_met`` = |approx ∩ exact| ≥
+    0.8·|exact| (integer arithmetic, one 1-row aggregate crossJoined onto
+    the 10 query rows). Exact columns hash-compare against the SQL twin;
+    the flag flips to false — and the driver FAILs — if ANN recall ever
+    drops below the floor."""
+    exact = q_sim_topk_per_query(spark, sf_dir)
+    pairs = exact.select("q_id", "n_id")
+    n_exact = pairs.agg(F.count(F.lit(1)).alias("_n"))
+    n_hit = pairs.join(
+        approx.select("q_id", "n_id"), ["q_id", "n_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("_h"))
+    cert = n_exact.crossJoin(n_hit).select(
+        (5 * F.col("_h") >= 4 * F.col("_n")).alias("recall_floor_met")
+    )
+    top1 = exact.groupBy("q_id").agg(F.max("cos").alias("top1_cos"))
+    return top1.crossJoin(cert).select("q_id", "top1_cos", "recall_floor_met")
+
+
+@register("q_sim_ann_lsh", oracle=_O_TOPK_CERT)
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall CERTIFICATE for random-projection ANN (r3 verdict #4): runs
+    the production bucketed-LSH top-5 (``ann_lsh_topk``) AND the exact
+    brute-force top-5, emitting per query the exact top-1 cosine plus the
+    global recall ≥ 0.8 flag — see ``_topk_recall_certificate``. The
+    oracle recomputes the exact side with constant-true flags, so ANN
+    recall regressions hash-FAIL at the driver. Production path:
+    ``ann_lsh_topk``."""
+    return _topk_recall_certificate(spark, sf_dir, ann_lsh_topk(spark, sf_dir))
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors for vec_id < 10 via random-projection LSH
     (seed=42) — the 100 TB ANN path: bucketed candidate join + per-query
-    heap instead of brute-force pairs. Engine tests assert recall ≥ 0.8 vs
-    q_sim_topk_per_query."""
+    heap instead of brute-force pairs. Recall ≥ 0.8 vs exact is certified
+    by the registered q_sim_ann_lsh."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -317,8 +365,17 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_ivf_topk")  # rows-only: centroid training ≠ any SQL oracle
+@register("q_sim_ivf_topk", oracle=_O_TOPK_CERT)
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall CERTIFICATE for IVF ANN (r3 verdict #4): runs the production
+    KMeans inverted-file top-5 (``ivf_topk``) AND the exact brute-force
+    top-5, emitting per query the exact top-1 cosine plus the global
+    recall ≥ 0.8 flag — see ``_topk_recall_certificate``. Production
+    path: ``ivf_topk``."""
+    return _topk_recall_certificate(spark, sf_dir, ivf_topk(spark, sf_dir))
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-5 for vec_id < 10: KMeans
     (k=8, seed=42) coarse quantizer → per-cluster inverted lists → probe
     the nprobe=6 nearest centroids per query (ranked by the same Euclidean
@@ -492,21 +549,55 @@ def neardup_cosine_pairs(
     )
 
 
-@register("q_sim_neardup_lsh")  # rows-only: hyperplane family ≠ any SQL oracle
+@register(
+    "q_sim_neardup_lsh",
+    oracle=f"""
+WITH exact AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_O_DOT.format(a='a.embedding', b='b.embedding')}, 4) >= 0.95
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_floor_met,
+       TRUE AS precision_ok
+FROM exact
+""",
+)
 def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.95) via sign-projection LSH
-    banding — the 100 TB scale path for ``q_sim_neardup_cosine``.
-
-    64 fixed random hyperplanes (seed 42) give a 64-bit sign sketch per
-    vector; P(bit agrees) = 1 − θ/π ≈ 0.899 at cos = 0.95. Split into
-    8 bands × 8 bits: P(candidate) = 1 − (1 − 0.899⁸)⁸ ≈ 0.988 at the
-    threshold, higher above it (tests assert recall ≥ 0.8 and precision
-    1.0 vs the exact twin on an injected-near-dup corpus). Sketching is one
-    Arrow-batched matmul per batch (pandas_udf); candidate generation is a
-    hash equi-join on (band_idx, band_bits) — near-linear, never a pair
-    scan — and only candidates pay the exact dot-product verify, with no
-    corpus-sized broadcast anywhere."""
-    return neardup_lsh_pairs(load(spark, sf_dir, "embeddings"))
+    """Recall/precision CERTIFICATE for sign-projection LSH near-dup
+    detection (r3 verdict #4): runs the production banded sign-sketch path
+    (``neardup_lsh_pairs`` — 64 fixed hyperplanes seed 42, 8 bands × 8
+    bits, P(candidate) ≈ 0.988 at cos = 0.95, hash equi-join candidates,
+    exact-dot verify) AND the exact block-partitioned all-pairs twin
+    (``neardup_cosine_pairs``), emitting one row: the exact pair count,
+    ``recall_floor_met`` = |LSH ∩ exact| ≥ 0.8·|exact| (vacuously true on
+    an empty exact set — the synthetic corpus tops out near cos ≈ 0.6, so
+    the non-vacuous exercise lives in the injected-near-dup tests), and
+    ``precision_ok`` = LSH ⊆ exact (the verify step shares the exact
+    rounded-dot cut, so a leak is a real bug). The oracle recomputes the
+    exact count with constant-true flags. Production path:
+    ``neardup_lsh_pairs``."""
+    e = load(spark, sf_dir, "embeddings")
+    lsh = neardup_lsh_pairs(e).select("id_a", "id_b")
+    exact = neardup_cosine_pairs(e).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("_h")
+    )
+    n_leak = lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("_l")
+    )
+    return (
+        n_exact.crossJoin(n_hit)
+        .crossJoin(n_leak)
+        .select(
+            F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
+            (5 * F.col("_h") >= 4 * F.col("n_exact_pairs")).alias(
+                "recall_floor_met"
+            ),
+            (F.col("_l") == 0).alias("precision_ok"),
+        )
+    )
 
 
 def neardup_lsh_pairs(e: DataFrame, threshold: float = 0.95) -> DataFrame:

@@ -29,18 +29,12 @@ def test_registry_shapes():
     qs, osql = em.queries(), em.oracle_sql()
     assert len(qs) >= 60
     assert set(osql) <= set(qs)
-    # rows-only set is exactly the declared non-SQL-expressible ops
+    # rows-only set is exactly the declared non-SQL-expressible ops.
+    # r3 verdict #4 converted the former 7 sketch/LSH entries into
+    # oracle-checkable tolerance certificates; only the lateness
+    # semantics of watermark_late remain genuinely non-SQL-expressible.
     rows_only = set(qs) - set(osql)
-    assert rows_only == {
-        "q_agg_approx_distinct",
-        "q_agg_hll_merge",
-        "q_agg_approx_quantile",
-        "q_dedup_minhash_lsh",
-        "q_sim_ann_lsh",
-        "q_sim_ivf_topk",
-        "q_sim_neardup_lsh",
-        "q_stream_watermark_late",
-    }
+    assert rows_only == {"q_stream_watermark_late"}
 
 
 @pytest.mark.parametrize("table", TABLES)

@@ -15,9 +15,13 @@ _QS = queries()
 
 
 def test_approx_distinct_within_5pct(spark):
+    # Production (approx-only) form against the exact distinct counts; the
+    # registered certificate embeds the same contract for the driver.
+    from cuny_courses_spark.operators.aggregates import approx_distinct_by_type
+
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in _QS["q_agg_approx_distinct"](spark, SF_DIR).collect()
+        for r in approx_distinct_by_type(spark, SF_DIR).collect()
     }
     exact = {
         r["event_type"]: r["n"]
@@ -34,13 +38,15 @@ def test_approx_distinct_within_5pct(spark):
 
 
 def test_minhash_lsh_recall_vs_exact(spark):
+    from cuny_courses_spark.operators.dedup import minhash_lsh_pairs
+
     exact = {
         (r["doc_id_a"], r["doc_id_b"])
         for r in _QS["q_dedup_near_jaccard"](spark, SF_DIR).collect()
     }
     lsh = {
         (r["doc_id_a"], r["doc_id_b"])
-        for r in _QS["q_dedup_minhash_lsh"](spark, SF_DIR).collect()
+        for r in minhash_lsh_pairs(spark, SF_DIR).collect()
     }
     if not exact:
         pytest.skip("no exact near-dup pairs at this sf")
@@ -49,28 +55,58 @@ def test_minhash_lsh_recall_vs_exact(spark):
 
 
 def test_ivf_recall_vs_exact_topk(spark):
+    from cuny_courses_spark.operators.similarity import ivf_topk
+
     exact = {
         (r["q_id"], r["n_id"])
         for r in _QS["q_sim_topk_per_query"](spark, SF_DIR).collect()
     }
     ivf = {
-        (r["q_id"], r["n_id"])
-        for r in _QS["q_sim_ivf_topk"](spark, SF_DIR).collect()
+        (r["q_id"], r["n_id"]) for r in ivf_topk(spark, SF_DIR).collect()
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall:.2f}"
 
 
 def test_ann_lsh_recall_vs_exact_topk(spark):
+    from cuny_courses_spark.operators.similarity import ann_lsh_topk
+
     exact = {
         (r["q_id"], r["n_id"])
         for r in _QS["q_sim_topk_per_query"](spark, SF_DIR).collect()
     }
     ann = {
-        (r["q_id"], r["n_id"]) for r in _QS["q_sim_ann_lsh"](spark, SF_DIR).collect()
+        (r["q_id"], r["n_id"]) for r in ann_lsh_topk(spark, SF_DIR).collect()
     }
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.8, f"ANN recall {recall:.2f}"
+
+
+def test_certificate_flags_all_true(spark):
+    # The r3-verdict-#4 certificates must self-report green on the
+    # fixtures: every boolean flag column in every certificate query is
+    # true (the driver's oracle comparison then enforces the same via
+    # constant-true SQL twins — this is the faster local pin).
+    for name in (
+        "q_agg_approx_distinct",
+        "q_agg_hll_merge",
+        "q_agg_approx_quantile",
+        "q_dedup_minhash_lsh",
+        "q_sim_ann_lsh",
+        "q_sim_ivf_topk",
+        "q_sim_neardup_lsh",
+    ):
+        rows = _QS[name](spark, SF_DIR).collect()
+        assert rows, name
+        for r in rows:
+            d = r.asDict()
+            flags = {
+                k: v
+                for k, v in d.items()
+                if k in ("within_tol", "within_bracket", "recall_floor_met",
+                         "precision_ok")
+            }
+            assert flags and all(flags.values()), (name, d)
 
 
 def test_neardup_lsh_recall_on_injected_neardups(spark):
@@ -265,9 +301,11 @@ def test_df_capped_neardup_matches_exact(spark):
 
 
 def test_hll_merge_within_5pct(spark, duck):
+    from cuny_courses_spark.operators.aggregates import hll_merge_by_type
+
     got = {
         r["event_type"]: r["est_users"]
-        for r in _QS["q_agg_hll_merge"](spark, SF_DIR).collect()
+        for r in hll_merge_by_type(spark, SF_DIR).collect()
     }
     exact = {
         t: n
@@ -281,7 +319,9 @@ def test_hll_merge_within_5pct(spark, duck):
 
 
 def test_approx_quantile_brackets_exact(spark, duck):
-    rows = _QS["q_agg_approx_quantile"](spark, SF_DIR).collect()
+    from cuny_courses_spark.operators.aggregates import approx_quantiles_by_flag
+
+    rows = approx_quantiles_by_flag(spark, SF_DIR).collect()
     assert len(rows) > 0
     for r in rows:
         lo, hi = max(r["quantile"] - 0.01, 0.0), min(r["quantile"] + 0.01, 1.0)
