@@ -444,7 +444,11 @@ def q_etl_partition_overwrite_dynamic(
         fixed.write.mode("overwrite").partitionBy("o_year").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    back = spark.read.parquet(out)
+    # Explicit schema: a zero-file partitioned dataset (empty input) has
+    # nothing to infer from (r3 verdict #6).
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_year long"
+    ).parquet(out)
     return back.groupBy(
         F.col("o_year").cast("long").alias("o_year"),
         F.col("o_orderstatus").alias("status"),
@@ -537,7 +541,10 @@ def q_etl_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ins.select("o_year"))
         .distinct()
     )
-    base = spark.read.parquet(out)
+    # Explicit schema on both read-backs: an empty source writes a
+    # zero-file partitioned target, breaking inference (r3 verdict #6).
+    _cow_schema = "o_orderkey long, o_totalprice double, o_year int"
+    base = spark.read.schema(_cow_schema).parquet(out)
     replacement = (
         base.join(F.broadcast(affected), "o_year")
         .join(upd.select("o_orderkey"), "o_orderkey", "left_anti")
@@ -553,7 +560,7 @@ def q_etl_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    back = spark.read.parquet(out)
+    back = spark.read.schema(_cow_schema).parquet(out)
     return back.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
         F.count(F.lit(1)).alias("n"),
         fpsum(fp("o_totalprice"), 2, "sum_price"),

@@ -515,7 +515,12 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", "o_orderstatus", "o_year").write.mode(
             "overwrite"
         ).partitionBy("o_year").parquet(out)
-    fact = spark.read.parquet(out)
+    # Explicit schema: a zero-file partitioned dataset (empty input) has
+    # nothing to infer from (r3 verdict #6); partition discovery — and
+    # with it the runtime pruning predicate — still applies.
+    fact = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_year long"
+    ).parquet(out)
     dim = (
         spark.range(1992, 1999)
         .select(

@@ -102,7 +102,10 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year", F.year("o_orderdate").cast("long")
     )
     o.write.mode("overwrite").partitionBy("o_year").parquet(out)
-    back = spark.read.parquet(out)
+    # Explicit read-back schema: an empty input writes a partitioned
+    # dataset with zero files, which breaks schema inference — at 100 TB
+    # an empty backfill window is routine, not exceptional (r3 verdict #6).
+    back = spark.read.schema(o.schema).parquet(out)
     return back.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -176,8 +179,12 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year", F.year("o_orderdate").cast("long")
     )
     # Idempotent: (re)write the partitioned copy, then prune-read one year.
+    # Explicit schema on the read-back: zero-file partitioned datasets
+    # (empty input) have nothing to infer from (r3 verdict #6).
     o.write.mode("overwrite").partitionBy("o_year").parquet(out)
-    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    back = spark.read.schema(o.schema).parquet(out).filter(
+        F.col("o_year") == 1997
+    )
     return back.agg(
         F.count(F.lit(1)).alias("n"), fpsum(fp("o_totalprice"), 2, "total")
     )

@@ -341,6 +341,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
     )
+    if e.isEmpty():  # ML fit cannot run on zero rows (r3 verdict #6):
+        # an empty corpus legitimately has an empty neighbor list.
+        return spark.createDataFrame(
+            [], "q_id long, n_id long, cos_approx double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="v", outputCol="h", bucketLength=0.5, numHashTables=4, seed=42
     )
@@ -398,6 +403,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("v"),
     )
+    if e.isEmpty():  # KMeans cannot fit zero rows (r3 verdict #6)
+        return spark.createDataFrame([], "q_id long, n_id long, cos double")
     km = KMeans(k=k, seed=42, featuresCol="v", predictionCol="cluster")
     model = km.fit(e)
     assigned = model.transform(e).select("vec_id", "embedding", "cluster")
