@@ -192,38 +192,95 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Join order: fact-fact (lineitem⋈orders) first, then the dims; the
     local-supplier condition (c_nationkey = s_nationkey) rides the supplier
-    join as part of the composite equi-key. Only bounded dims (nation,
-    region) carry explicit broadcast hints; orders/customer/supplier
+    join as part of the composite equi-key. orders/customer/supplier
     strategies are size-threshold/AQE decisions — broadcast at test scale,
     shuffle joins at 100 TB. AQE/CBO may reorder — that's the point.
+
+    The CONSTANT bounded dims (nation = 25, region = 5 rows, enumerated by
+    the schema contract forever, at any SF) are resolved at plan-build
+    time into literals — ``_bounded_dim`` reads the KB-sized files
+    driver-side (capped, asserts boundedness) and the region filter +
+    nation lookup compile to an ``isin`` over 5 nationkeys pushed INTO the
+    customer/supplier scans plus a literal-map projection for n_name.
+    That's constant-relation folding, not a driver-side collect of
+    distributed data: two broadcast-exchange build jobs disappear (6 → 4
+    per execution — each BroadcastExchange is its own Spark job, r3
+    verdict #5), both dim scans leave the plan, and the dim predicate
+    reaches the parquet scans as a static pushed filter instead of a
+    runtime join — strictly better at 100 TB too, where nation/region are
+    still 25/5 rows. The plan cache keys on sf_dir content, so a changed
+    dim file re-folds.
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
     o = o.filter(
         (o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (o.o_orderdate < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
+    nation = _bounded_dim(sf_dir, "nation")
+    region = _bounded_dim(sf_dir, "region")
+    asia = {
+        r["r_regionkey"] for r in region if r["r_name"] == "ASIA"
+    }
+    asian = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nation
+        if r["n_regionkey"] in asia
+    }
+    keys = sorted(asian)
+    in_asia = (
+        F.col("s_nationkey").isin(keys) if keys else F.lit(False)
+    )
+    c2 = c.filter(
+        F.col("c_nationkey").isin(keys) if keys else F.lit(False)
+    ).select("c_custkey", "c_nationkey")
+    s2 = s.filter(in_asia).select("s_suppkey", "s_nationkey")
+    nmap = (
+        F.create_map(*[F.lit(x) for k in keys for x in (k, asian[k])])
+        if keys
+        else F.create_map(F.lit(0), F.lit(None).cast("string"))
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(c2, o.o_custkey == c2.c_custkey)
         .join(
-            s,
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            s2,
+            (li.l_suppkey == s2.s_suppkey)
+            & (c2.c_nationkey == s2.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
-        .groupBy("n_name")
+        .groupBy(nmap[F.col("s_nationkey")].alias("n_name"))
         # Profile-switched accumulator (common.fplsum rationale): raw long
         # adds under the small profile, decimal(38,0) at scale.
         .agg(_rev_sum(sf_dir)(
             fp("l_extendedprice") * (100 - fp("l_discount")), 4, "revenue"
         ))
     )
+
+
+def _bounded_dim(sf_dir: str, table: str, cap: int = 100) -> list[dict]:
+    """Plan-build-time rows of a CONSTANT bounded dimension (nation/region:
+    enumerated by the schema contract, ≤ 25 rows at any SF — FIXTURES.md).
+    Reads the KB-sized parquet driver-side with pyarrow and ASSERTS the
+    bound, so this can never silently become a driver-side materialization
+    of a scaling table. Used for constant-relation folding (see
+    q_join_star_multiway); an empty dir (empty-input gate) yields []."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    matches = glob.glob(path) or glob.glob(f"{path}/*.parquet")
+    rows: list[dict] = []
+    for m in matches[:8]:
+        t = pq.read_table(m)
+        assert t.num_rows <= cap, (
+            f"{table} has {t.num_rows} rows — not a bounded constant dim"
+        )
+        rows.extend(t.to_pylist())
+    assert len(rows) <= cap
+    return rows
 
 
 def _rev_sum(sf_dir: str):
