@@ -359,18 +359,31 @@ GROUP BY l_returnflag
 """,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moments + exact interpolated median per returnflag.
+    """Moments + interpolated median per returnflag.
 
-    ``percentile`` (exact, sort-based) rather than ``percentile_approx`` so
-    the DuckDB ``quantile_cont`` oracle matches exactly; at 100 TB one would
-    swap to the t-digest approx with a tolerance gate instead.
+    Median is profile-switched (the outlier_mad pattern, r3 verdict #8):
+    ``percentile`` (exact, full-multiset state — matches DuckDB
+    ``quantile_cont`` bit-exactly) under the small profile; above the
+    scale threshold (session.is_small_input) it SWAPS to
+    ``approx_percentile`` — the mergeable Greenwald-Khanna summary with
+    KB-sized partial state — keeping the identical plan shape while
+    removing the unbounded per-group sort state;
+    tests/test_scale_profile.py brackets the large-profile medians
+    between exact quantiles at p ± 1 %.
     """
+    from cuny_courses_spark.session import is_small_input
+
     li = load(spark, sf_dir, "lineitem")
+    med = (
+        F.percentile("l_quantity", F.lit(0.5))
+        if is_small_input(sf_dir)
+        else F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000))
+    )
     return li.groupBy("l_returnflag").agg(
         fpavg(fp("l_quantity"), 2, "l_quantity", "avg_qty"),
         r4(F.stddev_samp("l_quantity"), "std_qty"),
         r4(F.var_samp("l_quantity"), "var_qty"),
-        r4(F.percentile("l_quantity", F.lit(0.5)), "median_qty"),
+        r4(med, "median_qty"),
     )
 
 

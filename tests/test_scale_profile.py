@@ -114,6 +114,37 @@ def test_outlier_mad_algorithm_switch(spark, duck, large_profile):
         assert ex["mad_lo"] - slack <= r["mad"] <= ex["mad_hi"] + slack, r
 
 
+def test_agg_stats_median_algorithm_switch(spark, duck, large_profile):
+    # r3 verdict #8: q_agg_stats' exact median carries the same documented
+    # scale swap as outlier_mad — above the threshold it must run the
+    # mergeable approx_percentile sketch, bracketed between exact
+    # quantiles at p ± 1 %; the moment columns stay exact.
+    df = _QS["q_agg_stats"](spark, SF_DIR).toPandas()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    exact = duck.execute(
+        """
+        SELECT l_returnflag,
+               round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                          AS DOUBLE) / 100 / count(*), 4) AS avg_qty,
+               quantile_cont(l_quantity, 0.49) AS med_lo,
+               quantile_cont(l_quantity, 0.51) AS med_hi
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).df().set_index("l_returnflag")
+    assert len(df) == len(exact)
+    for _, r in df.iterrows():
+        ex = exact.loc[r["l_returnflag"]]
+        assert abs(ex["avg_qty"] - r["avg_qty"]) < 5e-5, r
+        assert ex["med_lo"] - 1e-6 <= r["median_qty"] <= ex["med_hi"] + 1e-6, r
+
+
+def test_agg_stats_small_profile_stays_exact(spark, duck):
+    sp = _QS["q_agg_stats"](spark, SF_DIR).toPandas()
+    du = duck.execute(_OS["q_agg_stats"]).df()
+    status, msg = compare(sp, du)
+    assert status == "PASS", msg
+
+
 def test_outlier_mad_small_profile_stays_exact(spark, duck):
     # Direction two of the switch: without the forced large profile the
     # query must still hash-match the exact-median oracle.
