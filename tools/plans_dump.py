@@ -22,7 +22,7 @@ from cuny_courses_spark.session import get_session  # noqa: E402
 SHOW = [
     ("q_agg_groupby", "flagship Q1 shape: pushed filter + pruned scan + 2-phase hash agg"),
     ("q_limit_topk", "Q3 shape: broadcast dim + shuffle-hash fact join + TakeOrderedAndProject"),
-    ("q_join_star_multiway", "Q5 shape: 6-way star, bounded dims broadcast"),
+    ("q_join_star_multiway", "Q5 shape: constant dims folded to pushed In() + literal map; 4 scans, ≤3 broadcasts"),
     ("q_win_latest_per_key", "window dedup: one exchange + per-partition sort"),
     ("q_stream_tumbling", "tumbling twin: date_trunc group, partial+final agg"),
     ("q_join_asof_nearest", "union-sweep as-of: ONE exchange, two frames, no join"),
