@@ -142,14 +142,15 @@ def fplsum(int_col: Column, scale: int, alias: str) -> Column:
     (both compute the same exact integer), ~2× faster on the Q1 shape
     (measured 1.05 s → 0.54 s on 12 M rows ×8 aggregates).
 
-    Safety: callers gate on session.is_small_input (≤ 4 GiB input ⇒
-    ≲ 2.5e7 lineitem rows ⇒ even a SINGLE group holding every row at the
-    max per-row scaled product ~1.1e11 sums to ≲ 2.8e18, 3× inside
-    int64's 9.2e18 — no distributional assumption needed; the threshold
-    was lowered from 16 GiB exactly because the worst case there crossed
-    int64, per the r3 advice). Beyond the profile the decimal(38,0) form
-    takes over; and because the engine pins ANSI mode, an out-of-profile
-    overflow would THROW, never silently wrap.
+    Safety: callers gate on session.is_small_input, which requires the
+    EXACT parquet-footer row count < SMALL_INPUT_ROWS = 2.5e7 (the bytes
+    bound alone under-counted rows on compressible corpora — r4 fix):
+    even a SINGLE group holding every small-profile row at the max
+    per-row scaled product ~1.1e11 sums to ≲ 2.8e18, 3.3× inside int64's
+    9.2e18 — no distributional OR density assumption needed. Beyond the
+    profile the decimal(38,0) form takes over; and because the engine
+    pins ANSI mode, an out-of-profile overflow would THROW, never
+    silently wrap.
     """
     return F.round(F.sum(int_col).cast("double") / float(10 ** scale), 4).alias(alias)
 

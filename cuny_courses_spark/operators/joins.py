@@ -219,6 +219,17 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         (o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (o.o_orderdate < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
+    from cuny_courses_spark.session import is_small_input
+
+    if not is_small_input(sf_dir):
+        # Large profile: pin the fact-fact join to shuffle-hash with the
+        # build on the date-filtered orders side — neither fact needs the
+        # SMJ sort, and the build side is a bounded fraction of the
+        # smaller fact (measured at the ×100 sweep point: 3.5 s SHJ vs
+        # 4.5 s SMJ). Small profile keeps the hint off: there the
+        # size-threshold broadcast beats both and the hint would override
+        # it (measured 0.43 s broadcast vs 0.92 s shuffled at sf0.1).
+        o = o.hint("shuffle_hash")
     nation = _bounded_dim(sf_dir, "nation")
     region = _bounded_dim(sf_dir, "region")
     asia = {

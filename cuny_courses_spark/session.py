@@ -69,6 +69,20 @@ RUNTIME_CONFS: dict[str, str] = {
 # decimal(38,0) path (common.fpsum) takes over.
 SMALL_INPUT_BYTES = 4 << 30  # 4 GiB
 
+# The bytes bound alone is NOT sufficient for the overflow proof: parquet
+# bytes are COMPRESSED, and a highly repetitive corpus (measured: the
+# bench's ×100 replicated layout compresses ~7×) can pack far more rows
+# into 4 GiB than the ~100 B/row density the rationale above assumes —
+# enough to cross int64 in the worst case. The small profile therefore
+# ALSO requires the exact row count (parquet footer metadata, O(#files)
+# KB-sized footer reads, memoized per content signature) to stay under
+# this cap: 2.5e7 rows × max per-row scaled product ~1.1e11 ≈ 2.8e18,
+# 3.3× inside int64 — the same proof, now with zero density assumptions.
+# Non-parquet/unreadable files contribute a deliberately pessimistic
+# bytes/20 row estimate (over-counting rows only ever pushes toward the
+# LARGE profile, which is always safe, merely less locally tuned).
+SMALL_INPUT_ROWS = 25_000_000
+
 # Memoized per (path, top-level content signature): a regenerated/grown
 # dataset at the same path must re-derive the tuning decision (same contract
 # as bench.prepare_layout's size/mtime-keyed cache).
@@ -119,16 +133,52 @@ def _input_bytes(sf_dir: str) -> int:
     return b
 
 
+_DIR_ROWS: dict[tuple[str, tuple], int] = {}
+
+
+def _input_rows(sf_dir: str) -> int:
+    """Exact total row count under ``sf_dir`` from parquet footer metadata
+    (no data pages read). Non-parquet/unreadable files are counted
+    pessimistically at size/20 rows — see the SMALL_INPUT_ROWS note."""
+    key = (sf_dir, _dir_signature(sf_dir))
+    n = _DIR_ROWS.get(key)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n = 0
+            for root, _dirs, files in os.walk(sf_dir):
+                for f in files:
+                    p = os.path.join(root, f)
+                    if f.startswith(("_", ".")):
+                        continue  # _SUCCESS / hidden markers
+                    try:
+                        n += pq.ParquetFile(p).metadata.num_rows
+                    except Exception:
+                        n += os.path.getsize(p) // 20
+        except OSError:
+            n = 1 << 62  # unreadable/remote → assume large (scale-safe)
+        for k in [k for k in _DIR_ROWS if k[0] == sf_dir]:
+            del _DIR_ROWS[k]
+        _DIR_ROWS[key] = n
+    return n
+
+
 def is_small_input(sf_dir: str) -> bool:
     """True when ``sf_dir`` is below the SMALL_INPUT_BYTES threshold.
 
     Queries use this to pick ALGORITHMS, not just confs: the large profile
     swaps exact-but-unbounded-state forms for their mergeable/capped scale
     twins (exact median → approx_percentile in q_agg_outlier_mad; full
-    inverted index → DF-capped index in q_dedup_near_jaccard). Reads
-    SMALL_INPUT_BYTES at call time so tests can force the large profile.
+    inverted index → DF-capped index in q_dedup_near_jaccard). Small
+    requires BOTH the bytes bound and the exact footer row-count bound
+    (the int64 overflow proof — see SMALL_INPUT_ROWS). Reads the module
+    constants at call time so tests can force the large profile.
     """
-    return _input_bytes(sf_dir) < SMALL_INPUT_BYTES
+    return (
+        _input_bytes(sf_dir) < SMALL_INPUT_BYTES
+        and _input_rows(sf_dir) < SMALL_INPUT_ROWS
+    )
 
 
 def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
@@ -140,7 +190,7 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     partition count, where runtime coalescing/skew-splitting pays for
     itself. Runtime-settable, so it works on driver-owned sessions too.
     """
-    small = _input_bytes(sf_dir) < SMALL_INPUT_BYTES
+    small = is_small_input(sf_dir)
     want = {
         "spark.sql.adaptive.enabled": "false" if small else "true",
         "spark.sql.shuffle.partitions": (
