@@ -54,24 +54,50 @@ def fp(col: Column | str, digits: int = 2) -> Column:
     return F.round(c * (10 ** digits)).cast("long")
 
 
-def fpsum(int_col: Column, scale: int, alias: str) -> Column:
-    """Order-independent sum of an exact fixed-point int64 expression.
+_SPLIT_BITS = 20
 
-    Accumulates through decimal(38,0): long-backed (cheap) while partial
-    sums fit in int64, transparently promoting to BigDecimal beyond —
-    overflow-safe at any scale factor (the 10^6-scaled Q1 charge product
-    would overflow a raw int64 sum near sf1). The exact integer total is
-    then cast to double (round-to-nearest, identical in JVM and DuckDB)
-    and rescaled.
+
+def _fpx_total(int_col: Column) -> Column:
+    """Exact integer total of an int64 fixed-point expression via
+    SPLIT-LONG accumulation: two codegen'd long sums — floor(x / 2²⁰)
+    (arithmetic ``shiftright``) and the non-negative remainder
+    (``x & (2²⁰−1)``) — recombined into the exact decimal total
+    hi·2²⁰ + lo only at output. x = (x>>20)·2²⁰ + (x & mask) holds for
+    negatives too in two's complement, so the identity is per-row exact.
+
+    Why: one decimal(38,0) sum costs ~2× the whole Q1-shape query
+    (measured 2.19 s vs 1.14 s on an 88 M-row corpus; at sf0.1 the split
+    even edges out a RAW long sum, 0.294 s vs 0.333 s, because the cast
+    disappears), while raw int64 accumulation needs a per-profile
+    overflow proof. The split needs neither profile nor density
+    assumptions: |Σ hi| ≤ rows · max|x|/2²⁰ and Σ lo < rows · 2²⁰, so
+    with the engine's largest per-row product (~1.1e11, the scale-6 Q1
+    charge expression) both partials stay inside int64 up to ~8.8e12
+    rows ≈ a petabyte-scale lineitem — 13× past the 100 TB design point
+    (~6.6e11 rows). ANSI mode would THROW, never wrap, beyond that. The
+    recombined decimal is the same exact integer the decimal(38,0)
+    accumulator produces — bit-identical downstream.
     """
-    s = F.sum(int_col.cast("decimal(38,0)")).cast("double")
+    hi = F.sum(F.shiftright(int_col, _SPLIT_BITS))
+    lo = F.sum(int_col.bitwiseAND(F.lit((1 << _SPLIT_BITS) - 1)))
+    return hi.cast("decimal(38,0)") * (1 << _SPLIT_BITS) + lo
+
+
+def fpsum(int_col: Column, scale: int, alias: str) -> Column:
+    """Order-independent sum of an exact fixed-point int64 expression,
+    via split-long accumulation (``_fpx_total``) — overflow-provable to
+    ~8.8e12 rows with no profile/density assumptions, ~2× faster than
+    the decimal(38,0) accumulator it replaced (r4). The exact integer
+    total is cast to double (round-to-nearest, identical in JVM and
+    DuckDB) and rescaled."""
+    s = _fpx_total(int_col).cast("double")
     return F.round(s / float(10 ** scale), 4).alias(alias)
 
 
 def fpavg(int_col: Column, scale: int, count_col: Column | str, alias: str) -> Column:
     """Exact-sum mean of a fixed-point expression, rounded to 4 dp."""
     c = F.col(count_col) if isinstance(count_col, str) else count_col
-    s = F.sum(int_col.cast("decimal(38,0)")).cast("double")
+    s = _fpx_total(int_col).cast("double")
     return F.round(s / float(10 ** scale) / F.count(c), 4).alias(alias)
 
 
@@ -133,34 +159,6 @@ def O_fmt_ts(expr: str, alias: str) -> str:
 
 def O_fmt_date(expr: str, alias: str) -> str:
     return f"strftime({expr}, '%Y-%m-%d') AS {alias}"
-
-
-def fplsum(int_col: Column, scale: int, alias: str) -> Column:
-    """Small-profile twin of fpsum: accumulate the exact fixed-point int64
-    expression in a RAW long — pure codegen'd integer adds, no Decimal
-    objects — then rescale. Bit-identical to fpsum wherever it completes
-    (both compute the same exact integer), ~2× faster on the Q1 shape
-    (measured 1.05 s → 0.54 s on 12 M rows ×8 aggregates).
-
-    Safety: callers gate on session.is_small_input, which requires the
-    EXACT parquet-footer row count < SMALL_INPUT_ROWS = 2.5e7 (the bytes
-    bound alone under-counted rows on compressible corpora — r4 fix):
-    even a SINGLE group holding every small-profile row at the max
-    per-row scaled product ~1.1e11 sums to ≲ 2.8e18, 3.3× inside int64's
-    9.2e18 — no distributional OR density assumption needed. Beyond the
-    profile the decimal(38,0) form takes over; and because the engine
-    pins ANSI mode, an out-of-profile overflow would THROW, never
-    silently wrap.
-    """
-    return F.round(F.sum(int_col).cast("double") / float(10 ** scale), 4).alias(alias)
-
-
-def fplavg(int_col: Column, scale: int, count_col: Column | str, alias: str) -> Column:
-    """Small-profile twin of fpavg (see fplsum)."""
-    c = F.col(count_col) if isinstance(count_col, str) else count_col
-    return F.round(
-        F.sum(int_col).cast("double") / float(10 ** scale) / F.count(c), 4
-    ).alias(alias)
 
 
 def S_r4_ratio(num: str, den: str) -> str:

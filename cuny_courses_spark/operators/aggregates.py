@@ -54,18 +54,14 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integers after ×100, so the sum is order-independent without the
     per-row double→decimal conversion dsum pays on arbitrary doubles.
     """
-    from cuny_courses_spark.common import fplavg, fplsum
-    from cuny_courses_spark.session import is_small_input
-
-    s, a = (fplsum, fplavg) if is_small_input(sf_dir) else (fpsum, fpavg)
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        s(fp("l_quantity"), 2, "sum_qty"),
-        s(fp("l_extendedprice"), 2, "sum_price"),
+        fpsum(fp("l_quantity"), 2, "sum_qty"),
+        fpsum(fp("l_extendedprice"), 2, "sum_price"),
         r4(F.min("l_extendedprice"), "min_price"),
         r4(F.max("l_extendedprice"), "max_price"),
-        a(fp("l_discount"), 2, "l_discount", "avg_disc"),
+        fpavg(fp("l_discount"), 2, "l_discount", "avg_disc"),
     )
 
 
@@ -104,16 +100,12 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     # Exact int64 fixed point: price·(100−disc) and ·(100+tax) are integer
-    # products (scale 4 / 6). Accumulation is profile-switched: the small
-    # profile sums RAW longs (pure codegen integer adds — measured 2× on
-    # the suite's heaviest query; per-group partials provably inside int64
-    # at ≤ 4 GiB input, ANSI throws if ever not), the large profile sums
-    # through decimal(38,0), overflow-safe at any scale factor. Both
-    # compute the same exact integer ⇒ bit-identical output.
-    from cuny_courses_spark.common import fplavg, fplsum
-    from cuny_courses_spark.session import is_small_input
-
-    s, a = (fplsum, fplavg) if is_small_input(sf_dir) else (fpsum, fpavg)
+    # products (scale 4 / 6). Accumulation is the split-long form
+    # (common._fpx_total, r4): two codegen long sums recombined into the
+    # exact decimal total — the same integer at every scale with no
+    # profile switch (the former raw-long/decimal(38,0) pairing needed a
+    # per-profile overflow proof and the decimal side cost ~2× on this,
+    # the suite's heaviest query).
     ep, disc, tax, qty = (
         fp("l_extendedprice"), fp("l_discount"), fp("l_tax"), fp("l_quantity")
     )
@@ -121,13 +113,13 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            s(qty, 2, "sum_qty"),
-            s(ep, 2, "sum_base_price"),
-            s(ep * (100 - disc), 4, "sum_disc_price"),
-            s(ep * (100 - disc) * (100 + tax), 6, "sum_charge"),
-            a(qty, 2, "l_quantity", "avg_qty"),
-            a(ep, 2, "l_extendedprice", "avg_price"),
-            a(disc, 2, "l_discount", "avg_disc"),
+            fpsum(qty, 2, "sum_qty"),
+            fpsum(ep, 2, "sum_base_price"),
+            fpsum(ep * (100 - disc), 4, "sum_disc_price"),
+            fpsum(ep * (100 - disc) * (100 + tax), 6, "sum_charge"),
+            fpavg(qty, 2, "l_quantity", "avg_qty"),
+            fpavg(ep, 2, "l_extendedprice", "avg_price"),
+            fpavg(disc, 2, "l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

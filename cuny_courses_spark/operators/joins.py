@@ -262,9 +262,9 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (c2.c_nationkey == s2.s_nationkey),
         )
         .groupBy(nmap[F.col("s_nationkey")].alias("n_name"))
-        # Profile-switched accumulator (common.fplsum rationale): raw long
-        # adds under the small profile, decimal(38,0) at scale.
-        .agg(_rev_sum(sf_dir)(
+        # Split-long exact accumulation (common._fpx_total): profile-free
+        # and overflow-provable to ~8.8e12 rows.
+        .agg(fpsum(
             fp("l_extendedprice") * (100 - fp("l_discount")), 4, "revenue"
         ))
     )
@@ -292,13 +292,6 @@ def _bounded_dim(sf_dir: str, table: str, cap: int = 100) -> list[dict]:
         rows.extend(t.to_pylist())
     assert len(rows) <= cap
     return rows
-
-
-def _rev_sum(sf_dir: str):
-    from cuny_courses_spark.common import fplsum
-    from cuny_courses_spark.session import is_small_input
-
-    return fplsum if is_small_input(sf_dir) else fpsum
 
 
 @register(

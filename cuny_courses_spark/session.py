@@ -58,29 +58,23 @@ RUNTIME_CONFS: dict[str, str] = {
 # conversion) and stays on. The switch is computed from the actual bytes
 # under sf_dir, so the same code path self-tunes from sf0.001 to 100 TB.
 #
-# 4 GiB (was 16 GiB, r3 advice): the raw-int64 fixed-point accumulators
-# (common.fplsum) must PROVABLY not overflow inside the small profile.
-# At 4 GiB of parquet the lineitem share is ≲ 2.5 GiB ≈ 2.5e7 rows; even
-# a single group holding every row at the engine's max per-row scaled
-# product (~1.1e11 for the scale-6 charge expression) sums to ≲ 2.8e18 —
-# 3× inside int64's 9.2e18 with zero distributional assumptions. At
-# 16 GiB the same worst case crossed int64 (1.1e19), making ANSI-mode
-# aborts possible near the boundary. Above the threshold the
-# decimal(38,0) path (common.fpsum) takes over.
+# The small/large switch governs TUNING (AQE, shuffle partitions) and
+# ALGORITHM swaps (exact median → GK sketch, full → DF-capped inverted
+# index, hub-capped wedge index, shuffle-hash fact joins). Since r4 the
+# fixed-point accumulators need NO profile (common._fpx_total's split-long
+# form is overflow-provable to ~8.8e12 rows), so misclassification costs
+# only efficiency, never correctness — but both bounds below still matter
+# because parquet BYTES are compressed: the bench's ×100 replicated
+# corpus compresses ~7×, and classifying an 88 M-row input as "small"
+# (AQE off, 8 partitions) measured 2-3× slower on the join-heavy queries.
 SMALL_INPUT_BYTES = 4 << 30  # 4 GiB
 
-# The bytes bound alone is NOT sufficient for the overflow proof: parquet
-# bytes are COMPRESSED, and a highly repetitive corpus (measured: the
-# bench's ×100 replicated layout compresses ~7×) can pack far more rows
-# into 4 GiB than the ~100 B/row density the rationale above assumes —
-# enough to cross int64 in the worst case. The small profile therefore
-# ALSO requires the exact row count (parquet footer metadata, O(#files)
-# KB-sized footer reads, memoized per content signature) to stay under
-# this cap: 2.5e7 rows × max per-row scaled product ~1.1e11 ≈ 2.8e18,
-# 3.3× inside int64 — the same proof, now with zero density assumptions.
+# Exact row cap for the small profile, from parquet footer metadata
+# (O(#files) KB-sized footer reads, memoized per content signature) —
+# the density-free bound the compressed-bytes heuristic can't give.
 # Non-parquet/unreadable files contribute a deliberately pessimistic
 # bytes/20 row estimate (over-counting rows only ever pushes toward the
-# LARGE profile, which is always safe, merely less locally tuned).
+# LARGE profile, which is the safe direction).
 SMALL_INPUT_ROWS = 25_000_000
 
 # Memoized per (path, top-level content signature): a regenerated/grown

@@ -295,18 +295,28 @@ def test_triangles_degree_oriented_hub_bounded(spark):
     assert out.max() <= 3
 
 
-def test_fplsum_equals_fpsum(spark):
-    # The small-profile raw-long accumulator must compute the same exact
-    # integer as the decimal(38,0) form under any partitioning — the
-    # bit-identity the profile switch relies on.
-    from cuny_courses_spark.common import fplsum
+def test_fpsum_split_long_equals_decimal_reference(spark):
+    # The split-long accumulator (r4: hi = x>>20, lo = x & mask, total =
+    # hi·2^20 + lo) must compute the same exact integer as a reference
+    # decimal(38,0) sum under any partitioning — including NEGATIVE
+    # values, where the identity relies on arithmetic shift flooring and
+    # the remainder being non-negative.
+    from pyspark.sql import functions as SF
 
     li = load(spark, SF_DIR, "lineitem")
-    expr = fp("l_extendedprice") * (100 - fp("l_discount"))
-    for n in (1, 7, 32):
-        a = li.repartition(n).agg(fpsum(expr, 4, "s")).collect()[0]["s"]
-        b = li.repartition(n).agg(fplsum(expr, 4, "s")).collect()[0]["s"]
-        assert a == b
+    # discount ≤ 1 ⇒ (10 − disc·100) goes negative on most rows: exercises
+    # the two's-complement path with realistic magnitudes.
+    for expr in (
+        fp("l_extendedprice") * (100 - fp("l_discount")),
+        fp("l_extendedprice") * (10 - fp("l_discount")),
+    ):
+        for n in (1, 7, 32):
+            a = li.repartition(n).agg(fpsum(expr, 4, "s")).collect()[0]["s"]
+            ref = SF.round(
+                SF.sum(expr.cast("decimal(38,0)")).cast("double") / 1e4, 4
+            ).alias("s")
+            b = li.repartition(n).agg(ref).collect()[0]["s"]
+            assert a == b
 
 
 def test_ewma_partition_independent_and_bounded(spark):
