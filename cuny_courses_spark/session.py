@@ -185,6 +185,14 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     itself. Runtime-settable, so it works on driver-owned sessions too.
     """
     small = is_small_input(sf_dir)
+    # Partition count stays a 2-level switch (8 small / 32 large): a
+    # controlled in-process sweep of {8,16,32} at the ×10 and ×20 bench
+    # points showed the knob is BELOW the run-to-run noise floor (a
+    # repeated parts=8 lap beat the parts=32 lap that had just beaten the
+    # first parts=8 lap) — same conclusion as BASELINE.md's row-group ×
+    # partitions sweep. Graduating it by row count adds plan churn for
+    # no measurable win at local scale; on a real cluster
+    # cluster_confs() sizes partitions from input bytes instead.
     want = {
         "spark.sql.adaptive.enabled": "false" if small else "true",
         "spark.sql.shuffle.partitions": (
