@@ -146,6 +146,43 @@ def test_fp_recovers_exact_cents(spark, cents):
     assert row["s"] == sum(cents)
 
 
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-(10**14), max_value=10**14),
+            st.sampled_from(
+                # adversarial split points: remainder-mask edges and sign
+                # flips where the hi/lo identity could plausibly break
+                [0, 1, -1, (1 << 20) - 1, 1 << 20, -(1 << 20),
+                 -(1 << 20) - 1, 10**14, -(10**14)]
+            ),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    parts=st.integers(min_value=1, max_value=13),
+)
+def test_fpx_total_exact_on_adversarial_ints(spark, vals, parts):
+    # The split-long accumulator (common._fpx_total) must equal the exact
+    # Python integer sum for ANY int64 profile — negatives, mask-edge
+    # values, mixed magnitudes — under any partitioning. This is the
+    # engine-wide guarantee every fpsum/fpavg call site inherits.
+    from cuny_courses_spark.common import _fpx_total
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long").repartition(
+        parts
+    )
+    got = df.agg(
+        _fpx_total(F.col("x")).cast("string").alias("s")
+    ).collect()[0]["s"]
+    assert int(got) == sum(vals), (got, sum(vals))
+
+
 def test_chunking_invariants(spark):
     # Every document's chunks must (a) start at stride-24 offsets so
     # consecutive full chunks overlap by exactly 8 tokens, (b) jointly
