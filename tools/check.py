@@ -5,6 +5,13 @@ parquet tables; reports PASS (bit-exact — what the driver's value-hash
 needs), CLOSE (≤1e-9 but hash would FAIL), ROWS (no oracle), or FAIL.
 
 Usage: python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
+
+``--amplify N`` first synthesizes bench.scaled_layout's N× key-shifted
+copy of --sf and checks against THAT (default names then = the bench
+sweep subset, whose oracles stay tractable at GB scale) — the
+reproducible form of the amplified-corpus bit-exactness claim in SURVEY
+§8 (large profile on natural data: AQE, shuffle-hash star, split
+accumulator). Avoid quadratic-oracle queries with --amplify.
 """
 
 from __future__ import annotations
@@ -25,8 +32,20 @@ from cuny_courses_spark.session import get_session  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--amplify", type=int, default=0, metavar="N")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.amplify:
+        from bench import SWEEP, prepare_layout, scaled_layout
+
+        base = prepare_layout(args.sf)
+        args.sf = scaled_layout(base, factor=args.amplify)
+        if args.sf == base:
+            print("amplified layout synthesis failed", flush=True)
+            return 1
+        if not args.names:
+            args.names = list(SWEEP)
 
     spark = get_session("check")
     spark.sparkContext.setLogLevel("ERROR")
