@@ -161,6 +161,39 @@ def O_fmt_date(expr: str, alias: str) -> str:
     return f"strftime({expr}, '%Y-%m-%d') AS {alias}"
 
 
+def pair_set_certificate(
+    exact, approx, key_cols: list[str], floor_num: int, floor_den: int
+):
+    """One-row recall/precision certificate over two pair sets (r3 verdict
+    #4 plumbing, shared by q_dedup_minhash_lsh and q_sim_neardup_lsh —
+    r4 review deduplicated the two hand-rolled copies): emits
+    ``n_exact_pairs`` (BIGINT), ``recall_floor_met`` = floor_den·|approx ∩
+    exact| ≥ floor_num·|exact| (integer arithmetic, vacuously true on an
+    empty exact set), and ``precision_ok`` = approx ⊆ exact. The matching
+    oracle computes |exact| in SQL with constant-true flags."""
+    e = exact.select(*key_cols)
+    a = approx.select(*key_cols)
+    n_exact = e.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_hit = e.join(a, key_cols, "left_semi").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    n_leak = a.join(e, key_cols, "left_anti").agg(
+        F.count(F.lit(1)).alias("_leaks")
+    )
+    return (
+        n_exact.crossJoin(n_hit)
+        .crossJoin(n_leak)
+        .select(
+            F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
+            (
+                floor_den * F.col("_hits")
+                >= floor_num * F.col("n_exact_pairs")
+            ).alias("recall_floor_met"),
+            (F.col("_leaks") == 0).alias("precision_ok"),
+        )
+    )
+
+
 def S_r4_ratio(num: str, den: str) -> str:
     """Spark-SQL text: exact HALF-UP 4-dp of the integer ratio num/den,
     emitted as the double of an exact 4-dp decimal.

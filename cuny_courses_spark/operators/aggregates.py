@@ -502,7 +502,10 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("est_users") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
+            # same max(1, 5%) floor as q_agg_approx_distinct (r4 review:
+            # without it a 15-user group would fail on an off-by-one
+            # estimate well inside HLL's nominal error)
+            <= F.greatest(F.lit(1.0), 0.05 * F.col("exact_users"))
         ).alias("within_tol"),
     )
 

@@ -165,6 +165,15 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not is_small_input(sf_dir):
         return near_dup_pairs_df_capped(spark, sf_dir)
+    return near_dup_pairs_exact(spark, sf_dir)
+
+
+def near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCAPPED exact inverted-index form (see q_dedup_near_jaccard
+    for strategy rationale) — profile-free, so certificates can referee
+    against true exact pairs even under a forced large profile (r4
+    review: the capped swap as referee would count a correct LSH pair the
+    capped index missed as a precision leak)."""
     d = _doc_shingles(spark, sf_dir)
     tok = d.select("doc_id", F.explode("t").alias("s"))
     # shuffle_hash, not the size-estimate's broadcast: both sides are the
@@ -253,26 +262,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exact-Jaccard cut, so a leaked pair means a real bug). The
     oracle recomputes the exact pair count with constant-true flags —
     recall regressions now hash-FAIL at the driver instead of hiding
-    behind ``no_oracle``. Production scale path: ``minhash_lsh_pairs``."""
-    lsh = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    exact = q_dedup_near_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_hit = exact.join(lsh, ["doc_id_a", "doc_id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("_hits")
-    )
-    n_leak = lsh.join(exact, ["doc_id_a", "doc_id_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("_leaks")
-    )
-    return (
-        n_exact.crossJoin(n_hit)
-        .crossJoin(n_leak)
-        .select(
-            F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
-            (10 * F.col("_hits") >= 9 * F.col("n_exact_pairs")).alias(
-                "recall_floor_met"
-            ),
-            (F.col("_leaks") == 0).alias("precision_ok"),
-        )
+    behind ``no_oracle``. The referee is the UNCAPPED exact form
+    (``near_dup_pairs_exact``), never the profile-swapped capped index —
+    a capped referee would miscount correct LSH pairs as precision leaks
+    (r4 review). Production scale path: ``minhash_lsh_pairs``."""
+    from cuny_courses_spark.common import pair_set_certificate
+
+    lsh = minhash_lsh_pairs(spark, sf_dir)
+    exact = near_dup_pairs_exact(spark, sf_dir)
+    return pair_set_certificate(
+        exact, lsh, ["doc_id_a", "doc_id_b"], floor_num=9, floor_den=10
     )
 
 

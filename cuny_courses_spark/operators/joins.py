@@ -273,24 +273,32 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bounded_dim(sf_dir: str, table: str, cap: int = 100) -> list[dict]:
     """Plan-build-time rows of a CONSTANT bounded dimension (nation/region:
     enumerated by the schema contract, ≤ 25 rows at any SF — FIXTURES.md).
-    Reads the KB-sized parquet driver-side with pyarrow and ASSERTS the
-    bound, so this can never silently become a driver-side materialization
-    of a scaling table. Used for constant-relation folding (see
-    q_join_star_multiway); an empty dir (empty-input gate) yields []."""
+    Reads the KB-sized parquet driver-side with pyarrow; EVERY failure
+    mode is loud (r4 review — the first cut silently truncated multi-file
+    dims and returned [] for unmatched paths, which would silently drop
+    revenue rows): no matching file raises (a remote/unreadable sf_dir
+    must not fold to an empty dim — callers on such storage should read
+    the dim through Spark instead), every matched file is read, and the
+    CUMULATIVE row count is asserted against the bound, so this can never
+    silently become a driver-side materialization of a scaling table.
+    A 0-row file (empty-input gate) legitimately yields []."""
     import glob
 
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{table}.parquet"
-    matches = glob.glob(path) or glob.glob(f"{path}/*.parquet")
-    rows: list[dict] = []
-    for m in matches[:8]:
-        t = pq.read_table(m)
-        assert t.num_rows <= cap, (
-            f"{table} has {t.num_rows} rows — not a bounded constant dim"
+    matches = sorted(glob.glob(path) or glob.glob(f"{path}/*.parquet"))
+    if not matches:
+        raise FileNotFoundError(
+            f"constant dim {table!r} not found under {sf_dir!r} — "
+            "constant-relation folding needs a locally readable file"
         )
-        rows.extend(t.to_pylist())
-    assert len(rows) <= cap
+    rows: list[dict] = []
+    for m in matches:
+        rows.extend(pq.read_table(m).to_pylist())
+        assert len(rows) <= cap, (
+            f"{table} has > {cap} rows — not a bounded constant dim"
+        )
     return rows
 
 

@@ -584,26 +584,15 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-dot cut, so a leak is a real bug). The oracle recomputes the
     exact count with constant-true flags. Production path:
     ``neardup_lsh_pairs``."""
+    from cuny_courses_spark.common import pair_set_certificate
+
     e = load(spark, sf_dir, "embeddings")
-    lsh = neardup_lsh_pairs(e).select("id_a", "id_b")
-    exact = neardup_cosine_pairs(e).select("id_a", "id_b")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("_h")
-    )
-    n_leak = lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("_l")
-    )
-    return (
-        n_exact.crossJoin(n_hit)
-        .crossJoin(n_leak)
-        .select(
-            F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
-            (5 * F.col("_h") >= 4 * F.col("n_exact_pairs")).alias(
-                "recall_floor_met"
-            ),
-            (F.col("_l") == 0).alias("precision_ok"),
-        )
+    return pair_set_certificate(
+        neardup_cosine_pairs(e),
+        neardup_lsh_pairs(e),
+        ["id_a", "id_b"],
+        floor_num=4,
+        floor_den=5,
     )
 
 

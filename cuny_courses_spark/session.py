@@ -79,8 +79,9 @@ SMALL_INPUT_ROWS = 25_000_000
 
 # Memoized per (path, top-level content signature): a regenerated/grown
 # dataset at the same path must re-derive the tuning decision (same contract
-# as bench.prepare_layout's size/mtime-keyed cache).
-_DIR_BYTES: dict[tuple[str, tuple], int] = {}
+# as bench.prepare_layout's size/mtime-keyed cache). Values are
+# (bytes, rows) pairs — see _input_stats.
+_DIR_BYTES: dict[tuple[str, tuple], tuple[int, int]] = {}
 
 
 def _dir_signature(sf_dir: str, max_files: int = 10_000) -> tuple:
@@ -109,53 +110,57 @@ def _dir_signature(sf_dir: str, max_files: int = 10_000) -> tuple:
         return ("<unreadable>",)
 
 
-def _input_bytes(sf_dir: str) -> int:
+def _input_stats(sf_dir: str) -> tuple[int, int]:
+    """(total bytes, total rows) under ``sf_dir`` — rows from parquet
+    footer metadata (no data pages read), non-parquet files counted
+    pessimistically at size/20 rows (see the SMALL_INPUT_ROWS note).
+    ONE os.walk serves both numbers (r4 review: bytes and rows previously
+    each walked, and their separate signature keys walked again — 4-5
+    O(#files) traversals per query call), memoized per content signature.
+
+    Scale-safety of the failure modes: ``os.walk`` swallows scandir
+    errors (yields nothing), and non-local URIs (s3a://, hdfs://) match
+    no local path at all — both produce ZERO visible files, which would
+    have classified as "small" (the exact misclassification this gate
+    exists to prevent). A dataset with no visible files therefore
+    reports (2⁶², 2⁶²): every legitimate local sf_dir contains at least
+    its parquet files, and an unreadable/remote one must run the LARGE
+    profile, which is always safe, merely less locally tuned."""
     key = (sf_dir, _dir_signature(sf_dir))
-    b = _DIR_BYTES.get(key)
-    if b is None:
-        try:
-            b = 0
-            for root, _dirs, files in os.walk(sf_dir):
-                for f in files:
-                    b += os.path.getsize(os.path.join(root, f))
-        except OSError:
-            b = 1 << 62  # unreadable/remote → assume large (scale-safe)
+    st = _DIR_BYTES.get(key)
+    if st is None:
+        import pyarrow.parquet as pq
+
+        b = n = n_files = 0
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                try:
+                    b += os.path.getsize(p)
+                except OSError:
+                    continue
+                n_files += 1
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS / hidden markers: bytes, no rows
+                try:
+                    n += pq.ParquetFile(p).metadata.num_rows
+                except Exception:
+                    n += os.path.getsize(p) // 20
+        if n_files == 0:
+            b = n = 1 << 62  # unreadable/remote/empty → assume large
         # Drop stale entries for this path (dataset regenerated in place).
         for k in [k for k in _DIR_BYTES if k[0] == sf_dir]:
             del _DIR_BYTES[k]
-        _DIR_BYTES[key] = b
-    return b
+        st = _DIR_BYTES[key] = (b, n)
+    return st
 
 
-_DIR_ROWS: dict[tuple[str, tuple], int] = {}
+def _input_bytes(sf_dir: str) -> int:
+    return _input_stats(sf_dir)[0]
 
 
 def _input_rows(sf_dir: str) -> int:
-    """Exact total row count under ``sf_dir`` from parquet footer metadata
-    (no data pages read). Non-parquet/unreadable files are counted
-    pessimistically at size/20 rows — see the SMALL_INPUT_ROWS note."""
-    key = (sf_dir, _dir_signature(sf_dir))
-    n = _DIR_ROWS.get(key)
-    if n is None:
-        try:
-            import pyarrow.parquet as pq
-
-            n = 0
-            for root, _dirs, files in os.walk(sf_dir):
-                for f in files:
-                    p = os.path.join(root, f)
-                    if f.startswith(("_", ".")):
-                        continue  # _SUCCESS / hidden markers
-                    try:
-                        n += pq.ParquetFile(p).metadata.num_rows
-                    except Exception:
-                        n += os.path.getsize(p) // 20
-        except OSError:
-            n = 1 << 62  # unreadable/remote → assume large (scale-safe)
-        for k in [k for k in _DIR_ROWS if k[0] == sf_dir]:
-            del _DIR_ROWS[k]
-        _DIR_ROWS[key] = n
-    return n
+    return _input_stats(sf_dir)[1]
 
 
 def is_small_input(sf_dir: str) -> bool:
@@ -169,10 +174,8 @@ def is_small_input(sf_dir: str) -> bool:
     (the int64 overflow proof — see SMALL_INPUT_ROWS). Reads the module
     constants at call time so tests can force the large profile.
     """
-    return (
-        _input_bytes(sf_dir) < SMALL_INPUT_BYTES
-        and _input_rows(sf_dir) < SMALL_INPUT_ROWS
-    )
+    b, n = _input_stats(sf_dir)
+    return b < SMALL_INPUT_BYTES and n < SMALL_INPUT_ROWS
 
 
 def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
