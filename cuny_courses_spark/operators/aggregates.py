@@ -345,37 +345,51 @@ SELECT l_returnflag,
        {O_fpavg(O_fp('l_quantity'), 2, 'l_quantity', 'avg_qty')},
        round(stddev_samp(l_quantity), 4) AS std_qty,
        round(var_samp(l_quantity), 4) AS var_qty,
-       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       TRUE AS median_in_bracket
 FROM lineitem
 GROUP BY l_returnflag
 """,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moments + interpolated median per returnflag.
-
-    Median is profile-switched (the outlier_mad pattern, r3 verdict #8):
-    ``percentile`` (exact, full-multiset state — matches DuckDB
-    ``quantile_cont`` bit-exactly) under the small profile; above the
-    scale threshold (session.is_small_input) it SWAPS to
-    ``approx_percentile`` — the mergeable Greenwald-Khanna summary with
-    KB-sized partial state — keeping the identical plan shape while
-    removing the unbounded per-group sort state;
-    tests/test_scale_profile.py brackets the large-profile medians
-    between exact quantiles at p ± 1 %.
+    """Moments + interpolated median per returnflag, with the median as a
+    tolerance CERTIFICATE (r4 ADVICE: the former profile-switched form
+    emitted approx_percentile above the scale threshold while the
+    registered oracle stayed exact, so the driver's hash check would FAIL
+    an in-contract result on any large corpus). Now, per the accepted
+    q_agg_approx_quantile pattern: one grouped pass computes the exact
+    interpolated ``percentile`` (≡ DuckDB ``quantile_cont``, bit-verified
+    pairing) for the emitted ``median_qty`` — so the oracle matches at ANY
+    profile — AND the mergeable Greenwald-Khanna ``approx_percentile``
+    sketch (the 100 TB scale path: KB-sized partial state, no per-group
+    full multiset), certified by ``median_in_bracket`` = sketch ∈
+    [exact(0.49), exact(0.51)] with a constant-TRUE oracle twin. A sketch
+    estimate outside the ±1 % rank bracket hash-FAILS at the driver.
+    Production (sketch-only) percentile reporting: see
+    ``approx_quantiles_by_flag``.
     """
-    from cuny_courses_spark.session import is_small_input
-
     li = load(spark, sf_dir, "lineitem")
-    med = (
-        F.percentile("l_quantity", F.lit(0.5))
-        if is_small_input(sf_dir)
-        else F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000))
-    )
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         fpavg(fp("l_quantity"), 2, "l_quantity", "avg_qty"),
         r4(F.stddev_samp("l_quantity"), "std_qty"),
         r4(F.var_samp("l_quantity"), "var_qty"),
-        r4(med, "median_qty"),
+        F.percentile(
+            "l_quantity", F.array(F.lit(0.49), F.lit(0.5), F.lit(0.51))
+        ).alias("_ev"),
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias(
+            "_amed"
+        ),
+    )
+    return agg.select(
+        "l_returnflag",
+        "avg_qty",
+        "std_qty",
+        "var_qty",
+        r4(F.col("_ev")[1], "median_qty"),
+        (
+            (F.col("_amed") >= F.col("_ev")[0] - 1e-9)
+            & (F.col("_amed") <= F.col("_ev")[2] + 1e-9)
+        ).alias("median_in_bracket"),
     )
 
 

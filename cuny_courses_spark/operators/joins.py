@@ -230,8 +230,8 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         # size-threshold broadcast beats both and the hint would override
         # it (measured 0.43 s broadcast vs 0.92 s shuffled at sf0.1).
         o = o.hint("shuffle_hash")
-    nation = _bounded_dim(sf_dir, "nation")
-    region = _bounded_dim(sf_dir, "region")
+    nation = _bounded_dim(spark, sf_dir, "nation")
+    region = _bounded_dim(spark, sf_dir, "region")
     asia = {
         r["r_regionkey"] for r in region if r["r_name"] == "ASIA"
     }
@@ -270,36 +270,47 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bounded_dim(sf_dir: str, table: str, cap: int = 100) -> list[dict]:
+def _bounded_dim(
+    spark: SparkSession, sf_dir: str, table: str, cap: int = 100
+) -> list[dict]:
     """Plan-build-time rows of a CONSTANT bounded dimension (nation/region:
     enumerated by the schema contract, ≤ 25 rows at any SF — FIXTURES.md).
-    Reads the KB-sized parquet driver-side with pyarrow; EVERY failure
-    mode is loud (r4 review — the first cut silently truncated multi-file
-    dims and returned [] for unmatched paths, which would silently drop
-    revenue rows): no matching file raises (a remote/unreadable sf_dir
-    must not fold to an empty dim — callers on such storage should read
-    the dim through Spark instead), every matched file is read, and the
-    CUMULATIVE row count is asserted against the bound, so this can never
-    silently become a driver-side materialization of a scaling table.
-    A 0-row file (empty-input gate) legitimately yields []."""
+    Reads the KB-sized parquet driver-side with pyarrow when the path is a
+    local file; on any other storage (s3a://, hdfs://, or an unreadable
+    local path) it falls back to reading the dim through Spark and
+    collecting — still ≤ cap rows, one tiny Spark job (r4 ADVICE: the
+    FileNotFoundError-only version was a functional regression on remote
+    sf_dirs). EVERY failure mode stays loud (r4 review — the first cut
+    silently truncated multi-file dims and returned [] for unmatched
+    paths, which would silently drop revenue rows): every matched file is
+    read, and the CUMULATIVE row count is checked against the bound with a
+    real exception (not assert — must survive ``python -O``), so this can
+    never silently become a driver-side materialization of a scaling
+    table. A 0-row file (empty-input gate) legitimately yields []."""
     import glob
 
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{table}.parquet"
     matches = sorted(glob.glob(path) or glob.glob(f"{path}/*.parquet"))
-    if not matches:
-        raise FileNotFoundError(
-            f"constant dim {table!r} not found under {sf_dir!r} — "
-            "constant-relation folding needs a locally readable file"
-        )
     rows: list[dict] = []
-    for m in matches:
-        rows.extend(pq.read_table(m).to_pylist())
-        assert len(rows) <= cap, (
+    if matches:
+        for m in matches:
+            rows.extend(pq.read_table(m).to_pylist())
+            if len(rows) > cap:
+                raise ValueError(
+                    f"{table} has > {cap} rows — not a bounded constant dim"
+                )
+        return rows
+    # Remote / non-globbable storage: one Spark job over a KB-sized file.
+    # limit(cap+1) bounds what reaches the driver even if the contract is
+    # violated; the over-cap check then raises exactly as the local path.
+    collected = load(spark, sf_dir, table).limit(cap + 1).collect()
+    if len(collected) > cap:
+        raise ValueError(
             f"{table} has > {cap} rows — not a bounded constant dim"
         )
-    return rows
+    return [r.asDict() for r in collected]
 
 
 @register(

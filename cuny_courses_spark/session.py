@@ -63,7 +63,10 @@ RUNTIME_CONFS: dict[str, str] = {
 # index, hub-capped wedge index, shuffle-hash fact joins). Since r4 the
 # fixed-point accumulators need NO profile (common._fpx_total's split-long
 # form is overflow-provable to ~8.8e12 rows), so misclassification costs
-# only efficiency, never correctness — but both bounds below still matter
+# only efficiency or tolerance-bounded approximation (small→large swaps
+# exact medians for sketches and caps candidate generation — output
+# changes stay inside each query's documented tolerance; large→small is
+# purely a tuning loss) — but both bounds below still matter
 # because parquet BYTES are compressed: the bench's ×100 replicated
 # corpus compresses ~7×, and classifying an 88 M-row input as "small"
 # (AQE off, 8 partitions) measured 2-3× slower on the join-heavy queries.

@@ -411,3 +411,22 @@ def test_neardup_cosine_oracle_on_injected_pairs(spark, tmp_path):
     ).df()
     status, msg = compare(sp, du)
     assert status == "PASS", f"{status}: {msg}"
+
+
+def test_bounded_dim_spark_fallback(spark, monkeypatch):
+    # r4 ADVICE (medium): on storage the driver can't glob (s3a://,
+    # hdfs://), _bounded_dim must fall back to a Spark read of the
+    # KB-sized dim, not raise. Simulate "remote" by making the local glob
+    # miss; the rows must be identical to the pyarrow path, and the
+    # over-cap guard must raise ValueError (not a -O-stripped assert).
+    import glob as _glob
+
+    from cuny_courses_spark.operators.joins import _bounded_dim
+
+    local = _bounded_dim(spark, SF_DIR, "nation")
+    monkeypatch.setattr(_glob, "glob", lambda *_a, **_k: [])
+    remote = _bounded_dim(spark, SF_DIR, "nation")
+    key = lambda r: r["n_nationkey"]  # noqa: E731
+    assert sorted(remote, key=key) == sorted(local, key=key)
+    with pytest.raises(ValueError, match="bounded constant dim"):
+        _bounded_dim(spark, SF_DIR, "customer", cap=10)
