@@ -7,9 +7,11 @@ additionally ships a ``readStream`` twin over file replay
 stream ≡ batch. Spark guarantees that agreement for windowed/stateful ops
 on bounded replay when the watermark covers max lateness.
 
-q_stream_watermark_late is the exception: lateness semantics are not
-SQL-expressible, so its queries() entry RUNS the actual streaming job
-(AvailableNow, one file per micro-batch) and is checked rows-only.
+q_stream_watermark_late is the exception in MECHANISM, not checking: its
+queries() entry RUNS the actual streaming job (AvailableNow, one file per
+micro-batch), and because the replay is deterministic the expected sink is
+still SQL-expressible — it carries a real value oracle like every other
+entry (202/202 oracled since r5).
 
 Scale: event-time windowing keys state by (window, group); with a
 watermark, state is evicted as the watermark passes — memory is bounded by
@@ -137,7 +139,18 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_watermark_late")  # rows-only: lateness not SQL-expressible
+@register(
+    "q_stream_watermark_late",
+    oracle="""
+WITH on_time AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-02'),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM on_time)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n
+FROM on_time, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY window_start, event_type
+""",
+)
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data drop under a 1-hour watermark, on a real streaming replay.
 
@@ -147,6 +160,16 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark and its (already-finalized or never-created) windows must
     not appear/update — the late rows are dropped. Output: hourly counts
     per event_type as observed by the sink.
+
+    ORACLE (r4 verdict #6 — the last ``no_oracle`` row): the replay is
+    fully deterministic (two sequential AvailableNow runs over one
+    checkpoint; append mode emits exactly the windows finalized by the
+    run-1 closing watermark), so the expected sink IS SQL-expressible
+    from the bounded events table: hourly counts over on-time rows whose
+    window END ≤ max(on-time ts) − 1 h. This is a REAL value oracle — any
+    deviation in drop/finalization behavior (a dropped-on-time row, an
+    emitted late or unfinalized window, a double emission across the two
+    runs) hash-FAILS at the driver; verified bit-identical at sf0.01.
     """
     from cuny_courses_spark.streaming.runner import run_watermark_late_replay
 

@@ -5,7 +5,8 @@ chronological parquet chunks (µs timestamps — pyarrow cast, no Spark legacy
 conf needed on the stream path), one file per micro-batch
 (``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow``), file order pinned via
 mtimes. Used by the stream≡batch equivalence tests (SURVEY §5) and by
-q_stream_watermark_late's rows-only contract entry.
+q_stream_watermark_late's contract entry (whose deterministic expected
+sink is the query's registered replay-expectation oracle).
 """
 
 from __future__ import annotations

@@ -29,12 +29,12 @@ def test_registry_shapes():
     qs, osql = em.queries(), em.oracle_sql()
     assert len(qs) >= 60
     assert set(osql) <= set(qs)
-    # rows-only set is exactly the declared non-SQL-expressible ops.
-    # r3 verdict #4 converted the former 7 sketch/LSH entries into
-    # oracle-checkable tolerance certificates; only the lateness
-    # semantics of watermark_late remain genuinely non-SQL-expressible.
+    # Every query is oracle-checked. r3 verdict #4 converted the former 7
+    # sketch/LSH entries into oracle-checkable tolerance certificates;
+    # r4 verdict #6 gave watermark_late a real replay-expectation oracle
+    # (the deterministic replay makes its expected sink SQL-expressible).
     rows_only = set(qs) - set(osql)
-    assert rows_only == {"q_stream_watermark_late"}
+    assert rows_only == set()
 
 
 @pytest.mark.parametrize("table", TABLES)
