@@ -49,14 +49,25 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     window()'s struct construction + projection — measured ~25 % off this
     query. The REAL streaming job (tests/test_streaming.py) still runs
     ``window()``, which Structured Streaming requires for watermark
-    eviction; the equality test pins the two forms to each other."""
+    eviction; the equality test pins the two forms to each other.
+
+    The group key is the TIMESTAMP hour, not its formatted string (r4
+    verdict #1): ``date_format`` is a per-row string render, and keying
+    the hash agg on it paid that render for every input row — measured
+    ~0.45 s of the 0.83 s at the ×100 sweep point (10 M rows). Formatting
+    AFTER the agg touches only the ~3.6 k result rows; values and output
+    schema are identical (the format is a bijection on whole hours)."""
     e = load(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
-        ),
-        "event_type",
-    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("_h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("_h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
 
 
 @register(
