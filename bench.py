@@ -201,6 +201,84 @@ def scaled_layout(sf_dir: str, factor: int = 10) -> str:
         return sf_dir
 
 
+def scaled_docs_layout(sf_dir: str, factor: int = 10) -> str:
+    """Synthesize a ``factor``× documents/embeddings corpus for the
+    LLM-pipeline extended sweep (r4 verdict #4: the dedup/similarity plans
+    are the 100 TB argument and had no measured point above sf0.1).
+
+    Plain replication would be WRONG for dedup workloads: every replica of
+    a document is an exact/near duplicate of every other, so candidate
+    pairs would grow quadratically in ``factor`` and the measurement would
+    collapse into the hot-shingle caps. Instead each replica is mutated
+    into its own disjoint corpus:
+      · documents: doc_id shifted per replica; every token gets a
+        replica-id suffix (vectorized RE2 rewrite), so shingle/token sets
+        are disjoint ACROSS replicas while duplicate structure WITHIN a
+        replica is preserved bit-for-bit — workload grows linearly,
+        exactly like ingesting ``factor`` independent shards.
+      · embeddings: vec_id shifted; each replica's vectors are rotated
+        (np.roll by replica index) — norms and intra-replica geometry
+        preserved, cross-replica cosine decorrelated.
+    Timing corpus only (like scaled_layout): values are not oracle-checked
+    at these synthetic points. Idempotent per content signature.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sig = hashlib.md5(f"docscale{factor}:v1:{sf_dir}".encode())
+    for name in ("documents.parquet", "embeddings.parquet"):
+        f = Path(sf_dir) / name
+        st = f.stat()
+        sig.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    out = Path("/tmp") / "ccs_bench_layout" / f"docs{factor}_{sig.hexdigest()[:12]}"
+    done = out / "_DONE"
+    if done.exists():
+        return str(out)
+    import shutil
+
+    for old in out.parent.glob(f"docs{factor}_*"):
+        if old != out:
+            shutil.rmtree(old, ignore_errors=True)
+    out.mkdir(parents=True, exist_ok=True)
+    try:
+        docs = pq.read_table(f"{sf_dir}/documents.parquet")
+        with pq.ParquetWriter(out / "documents.parquet", docs.schema) as w:
+            for i in range(factor):
+                r = docs
+                ids = pc.add(r.column("doc_id"), pa.scalar(i * _SCALE_BASE))
+                r = r.set_column(r.schema.get_field_index("doc_id"), "doc_id", ids)
+                if i:
+                    txt = pc.replace_substring_regex(
+                        r.column("text"), pattern=r"(\S+)", replacement=rf"\1q{i}"
+                    )
+                    r = r.set_column(
+                        r.schema.get_field_index("text"), "text", txt
+                    )
+                w.write_table(r, row_group_size=max(1, r.num_rows // 4))
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+        with pq.ParquetWriter(out / "embeddings.parquet", emb.schema) as w:
+            for i in range(factor):
+                r = emb
+                ids = pc.add(r.column("vec_id"), pa.scalar(i * _SCALE_BASE))
+                r = r.set_column(r.schema.get_field_index("vec_id"), "vec_id", ids)
+                if i:
+                    rolled = np.roll(mat, i % mat.shape[1], axis=1)
+                    col = pa.array(
+                        list(rolled), type=emb.schema.field("embedding").type
+                    )
+                    r = r.set_column(
+                        r.schema.get_field_index("embedding"), "embedding", col
+                    )
+                w.write_table(r, row_group_size=max(1, r.num_rows // 4))
+        done.touch()
+        return str(out)
+    except Exception:
+        return sf_dir
+
+
 def _time_best(fn, laps: int) -> float:
     best = float("inf")
     for _ in range(laps):
@@ -242,6 +320,24 @@ def _sweep_point(spark, label: str, sf_dir: str, laps: int = 3) -> dict:
         "spark_queries": sp,
         "duckdb_queries": du,
     }
+
+
+def _top_point_query_ratios(sweep: list[dict]) -> dict:
+    """Per-query Spark/DuckDB ratios at the largest sweep point that has
+    both engines' timings, labeled with the point name."""
+    for p in reversed(sweep):
+        if isinstance(p, dict) and p.get("spark_queries") and p.get(
+            "duckdb_queries"
+        ):
+            sp, du = p["spark_queries"], p["duckdb_queries"]
+            ratios = {
+                q: round(sp[q] / du[q], 2)
+                for q in sp
+                if q in du and du[q]
+            }
+            return {"point": p["point"], "ratios": ratios,
+                    "worst": max(ratios.values(), default=None)}
+    return {}
 
 
 def prepare_layout(sf_dir: str) -> str:
@@ -405,6 +501,89 @@ def main() -> None:
     except Exception as exc:
         sweep.append({"point": f"error: {type(exc).__name__}"})
 
+    # Extended amplified sweep (r4 verdict #4): the shuffle-heavy
+    # LLM-pipeline and graph operators — the plans that ARE the 100 TB
+    # argument — measured above sf0.1. Dedup/similarity run on the
+    # replica-disjoint scaled_docs_layout corpus (plain replication would
+    # make every replica a near-duplicate of every other and the workload
+    # quadratic in the factor); graph reuses scaled_layout (shifted
+    # part/supplier keys ⇒ factor disjoint co-purchase graphs). Quadratic
+    # DuckDB oracles are engine-only (recorded as absent, not silent);
+    # q_graph_pagerank's oracle is linear (bounded per-order fan-out) and
+    # gets a DuckDB twin. Budget-guarded per query.
+    DOC_EXT = ["q_dedup_near_jaccard", "q_dedup_minhash_lsh",
+               "q_dedup_containment"]
+    GRAPH_EXT = ["q_graph_common_neighbors", "q_graph_pagerank"]
+    ext_sweep: dict[str, dict] = {}
+    for factor, laps in ((10, 2), (100, 1)):
+        point = f"sf{sf}x{factor}"
+        entry: dict[str, float | str] = {}
+        ext_sweep[point] = entry
+        try:
+            ddir = scaled_docs_layout(sf_dir, factor)
+            gdir = scaled_layout(sf_dir, factor)
+            for name, d in [(n, ddir) for n in DOC_EXT] + [
+                (n, gdir) for n in GRAPH_EXT
+            ]:
+                if time.perf_counter() - t_start > budget:
+                    entry[name] = "skipped: wall budget exhausted"
+                    continue
+                if d == sf_dir:
+                    entry[name] = "skipped: layout synthesis failed"
+                    continue
+                try:
+                    fn = ext_fns[name]
+                    # q_graph_pagerank localCheckpoints its supersteps at
+                    # BUILD time, so a plan-cached re-collect would reuse
+                    # the materialized iterations and time ~nothing; force
+                    # rebuild-per-lap so every lap re-runs the loop.
+                    ckpt = name == "q_graph_pagerank"
+                    prior = os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE")
+                    if ckpt:
+                        os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = "1"
+                    try:
+                        fn(spark, d).toPandas()  # warm
+                        entry[name] = _time_best(
+                            lambda fn=fn, d=d: fn(spark, d).toPandas(), laps
+                        )
+                    finally:
+                        if ckpt:
+                            if prior is None:
+                                os.environ.pop(
+                                    "SPARK_GRAFT_NO_PLAN_CACHE", None
+                                )
+                            else:
+                                os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = prior
+                except Exception as exc:
+                    entry[name] = f"error: {type(exc).__name__}"
+            # DuckDB pagerank twin only at ×10: at ×100 its 5 unrolled
+            # CTE rounds spilled >60 GB of temp to disk (r5: filled the
+            # device and wedged the run) — record the omission, don't
+            # risk the artifact.
+            if factor > 10:
+                entry["q_graph_pagerank_duckdb"] = (
+                    "skipped: duckdb spills >60GB at this factor"
+                )
+            elif (
+                gdir != sf_dir
+                and time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(gdir)
+                    sql_pr = oracles()["q_graph_pagerank"]
+                    con.execute(sql_pr).fetchall()  # warm
+                    entry["q_graph_pagerank_duckdb"] = _time_best(
+                        lambda: con.execute(sql_pr).fetchall(), laps
+                    )
+                except Exception as exc:
+                    entry["q_graph_pagerank_duckdb"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+        except Exception as exc:
+            entry["_point"] = f"error: {type(exc).__name__}"
+
     detail = {
         "metric": "suite_wall_sec",
         "value": total,
@@ -427,6 +606,7 @@ def main() -> None:
         "empty_job_sec": empty_job_sec,
         "sweep_queries": SWEEP,
         "sweep": sweep,
+        "extended_sweep": ext_sweep,
     }
     sidecar = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     try:
@@ -452,6 +632,12 @@ def main() -> None:
             for p in sweep
             if isinstance(p, dict) and "point" in p
         },
+        # Per-query ratios at the LARGEST completed sweep point (r4
+        # verdict #3: the suite ratio alone hid a 0.2×–7.6× per-query
+        # spread behind a 1.19× headline; the compact artifact must show
+        # the spread without a sidecar read).
+        "sweep_query_ratios_top_point": _top_point_query_ratios(sweep),
+        "extended_sweep": ext_sweep,
         "detail": sidecar.name,
     }
     print(json.dumps(compact))

@@ -583,61 +583,115 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Absolute document-frequency ceiling for the capped inverted index: at
+# 100 TB a fractional cap alone is useless (10 % of 1e9 docs per shingle
+# still emits 1e16 pairs); the absolute ceiling bounds any shingle's pair
+# fan-out to DF_CAP_ABS² regardless of corpus size.
+DF_CAP_ABS = 4096
+
+
 def near_dup_pairs_df_capped(
     spark: SparkSession, sf_dir: str, max_df_frac: float = 0.10
 ) -> DataFrame:
-    """q_dedup_near_jaccard's scale form: candidate generation from a
-    document-frequency-CAPPED inverted index + exact verify on full sets.
+    """q_dedup_near_jaccard's scale form: EXACT Jaccard pairs with the
+    shared-shingle join capped by document frequency.
 
     Hot shingles are the skew bomb of the inverted-index join at 100 TB —
     a stopword-like shingle occurring in x% of n docs alone emits (xn)²
-    candidate pairs. The cap drops shingles present in > max_df_frac of
-    docs from the INDEX ONLY; the verify step recomputes exact Jaccard on
-    the full shingle arrays, so precision is always exact. Recall is exact
-    whenever every qualifying pair shares ≥1 sub-cap shingle — guaranteed
-    in practice because a pair of near-dup docs shares many shingles and
-    corpus-ubiquitous shingles cannot certify a specific pair;
-    tests assert bit-equality with q_dedup_near_jaccard on the fixtures.
+    candidate pairs. Cap = min(max_df_frac·n, DF_CAP_ABS).
+
+    r5 redesign: the previous form generated DISTINCT candidate pairs from
+    the capped index and array-verified every one — on a corpus where
+    most pairs share ≥1 shingle (dense vocabulary, the fixture shape) the
+    verify step exploded to |candidates| × array_intersect and hung the
+    ×100 sweep point, while the count-based exact form finished in ~1 min.
+    Now the plan stays COUNT-BASED end to end:
+
+      1. ``i_cold`` = shared-shingle counts from the sub-cap (cold) index
+         self-join — the same cheap aggregate as the exact form, with the
+         quadratic hot-shingle fan-out removed by construction.
+      2. Per-doc hot-shingle counts ``h`` (the hot shingle SET is ≤
+         postings/cap entries — broadcastable at any scale). For any
+         pair, i_exact ≤ i_cold + min(ha, hb): a SOUND upper bound, so
+         prefiltering on it keeps recall EXACT.
+      3. Only upper-bound survivors get the array_intersect verify (exact
+         i including hot shingles). On a zipf-tail corpus survivors ≈
+         emitted pairs; on a hot-free corpus (cap never binds) the bound
+         is exact and the verify re-derives the same i.
+
+    Tests assert bit-equality with q_dedup_near_jaccard's exact form on
+    the fixtures and oracle-match under the forced large profile.
     """
     d = _doc_shingles(spark, sf_dir)
     tok = d.select("doc_id", F.explode("t").alias("s"))
     n_docs = d.count()
-    rare = (
-        tok.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= int(max_df_frac * n_docs))
-        .select("s")
+    cap = min(int(max_df_frac * n_docs), DF_CAP_ABS)
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    hot = F.broadcast(dfreq.filter(F.col("df") > cap).select("s"))
+    cold = tok.join(hot, "s", "left_anti")
+    hcnt = (
+        tok.join(hot, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
     )
-    idx = tok.join(rare, "s")  # capped inverted index
-    cand = (
-        idx.select(F.col("doc_id").alias("doc_id_a"), "s")
+    i_cold = (
+        cold.select(F.col("doc_id").alias("doc_id_a"), "s")
         # shuffle_hash for the same reason as q_dedup_near_jaccard: equal-
         # sized sides, shingle-keyed shuffle is the scale distribution.
         .join(
-            idx.select(F.col("doc_id").alias("doc_id_b"), "s").hint(
+            cold.select(F.col("doc_id").alias("doc_id_b"), "s").hint(
                 "shuffle_hash"
             ),
             "s",
         )
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
-        .distinct()
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("ic"))
     )
-    full = d.select("doc_id", "t", "n")
-    verified = (
-        cand.join(
-            full.select(
+    # NARROW prefilter join first (doc_id, n, h only): the pair relation
+    # is huge (every shared-shingle pair), so the wide shingle ARRAYS must
+    # never ride it — r5: joining arrays before the prefilter spilled
+    # ~80 GB at the ×100 doc point; this order spills nothing.
+    sizes = d.join(hcnt, "doc_id", "left").select(
+        "doc_id", "n", F.coalesce("h", F.lit(0)).alias("h")
+    )
+    surv = (
+        i_cold.join(
+            sizes.select(
                 F.col("doc_id").alias("doc_id_a"),
-                F.col("t").alias("ta"),
                 F.col("n").alias("na"),
+                F.col("h").alias("ha"),
             ),
             "doc_id_a",
         )
         .join(
-            full.select(
+            sizes.select(
                 F.col("doc_id").alias("doc_id_b"),
-                F.col("t").alias("tb"),
                 F.col("n").alias("nb"),
+                F.col("h").alias("hb"),
+            ),
+            "doc_id_b",
+        )
+        # Sound prefilter on the upper bound (recall-exact, step 2 above).
+        .withColumn("iub", F.col("ic") + F.least("ha", "hb"))
+        .filter(
+            5 * F.col("iub") >= 3 * (F.col("na") + F.col("nb") - F.col("iub"))
+        )
+        .select("doc_id_a", "doc_id_b", "na", "nb")
+    )
+    # Exact verify only for survivors (≈ emitted pairs on zipf corpora;
+    # exactly the emitted pairs when the cap never binds).
+    arrays = d.select("doc_id", "t")
+    verified = (
+        surv.join(
+            arrays.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("t").alias("ta")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("t").alias("tb")
             ),
             "doc_id_b",
         )

@@ -73,17 +73,29 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd long arithmetic), with l_orderkey as the total tiebreak; the
     rounded DOUBLE is emitted.
 
-    Join strategy: customer (dim, segment-filtered) broadcasts into orders;
-    the orders⋈lineitem fact-fact join is pinned to a shuffle-hash join
-    with the BUILD side on the filtered customer⋈orders branch
-    (hint on that branch → BuildLeft). Rationale, in order of importance:
-    (1) never broadcast a fact — without a hint Spark would broadcast the
-    *filtered lineitem* at small sf, backwards at 100 TB; (2) SHJ beats
-    shuffle-merge here because neither fact needs sorting (measured ~25 %
-    on the suite lap); (3) the build side is the segment+date-filtered
-    orders — a small fraction of the smaller fact — so the per-partition
-    hash map stays bounded at scale (and Spark SHJ spills if not).
+    Join strategy (r4 verdict #7): customer (dim, segment-filtered)
+    broadcasts into orders; the filtered customer⋈orders branch is then
+    the BUILD side of the fact join, strategy chosen like
+    q_join_star_multiway's mini-CBO — under the large profile a
+    prepare-time count() (plan-cached, once per corpus) picks broadcast
+    (≤ joins._STAR_BCAST_ROWS: lineitem is never shuffled — measured
+    2.44 s → 2.13 s at the ×100 point, where the build is 1.45 M rows)
+    vs shuffle-hash (the 100 TB path: neither fact pays the SMJ sort,
+    build is the segment+date-filtered fraction of the smaller fact,
+    Spark SHJ spills if needed; measured 3.4 s vs broadcast's 2.1 s at
+    ×100, so the gate only flips when broadcast is genuinely infeasible).
+    Small profile keeps the shuffle-hash pin: never broadcast a fact —
+    without a hint Spark would broadcast the *filtered lineitem* at
+    small sf, backwards at 100 TB.
+
+    The date group key is the raw o_orderdate TIMESTAMP; ``fmt_date``
+    runs after the limit, on 10 rows, not per input row (the same
+    post-agg-formatting rule as q_stream_tumbling — formatting is
+    injective on dates, so grouping and values are unchanged).
     """
+    from cuny_courses_spark.operators.joins import _STAR_BCAST_ROWS
+    from cuny_courses_spark.session import is_small_input
+
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -93,17 +105,21 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
         )
-        .hint("shuffle_hash")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
-    j = co.join(li, co.o_orderkey == li.l_orderkey).filter(
+    if is_small_input(sf_dir):
+        co = co.hint("shuffle_hash")
+    else:
+        co = (
+            F.broadcast(co)
+            if co.count() <= _STAR_BCAST_ROWS
+            else co.hint("shuffle_hash")
+        )
+    j = co.join(li, F.col("o_orderkey") == li.l_orderkey).filter(
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
     )
     g = (
-        j.groupBy(
-            "l_orderkey",
-            fmt_date("o_orderdate", "order_date"),
-            "o_orderpriority",
-        )
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             # Raw long accumulation (codegen adds, no Decimal objects):
             # the group key is l_orderkey, so a partial sum is bounded by
@@ -122,7 +138,7 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             F.round(F.col("revenue_fp").cast("double") / 10000.0, 4).alias("revenue"),
-            "order_date",
+            fmt_date("o_orderdate", "order_date"),
             "o_orderpriority",
         )
     )

@@ -80,6 +80,14 @@ SMALL_INPUT_BYTES = 4 << 30  # 4 GiB
 # LARGE profile, which is the safe direction).
 SMALL_INPUT_ROWS = 25_000_000
 
+# Effective-size multiplier for the documents table (see _input_stats):
+# shingle/token-index operators turn each text byte into roughly
+# tokens/byte (~0.2) × shingle-string bytes (~24) × self-join fan-out
+# (≥ 2 sides + agg state) ≈ 10²× of distributed state — calibrated by the
+# r5 OOM: a 63 MB documents table behaved like a > 4 GiB relational input
+# under the small profile's 8 reducers.
+TEXT_EXPANSION = 96
+
 # Memoized per (path, top-level content signature): a regenerated/grown
 # dataset at the same path must re-derive the tuning decision (same contract
 # as bench.prepare_layout's size/mtime-keyed cache). Values are
@@ -151,6 +159,28 @@ def _input_stats(sf_dir: str) -> tuple[int, int]:
                     n += os.path.getsize(p) // 20
         if n_files == 0:
             b = n = 1 << 62  # unreadable/remote/empty → assume large
+        else:
+            # Text corpora EXPAND under the token/shingle-index operators:
+            # every text byte becomes ~tokens × postings-join state, so a
+            # 134 MB documents table behaves like a multi-GB relational
+            # input (r5: the ×100 doc sweep point hit AGGREGATE_OUT_OF_
+            # MEMORY under the small profile's 8 reducers). Weight the
+            # documents table's bytes by the tokenization factor when
+            # computing effective input size; on the provided sf dirs the
+            # table is ~1 % of bytes, so classification there is
+            # unchanged.
+            for root, _dirs, files in os.walk(sf_dir):
+                for f in files:
+                    if f == "documents.parquet" or (
+                        f.endswith(".parquet")
+                        and os.path.basename(root) == "documents.parquet"
+                    ):
+                        try:
+                            b += (TEXT_EXPANSION - 1) * os.path.getsize(
+                                os.path.join(root, f)
+                            )
+                        except OSError:
+                            pass
         # Drop stale entries for this path (dataset regenerated in place).
         for k in [k for k in _DIR_BYTES if k[0] == sf_dir]:
             del _DIR_BYTES[k]
@@ -284,7 +314,12 @@ def get_session(app_name: str = "cuny_courses_spark") -> SparkSession:
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 48g heap on the 128 GiB host: local[32] shares ONE JVM's unified
+        # memory across 32 concurrent tasks — 8g starved wide aggregations
+        # (r5: the ×100 shingle-index sweep point hit AGGREGATE_OUT_OF_
+        # MEMORY at ~250 MB/task). On a real cluster the equivalent knob
+        # is executor memory via cluster_confs().
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )

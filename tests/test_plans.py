@@ -355,3 +355,36 @@ def test_ewma_is_frame_fold_no_python(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
         plan[:4000]
     )
+
+
+def test_star_fact_join_strategy_gate(spark, monkeypatch):
+    # r4 verdict #2: under the large profile the fact-join strategy is a
+    # prepare-time runtime-stats decision — broadcast when the filtered
+    # (orders ⋈ customer) build side fits (the fact is never shuffled),
+    # shuffle-hash when it doesn't (the 100 TB path). Force each branch
+    # and assert the physical plan actually flips.
+    import cuny_courses_spark.operators.joins as J
+    import cuny_courses_spark.session as sess
+
+    monkeypatch.setattr(sess, "SMALL_INPUT_BYTES", -1)  # force large profile
+    monkeypatch.setenv("SPARK_GRAFT_NO_PLAN_CACHE", "1")
+    plan = _plan(spark, "q_join_star_multiway")
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the fact side of the first join must carry no Exchange: the only
+    # exchange left is the 5-group aggregation shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:3000]
+    monkeypatch.setattr(J, "_STAR_BCAST_ROWS", 0)  # build "too big"
+    plan = _plan(spark, "q_join_star_multiway")
+    assert "ShuffledHashJoin" in plan, plan[:3000]
+
+
+def test_topk_fact_join_strategy_gate(spark, monkeypatch):
+    # Same mini-CBO gate on q_limit_topk (r4 verdict #7).
+    import cuny_courses_spark.operators.joins as J
+    import cuny_courses_spark.session as sess
+
+    monkeypatch.setattr(sess, "SMALL_INPUT_BYTES", -1)
+    monkeypatch.setenv("SPARK_GRAFT_NO_PLAN_CACHE", "1")
+    plan = _plan(spark, "q_limit_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
