@@ -89,18 +89,38 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("l_partkey")).alias("src"),
         (2 * F.col("l_suppkey") + 1).alias("dst"),
     )
-    edges = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # STATIC relations are CACHED with their partitioning, not
+    # checkpointed (r5 sweep finding: localCheckpoint drops the SQL-level
+    # outputPartitioning, so every superstep re-shuffled the full edge
+    # relation — ×100 ran superlinear at 89 s). An InMemoryRelation
+    # preserves hashpartitioning, so the per-iteration rank⋈edges join
+    # exchanges only the small rank side, and the final node left-join
+    # aligns cached nodes with the dst-partitioned contributions with no
+    # exchange at all — each superstep pays exactly ONE data-sized
+    # shuffle (the message aggregation), the Pregel contract. Out-degree
+    # rides the cached edges (pre-joined once) instead of a per-iteration
+    # third join. Spark's cache manager dedupes by canonicalized plan, so
+    # repeated builds reuse one copy; this is the same cluster-side
+    # pattern (cache the adjacency, iterate on ranks).
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    edges_w = (
+        edges.join(outdeg, "src")
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .repartition("node")
+        .persist()
+    )
     r = nodes.withColumn("r", F.lit(1000000).cast("long")).localCheckpoint()
     for _ in range(_N_ITER):
         contrib = (
-            r.join(edges, r.node == edges.src)
-            .join(outdeg, edges.src == outdeg.src)
+            edges_w.join(r, edges_w.src == r.node)
             .select("dst", F.expr("r div od").alias("m"))
             .groupBy("dst")
             .agg(F.sum("m").alias("c"))
