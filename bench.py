@@ -533,6 +533,16 @@ def main() -> None:
                     continue
                 try:
                     fn = ext_fns[name]
+                    # Quiesce between operators: the preceding operator's
+                    # cached blocks / garbage otherwise bleed into this
+                    # one's laps (r5: pagerank's cold build measured 64 s
+                    # after the dedup set vs ~30 s from a quiesced
+                    # session — same query, same data).
+                    try:
+                        spark.catalog.clearCache()
+                        spark.sparkContext._jvm.System.gc()
+                    except Exception:
+                        pass
                     # q_graph_pagerank localCheckpoints its supersteps at
                     # BUILD time, so a plan-cached re-collect would reuse
                     # the materialized iterations and time ~nothing; force

@@ -430,3 +430,41 @@ def test_bounded_dim_spark_fallback(spark, monkeypatch):
     assert sorted(remote, key=key) == sorted(local, key=key)
     with pytest.raises(ValueError, match="bounded constant dim"):
         _bounded_dim(spark, SF_DIR, "customer", cap=10)
+
+
+def test_scaled_docs_layout_replicas_disjoint(tmp_path):
+    # Bench-infra contract (r5): the amplified doc corpus must scale dedup
+    # workloads LINEARLY — each replica a disjoint shard, duplicate
+    # structure preserved within a replica. Plain replication would make
+    # every replica a near-dup of every other (quadratic pair growth).
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from bench import scaled_docs_layout
+
+    src = "/root/testdata/sf0.001"
+    out = scaled_docs_layout(src, 2)
+    assert out != src, "layout synthesis fell back"
+    base = pq.read_table(f"{src}/documents.parquet")
+    t = pq.read_table(f"{out}/documents.parquet")
+    n = base.num_rows
+    assert t.num_rows == 2 * n
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    r0, r1 = texts[:n], texts[n:]
+    # replica 0 byte-identical to the source corpus
+    assert r0 == base.column("text").to_pylist()
+    # token universes disjoint across replicas → cross-replica jaccard 0
+    tok0 = {w for x in r0 for w in x.split()}
+    tok1 = {w for x in r1 for w in x.split()}
+    assert not (tok0 & tok1)
+    # duplicate structure preserved within the replica: the mutation is a
+    # bijection on tokens, so equal-text pairs map to equal-text pairs
+    from collections import Counter
+
+    dup = lambda xs: sorted(Counter(Counter(xs).values()).items())  # noqa: E731
+    assert dup(r0) == dup(r1)
+    # ids shifted, all distinct
+    assert len(set(ids)) == 2 * n
