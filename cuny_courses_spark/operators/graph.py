@@ -344,15 +344,51 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("nbr")
         )
         wedge_adj = adj.join(hub, "nbr", "left_anti")
-        cand = (
+        # r5 redesign (same pattern as dedup.near_dup_pairs_df_capped):
+        # the former DISTINCT-candidates + recount-every-candidate form
+        # re-joined the full adjacency against EVERY pair sharing ≥1 cold
+        # wedge (Σ_cand deg(a) — measured 22-72 s at the ×100 sweep
+        # point). Stay count-based: n_cold from the capped wedge join,
+        # then a SOUND upper bound n_common ≤ n_cold + min(hub-nbrs(a),
+        # hub-nbrs(b)) prefilters to near-final survivors, and only those
+        # are re-counted against the uncapped adjacency for the exact
+        # emitted n_common/jaccard. Candidate recall is unchanged (a pair
+        # still needs ≥1 sub-cap shared neighbor — the documented cap
+        # trade); emitted values stay exact.
+        n_cold = (
             wedge_adj.select(F.col("node").alias("a"), "nbr")
             .join(wedge_adj.select(F.col("node").alias("b"), "nbr"), "nbr")
             .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("nc"))
+        )
+        hcnt = (
+            adj.join(hub, "nbr", "left_semi")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        surv = (
+            n_cold.join(
+                hcnt.select(F.col("node").alias("a"), F.col("h").alias("ha")),
+                "a",
+                "left",
+            )
+            .join(
+                hcnt.select(F.col("node").alias("b"), F.col("h").alias("hb")),
+                "b",
+                "left",
+            )
+            .filter(
+                F.col("nc")
+                + F.least(
+                    F.coalesce("ha", F.lit(0)), F.coalesce("hb", F.lit(0))
+                )
+                >= 2
+            )
             .select("a", "b")
-            .distinct()
         )
         cn = (
-            a1.join(cand, "a")
+            a1.join(surv, "a")
             .join(a2, ["nbr", "b"])
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_common"))
