@@ -619,11 +619,29 @@ def near_dup_pairs_df_capped(
          emitted pairs; on a hot-free corpus (cap never binds) the bound
          is exact and the verify re-derives the same i.
 
+    The one place the cap can cost recall is candidate GENERATION, not
+    the prefilter: a pair whose every shared shingle is hot never enters
+    ``i_cold`` at all. That requires ≥ 0.375·(na+nb) shingles each in
+    >max_df_frac of the corpus — absent from zipf-shaped corpora and from
+    every fixture/oracle check below; the prefilter and verify stay exact
+    for any pair the cold index surfaces.
+
+    r5: the cold index carries ``xxhash64(shingle)`` (8-byte long), not
+    the ~25-byte shingle string — the postings self-join is the dominant
+    shuffle and shrinks ~3×. Correctness is UNAFFECTED by hash collisions
+    here, not just improbably so: a collision can only merge two distinct
+    shingles' postings, which INFLATES ``ic``/``df``/``h`` — the upper
+    bound i ≤ ic + min(ha, hb) stays sound (every true shared shingle
+    still matches its own hash), and emitted values come from the string-
+    array verify, never from the hashed counts.
+
     Tests assert bit-equality with q_dedup_near_jaccard's exact form on
     the fixtures and oracle-match under the forced large profile.
     """
     d = _doc_shingles(spark, sf_dir)
-    tok = d.select("doc_id", F.explode("t").alias("s"))
+    tok = d.select("doc_id", F.explode("t").alias("s0")).select(
+        "doc_id", F.xxhash64("s0").alias("s")
+    )
     n_docs = d.count()
     cap = min(int(max_df_frac * n_docs), DF_CAP_ABS)
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
