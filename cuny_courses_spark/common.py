@@ -49,9 +49,24 @@ def fp(col: Column | str, digits: int = 2) -> Column:
     expression in the profile (~2× whole-query cost on the Q1 shape).
     Only use on columns whose decimal scale is part of the data contract
     (FIXTURES.md); arbitrary doubles (e.g. ``events.value``) keep dsum.
+
+    Rounding is ARITHMETIC nearest-int (add ±0.5, truncate-toward-zero
+    cast), not ``F.round``: Spark implements Round on DoubleType through
+    ``java.math.BigDecimal.setScale(HALF_UP)`` — a per-row object
+    allocation that profiled as ~40 % of the whole Q1 shape at the ×100
+    sweep point (1.32 s → 0.79 s, tools/profile_scan.py). Equivalence to
+    HALF_UP is exact on contract columns: x·10^d lands within ~1e-9 of an
+    integer (never near a k+0.5 tie), where add-±0.5-then-truncate and
+    HALF_UP agree for both signs; at an exact representable tie both
+    round away from zero; NULL propagates through both. The only
+    divergence window is a product within half-an-ulp of k+0.5
+    (~1e-11 absolute at 1e5 magnitude) — unreachable from fixed-scale
+    decimal data, the same window the former FP multiply-then-round
+    already had.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * (10 ** digits)).cast("long")
+    x = c * (10 ** digits)
+    return F.when(x >= 0, x + 0.5).otherwise(x - 0.5).cast("long")
 
 
 _SPLIT_BITS = 20

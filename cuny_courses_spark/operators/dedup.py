@@ -628,12 +628,17 @@ def near_dup_pairs_df_capped(
 
     r5: the cold index carries ``xxhash64(shingle)`` (8-byte long), not
     the ~25-byte shingle string — the postings self-join is the dominant
-    shuffle and shrinks ~3×. Correctness is UNAFFECTED by hash collisions
-    here, not just improbably so: a collision can only merge two distinct
-    shingles' postings, which INFLATES ``ic``/``df``/``h`` — the upper
-    bound i ≤ ic + min(ha, hb) stays sound (every true shared shingle
-    still matches its own hash), and emitted values come from the string-
-    array verify, never from the hashed counts.
+    shuffle and shrinks ~3×. The PREFILTER and VERIFY are collision-proof:
+    a collision can only merge two distinct shingles' postings, which
+    INFLATES ``ic``/``df``/``h`` — the upper bound i ≤ ic + min(ha, hb)
+    stays sound (every true shared shingle still matches its own hash),
+    and emitted values come from the string-array verify, never from the
+    hashed counts. Candidate GENERATION is collision-safe only with
+    overwhelming probability (r5 ADVICE): a collision that pushes a merged
+    posting list over the df cap reclassifies both shingles as hot and
+    drops them from the cold index, so a pair whose only shared shingles
+    are those two could lose candidacy — a birthday-bounded ~2⁻⁶⁴-per-pair
+    event on xxhash64, not a structural guarantee.
 
     Tests assert bit-equality with q_dedup_near_jaccard's exact form on
     the fixtures and oracle-match under the forced large profile.

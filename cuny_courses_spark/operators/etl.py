@@ -231,11 +231,19 @@ def q_etl_csv_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = Path(_io_dir(sf_dir, "region_dirty_csv"))
     out.mkdir(parents=True, exist_ok=True)
     target = out / "part.csv"
-    rows = load(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    # Cap-guarded bounded-dim read (r5 verdict #3: this was the one
+    # driver-side materialization not routed through the repo's own
+    # _bounded_dim rule; region is a constant 5-row table).
+    from cuny_courses_spark.operators.joins import _bounded_dim
+
+    rows = sorted(
+        _bounded_dim(spark, sf_dir, "region"),
+        key=lambda r: r["r_regionkey"],
+    )
     with open(target, "w") as f:
         f.write("r_regionkey,r_name\n")
         for r in rows:
-            f.write(f"{r.r_regionkey},{r.r_name}\n")
+            f.write(f"{r['r_regionkey']},{r['r_name']}\n")
         f.write("not_a_number,BADROW1\n")
         f.write("also_bad,BADROW2\n")
         f.write("NaNkey,BADROW3\n")

@@ -117,25 +117,33 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("node")
         .persist()
     )
-    r = nodes.withColumn("r", F.lit(1000000).cast("long")).localCheckpoint()
-    for _ in range(_N_ITER):
-        contrib = (
-            edges_w.join(r, edges_w.src == r.node)
-            .select("dst", F.expr("r div od").alias("m"))
-            .groupBy("dst")
-            .agg(F.sum("m").alias("c"))
-        )
-        r = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                F.expr(
-                    "CAST(150000 + (850 * COALESCE(c, 0)) div 1000 AS BIGINT)"
-                ).alias("r"),
+    try:
+        r = nodes.withColumn("r", F.lit(1000000).cast("long")).localCheckpoint()
+        for _ in range(_N_ITER):
+            contrib = (
+                edges_w.join(r, edges_w.src == r.node)
+                .select("dst", F.expr("r div od").alias("m"))
+                .groupBy("dst")
+                .agg(F.sum("m").alias("c"))
             )
-            .localCheckpoint()
-        )
-    return r.select("node", F.col("r").alias("rank"))
+            r = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .select(
+                    "node",
+                    F.expr(
+                        "CAST(150000 + (850 * COALESCE(c, 0)) div 1000 AS BIGINT)"
+                    ).alias("r"),
+                )
+                .localCheckpoint()
+            )
+        return r.select("node", F.col("r").alias("rank"))
+    finally:
+        # The final r is EAGERLY localCheckpoint'ed above, so its lineage
+        # no longer references the cached adjacency — release both here
+        # (r5 ADVICE: the edge-sized cache otherwise stayed pinned for the
+        # session lifetime, relying on callers' clearCache/LRU eviction).
+        edges_w.unpersist()
+        nodes.unpersist()
 
 
 @register(

@@ -99,9 +99,18 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    cf = c.filter(c.c_mktsegment == "BUILDING")
+    if is_small_input(sf_dir):
+        # Small profile: shuffle-hash the dim join as well — a
+        # BroadcastExchange is its own Spark job (r5 bench:
+        # jobs_per_query=2, one per lap just to rebuild the ~3 k-key
+        # broadcast), and one job's dispatch floor (~0.12 s local)
+        # costs more than shuffling 150 k orders rows. The large
+        # profile keeps the dim broadcast: at scale the fact shuffle
+        # dwarfs one broadcast build, and the build amortizes.
+        cf = cf.hint("shuffle_hash")
     co = (
-        c.filter(c.c_mktsegment == "BUILDING")
-        .join(o, c.c_custkey == o.o_custkey)
+        cf.join(o, c.c_custkey == o.o_custkey)
         .filter(
             F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
         )

@@ -308,18 +308,37 @@ def cluster_confs(input_bytes: int, executors: int = 1000,
     }
 
 
+def _default_driver_mem() -> str:
+    """min(48g, ~40 % of host MemTotal), floor 2g — see get_session()."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, (total_gb * 2) // 5))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_session(app_name: str = "cuny_courses_spark") -> SparkSession:
     """Engine-owned local session for tests/bench (local[N], AQE, Arrow)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        # 48g heap on the 128 GiB host: local[32] shares ONE JVM's unified
-        # memory across 32 concurrent tasks — 8g starved wide aggregations
-        # (r5: the ×100 shingle-index sweep point hit AGGREGATE_OUT_OF_
-        # MEMORY at ~250 MB/task). On a real cluster the equivalent knob
-        # is executor memory via cluster_confs().
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Heap sized from detected host RAM (r5 ADVICE: a hardcoded 48g
+        # assumed the 128 GiB bench host and could swap/OOM-kill smaller
+        # machines): min(48g, ~40 % of MemTotal), floor 2g. local[32]
+        # shares ONE JVM's unified memory across 32 concurrent tasks —
+        # 8g starved wide aggregations (r5: the ×100 shingle-index sweep
+        # point hit AGGREGATE_OUT_OF_MEMORY at ~250 MB/task). On a real
+        # cluster the equivalent knob is executor memory via
+        # cluster_confs(). SPARK_DRIVER_MEM stays the override.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
