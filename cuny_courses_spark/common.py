@@ -38,6 +38,18 @@ def davg(col: Column | str, alias: str) -> Column:
     ).alias(alias)
 
 
+def vsum(col: Column | str, alias: str) -> Column:
+    """dsum twin for ≤6-dp contract doubles (``events.value`` — 2-dp data,
+    FIXTURES.md) without the per-row BigDecimal: decimal(30,6) exceeds
+    Spark's 18-digit compact Decimal, so ``dsum``'s cast AND its sum are
+    BigDecimal ops per row (r6 profile, BASELINE.md "Round-6"). The 1e6
+    fixed-point image is the EXACT integer the DECIMAL(30,6) cast
+    produces for any ≤6-dp-representable double, and the split-long total
+    (``_fpx_total``) is overflow-exact — same value as ``O_dsum`` at any
+    scale. Keep ``dsum`` for genuinely arbitrary doubles."""
+    return fpsum(fp(col, 6), 6, alias)
+
+
 def fp(col: Column | str, digits: int = 2) -> Column:
     """Exact int64 fixed-point image of a known-scale decimal column.
 

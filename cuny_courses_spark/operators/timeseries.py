@@ -11,7 +11,8 @@ both engines (Spark ``unix_micros`` after the ns→µs load truncation ≡
 DuckDB ``epoch_us`` of the ns timestamp — the q_win_lag_lead-proven
 identity), so the session-break predicate can never straddle a float or
 sub-µs boundary. Event values are arbitrary doubles ⇒ sums go through
-DECIMAL(30,6) (``dsum``), order-independent in both engines; daily totals
+1e6 fixed-point split-long (``vsum`` — exact DECIMAL(30,6) twin on the
+≤6-dp value contract), order-independent in both engines; daily totals
 are rounded to 4 dp BEFORE the carry-forward so the filled value is the
 exact emitted value.
 
@@ -30,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cuny_courses_spark.common import dsum, fmt_date, fmt_ts
+from cuny_courses_spark.common import fmt_date, fmt_ts, vsum
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import load
 
@@ -84,7 +85,7 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt_ts(F.min("ts"), "session_start"),
             fmt_ts(F.max("ts"), "session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value", "total_value"),
+            vsum("value", "total_value"),
         )
     )
 
@@ -123,7 +124,7 @@ def q_ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(dsum("value", "total"))
+    ).agg(vsum("value", "total"))
     spine = (
         daily.groupBy("user_id")
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
@@ -292,7 +293,7 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(dsum("value", "total"))
+    ).agg(vsum("value", "total"))
     spine = (
         daily.groupBy("user_id")
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))

@@ -47,6 +47,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # parallelism vs per-split overhead at test scale and is irrelevant for
     # production-sized (≥128 MB) files. (Swept 4M/2M/1M/128K: 128K thrashes.)
     "spark.sql.files.openCostInBytes": "1048576",
+    # 4× the default vectorized-reader batch (4096): fewer batch-boundary
+    # crossings in the ColumnarToRow loop — the measured scan floor is the
+    # binding constraint on the pure scan+agg queries (r6 A/B at the ×100
+    # point, alternating confs in one session: Q1 shape 0.86→0.80 and
+    # 0.71→0.59 s, tumbling 0.64→0.61 and 0.60→0.38 s, lineitem 7-col
+    # decode probe 0.76→0.63 s). Memory cost is ~1-2 MB per open reader.
+    "spark.sql.parquet.columnarReaderBatchSize": "16384",
 }
 
 

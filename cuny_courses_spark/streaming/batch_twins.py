@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuny_courses_spark.common import O_dsum, dsum, fp, fpsum
+from cuny_courses_spark.common import O_dsum, fp, fpsum, vsum
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import load
 
@@ -244,7 +244,7 @@ def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     environment; state = one (count, sum) pair per user)."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+        F.count(F.lit(1)).alias("n_events"), vsum("value", "sum_value")
     )
 
 
@@ -274,7 +274,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value", "sum_value"),
+            vsum("value", "sum_value"),
         )
     )
 
@@ -325,7 +325,7 @@ def q_stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     written = run_foreach_batch_sink(spark, sf_dir)
     return written.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+        F.count(F.lit(1)).alias("n_events"), vsum("value", "sum_value")
     )
 
 

@@ -24,7 +24,8 @@ SHOW = [
     ("q_limit_topk", "Q3 shape: broadcast dim + shuffle-hash fact join + TakeOrderedAndProject"),
     ("q_join_star_multiway", "Q5 shape: constant dims folded to pushed In() + literal map; 4 scans, ≤3 broadcasts"),
     ("q_win_latest_per_key", "window dedup: one exchange + per-partition sort"),
-    ("q_stream_tumbling", "tumbling twin: date_trunc group, partial+final agg"),
+    ("q_stream_tumbling",
+     "tumbling twin: arithmetic µs hour key, partial+final agg"),
     ("q_join_asof_nearest", "union-sweep as-of: ONE exchange, two frames, no join"),
     ("q_dedup_near_jaccard", "inverted shingle index: shuffle-hash equi-join, no nested loop"),
     ("q_graph_common_neighbors", "wedge equi-join + anti join; hub cap at scale"),
