@@ -17,7 +17,7 @@ keeps the SQL portable ANSI).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cuny_courses_spark.registry import register
@@ -91,7 +91,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     # STATIC relations are CACHED with their partitioning, not
     # checkpointed (r5 sweep finding: localCheckpoint drops the SQL-level
     # outputPartitioning, so every superstep re-shuffled the full edge
@@ -100,21 +100,32 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchanges only the small rank side, and the final node left-join
     # aligns cached nodes with the dst-partitioned contributions with no
     # exchange at all — each superstep pays exactly ONE data-sized
-    # shuffle (the message aggregation), the Pregel contract. Out-degree
-    # rides the cached edges (pre-joined once) instead of a per-iteration
-    # third join. Spark's cache manager dedupes by canonicalized plan, so
-    # repeated builds reuse one copy; this is the same cluster-side
-    # pattern (cache the adjacency, iterate on ranks).
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # shuffle (the message aggregation), the Pregel contract.
+    #
+    # ONE-SHUFFLE build (r6; the former shape paid three edge-sized
+    # shuffles — distinct on (src,dst), groupBy(src) out-degree, then the
+    # edges⋈outdeg join + repartition — plus a fourth for the node set;
+    # at ×100 that build dominated the recorded 75 s once the r5 advice
+    # fix stopped laps from silently reusing the previous lap's cached
+    # adjacency via cache-manager canonical-plan dedup). Everything hangs
+    # off a single repartition("src"): hashpartitioning(src) SATISFIES
+    # the clustered distribution of (src, dst), so the dedup is a
+    # zero-exchange local hash agg; the out-degree is a zero-exchange
+    # window count over the same partitioning; and the node set is a
+    # zero-exchange distinct that inherits src-partitioning through the
+    # alias. Same exact relations as the join form (window count over
+    # deduped edges ≡ the outdeg join), bit-identical output.
     edges_w = (
-        edges.join(outdeg, "src")
-        .repartition("src")
+        edges.repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .withColumn(
+            "od", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
         .persist()
     )
     nodes = (
-        edges.select(F.col("src").alias("node"))
+        edges_w.select(F.col("src").alias("node"))
         .distinct()
-        .repartition("node")
         .persist()
     )
     try:

@@ -16,12 +16,24 @@ from cuny_courses_spark.sources.loaders import TABLES
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """In-memory DuckDB with the driver's view registration."""
+    """In-memory DuckDB with the driver's view registration.
+
+    Tables absent from ``sf_dir`` are simply not registered (r6: the
+    bench's synthetic docs corpora carry only documents/embeddings, and
+    the eager view-creation IOException took the whole connection down
+    before the query it could have served ever ran). Querying a missing
+    table then fails per-query with DuckDB's normal missing-relation
+    error — same visibility, correct blast radius.
+    """
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
     return con
 
 

@@ -47,6 +47,18 @@ RUNTIME_CONFS: dict[str, str] = {
     # parallelism vs per-split overhead at test scale and is irrelevant for
     # production-sized (≥128 MB) files. (Swept 4M/2M/1M/128K: 128K thrashes.)
     "spark.sql.files.openCostInBytes": "1048576",
+    # AUTO-broadcast bound 8 MB (was 32 MB): Spark estimates a scan's size
+    # as file-size × column-pruning ratio, so a 2-column projection of a
+    # snappy parquet FACT (6 M-row lineitem at the ×10 sweep point,
+    # ~16-25 MB estimated) slid under 32 MB and the planner broadcast a
+    # fact table — a 6 M-entry driver hash build per execution (r6: TPC-H
+    # Q21 3.57 s → 1.78 s at ×10 from this one conf). 8 MB keeps every
+    # genuinely bounded dim (nation/region/filtered customer ≤3 MB at
+    # sf0.1) on the broadcast path and pushes scaling tables to shuffle
+    # joins — the 100 TB-safe default. -1 measured WORSE (2.90 s): the
+    # dims then shuffle too. Engine-pinned F.broadcast()/hints are
+    # threshold-independent and unaffected.
+    "spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024),
     # 4× the default vectorized-reader batch (4096): fewer batch-boundary
     # crossings in the ColumnarToRow loop — the measured scan floor is the
     # binding constraint on the pure scan+agg queries (r6 A/B at the ×100
@@ -346,7 +358,6 @@ def get_session(app_name: str = "cuny_courses_spark") -> SparkSession:
             "spark.driver.memory",
             os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
         )
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
