@@ -259,6 +259,25 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         if keys
         else F.create_map(F.lit(0), F.lit(None).cast("string"))
     )
+    if not is_small_input(sf_dir):
+        # The filtered-dim joins get the SAME prepare-time count gate as
+        # the fact join below (r6: the 8 MB auto-broadcast bound —
+        # correct for planner-estimated facts — also stopped the planner
+        # broadcasting these region-filtered dims at the ×100 point,
+        # where their 2-col scans estimate tens of MB; the SMJ fallback
+        # re-sorted orders per lap, star ×100 2.44→1.96 s with the
+        # explicit gate). ≤ _STAR_BCAST_ROWS broadcasts — at true 100 TB
+        # the counted sides exceed the bound and shuffle-hash instead.
+        c2 = (
+            F.broadcast(c2)
+            if c2.count() <= _STAR_BCAST_ROWS
+            else c2.hint("shuffle_hash")
+        )
+        s2 = (
+            F.broadcast(s2)
+            if s2.count() <= _STAR_BCAST_ROWS
+            else s2.hint("shuffle_hash")
+        )
     # Reduce first: date-filtered orders ⋈ region-filtered customer is the
     # narrow fact-join build side (o_orderkey, c_nationkey).
     oc = o.join(c2, o.o_custkey == c2.c_custkey).select(

@@ -107,6 +107,19 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two extra shuffle stages costs more than one broadcast dispatch
     # (~0.12 s). Jobs/lap is a proxy; wall time is the metric.
     cf = c.filter(c.c_mktsegment == "BUILDING")
+    if not is_small_input(sf_dir):
+        # Large profile: the segment-filtered customer gets the same
+        # prepare-time count gate as the fact join (r6, mirrors
+        # q_join_star_multiway's dim gates) — the planner's static
+        # estimate can't see the filter selectivity, so it SMJ-sorts
+        # orders against customer at the amplified points instead of
+        # broadcasting the ~600 k filtered keys; the counts amortize
+        # through the plan cache (once per corpus).
+        cf = (
+            F.broadcast(cf)
+            if cf.count() <= _STAR_BCAST_ROWS
+            else cf.hint("shuffle_hash")
+        )
     co = (
         cf.join(o, c.c_custkey == o.o_custkey)
         .filter(
