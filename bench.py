@@ -577,6 +577,79 @@ def main() -> None:
                     " sum(l_quantity + l_extendedprice + l_discount + l_tax),"
                     " sum(epoch_us(l_shipdate) % 1000000) FROM lineitem",
                 ),
+                # r7 (r6 verdict #4): decomposition floors for the two
+                # flat-ratio headliners. Each probe is one PIECE of the
+                # query (fact read / dim-build join / bare agg shape) on
+                # both engines; the full-query ratio sitting at or below
+                # the weighted piece ratios is the floor proof (the star/
+                # topk A/B history is in BASELINE.md round-7 — every
+                # alternative plan measured slower).
+                "star_fact_4col": (
+                    lambda d: load(spark, d, "lineitem").agg(
+                        F.sum(F.col("l_orderkey") % 1000000).alias("a"),
+                        F.sum(F.col("l_suppkey") % 1000000).alias("b"),
+                        F.sum((F.col("l_extendedprice") * 100).cast("long")
+                              % 1000000).alias("c"),
+                        F.sum((F.col("l_discount") * 100)
+                              .cast("long")).alias("d"),
+                    ),
+                    "SELECT sum(l_orderkey % 1000000),"
+                    " sum(l_suppkey % 1000000),"
+                    " sum(CAST(l_extendedprice*100 AS BIGINT) % 1000000),"
+                    " sum(CAST(l_discount*100 AS BIGINT)) FROM lineitem",
+                ),
+                "star_build_oc": (
+                    lambda d: load(spark, d, "orders")
+                    .filter(
+                        (F.col("o_orderdate")
+                         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                        & (F.col("o_orderdate")
+                           < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+                    )
+                    .join(
+                        F.broadcast(
+                            load(spark, d, "customer")
+                            .filter(F.col("c_nationkey").isin([1, 6, 11, 16, 21]))
+                            .select("c_custkey", "c_nationkey")
+                        ),
+                        F.col("o_custkey") == F.col("c_custkey"),
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("o_orderkey") % 1000000).alias("x"),
+                    ),
+                    "SELECT count(*), sum(o_orderkey % 1000000)"
+                    " FROM orders JOIN customer ON c_custkey = o_custkey"
+                    " WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+                    " AND o_orderdate < TIMESTAMP '1998-01-01'"
+                    " AND c_nationkey IN (1, 6, 11, 16, 21)",
+                ),
+                "topk_agg_shape": (
+                    lambda d: load(spark, d, "lineitem")
+                    .filter(
+                        F.col("l_shipdate")
+                        > F.lit("1996-03-15 00:00:00").cast("timestamp")
+                    )
+                    .groupBy("l_orderkey")
+                    .agg(
+                        F.sum(
+                            ((F.col("l_extendedprice") * 100 + F.lit(0.5))
+                             .cast("long"))
+                            * (100 - (F.col("l_discount") * 100 + F.lit(0.5))
+                               .cast("long"))
+                        ).alias("r")
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("r") % 1000000).alias("x"),
+                    ),
+                    "SELECT count(*), sum(r % 1000000) FROM ("
+                    "SELECT l_orderkey,"
+                    " sum(CAST(round(l_extendedprice*100) AS BIGINT)"
+                    " * (100 - CAST(round(l_discount*100) AS BIGINT))) AS r"
+                    " FROM lineitem WHERE l_shipdate > TIMESTAMP '1996-03-15'"
+                    " GROUP BY l_orderkey)",
+                ),
             }
             con = duck_con(sdir)
             for t, (sfn, dsql) in probes.items():

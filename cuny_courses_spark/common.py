@@ -60,7 +60,9 @@ def fp(col: Column | str, digits: int = 2) -> Column:
     per-row double→BigDecimal conversion that makes ``dsum`` the hottest
     expression in the profile (~2× whole-query cost on the Q1 shape).
     Only use on columns whose decimal scale is part of the data contract
-    (FIXTURES.md); arbitrary doubles (e.g. ``events.value``) keep dsum.
+    (FIXTURES.md — that contract covers ``events.value`` too: 2-dp data,
+    summed via ``vsum``); a genuinely arbitrary double (e.g. a computed
+    ratio or ML score column with full mantissa entropy) keeps dsum.
 
     Rounding is ARITHMETIC nearest-int (add ±0.5, truncate-toward-zero
     cast), not ``F.round``: Spark implements Round on DoubleType through
