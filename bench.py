@@ -247,11 +247,16 @@ def scaled_docs_layout(sf_dir: str, factor: int = 10) -> str:
         collide with a source token that already ends in ``q<i>``; no
         text token carries a control byte).
       · embeddings: vec_id shifted; each replica's vectors are rotated
-        by ``1 + i % (dim−1)`` — never ≡ 0 (mod dim), so no replica is
-        geometrically identical to replica 0 (r5 ADVICE: ``i % dim``
-        wrapped at factor ≥ 65, making replica 64's vectors bit-identical
-        in geometry and cross-replica cosine 1, not decorrelated) — norms
-        and intra-replica geometry preserved.
+        by ``1 + i % (dim−1)`` (never ≡ 0 mod dim) AND multiplied by a
+        per-replica deterministic ±1 sign pattern (seeded on i). The
+        sign flip is the r6-verdict-#5 fix: the roll alone wraps —
+        replicas 63 apart share a rotation, so replica 1 and replica 64
+        were geometrically identical at the documented ×100 point. A
+        uniform sign pattern applied to every vector of a replica
+        preserves norms and intra-replica dot products EXACTLY
+        ((s⊙x)·(s⊙y) = x·y), while same-roll replica pairs see
+        Σ sᵢ_d sⱼ_d x_d² — a random-sign sum that concentrates near 0
+        (property-tested in tests/test_scale_profile.py at factor 66).
     Timing corpus only (like scaled_layout): values are not oracle-checked
     at these synthetic points. Idempotent per content signature.
     """
@@ -260,7 +265,7 @@ def scaled_docs_layout(sf_dir: str, factor: int = 10) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    sig = hashlib.md5(f"docscale{factor}:v2:{sf_dir}".encode())
+    sig = hashlib.md5(f"docscale{factor}:v3:{sf_dir}".encode())
     for name in ("documents.parquet", "embeddings.parquet"):
         f = Path(sf_dir) / name
         st = f.stat()
@@ -301,6 +306,14 @@ def scaled_docs_layout(sf_dir: str, factor: int = 10) -> str:
                 r = r.set_column(r.schema.get_field_index("vec_id"), "vec_id", ids)
                 if i:
                     rolled = np.roll(mat, 1 + i % (mat.shape[1] - 1), axis=1)
+                    signs = (
+                        np.random.default_rng(0xE5EED ^ i)
+                        .integers(0, 2, size=mat.shape[1])
+                        .astype(np.float32)
+                        * 2
+                        - 1
+                    )
+                    rolled = rolled * signs
                     col = pa.array(
                         list(rolled), type=emb.schema.field("embedding").type
                     )
@@ -759,6 +772,52 @@ def main() -> None:
                                 os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = prior
                 except Exception as exc:
                     entry[name] = f"error: {type(exc).__name__}"
+            # Similarity-family amplified point (r6 verdict #5, unblocked
+            # by the sign-flip corpus fix above): the PRODUCTION banded
+            # LSH path only — the registered q_sim_neardup_lsh is a
+            # recall CERTIFICATE that deliberately also runs the O(n²)
+            # exact twin, which is the wrong thing to time at ×10/×100
+            # (200 M exact pairs at ×10). Engine-only: the exact DuckDB
+            # pair join is quadratic-infeasible here by design, like the
+            # near_jaccard/minhash twins; value-correctness runs at the
+            # driver's SFs via the certificate.
+            if ddir != sf_dir and time.perf_counter() - t_start <= budget:
+                try:
+                    from cuny_courses_spark.operators.similarity import (
+                        neardup_lsh_pairs,
+                    )
+                    from cuny_courses_spark.sources.loaders import load as _ld
+
+                    def _sim_lap():
+                        neardup_lsh_pairs(
+                            _ld(spark, ddir, "embeddings")
+                        ).toPandas()
+
+                    try:
+                        spark.catalog.clearCache()
+                        spark.sparkContext._jvm.System.gc()
+                    except Exception:
+                        pass
+                    t0 = time.perf_counter()
+                    _sim_lap()  # warm
+                    best = time.perf_counter() - t0
+                    for _ in range(laps):
+                        try:
+                            spark.sparkContext._jvm.System.gc()
+                        except Exception:
+                            pass
+                        t0 = time.perf_counter()
+                        _sim_lap()
+                        best = min(best, time.perf_counter() - t0)
+                    entry["q_sim_neardup_lsh_prod"] = round(best, 4)
+                except Exception as exc:
+                    entry["q_sim_neardup_lsh_prod"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+                entry["q_sim_neardup_lsh_prod_duckdb"] = (
+                    "skipped: exact pair twin is quadratic; "
+                    "recall is certificate-checked at driver SFs"
+                )
             # DuckDB pagerank twin only at ×10: at ×100 its 5 unrolled
             # CTE rounds spilled >60 GB of temp to disk (r5: filled the
             # device and wedged the run) — record the omission, don't

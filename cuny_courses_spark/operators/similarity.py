@@ -607,12 +607,33 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def neardup_lsh_pairs(e: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Sign-projection LSH near-dup pairs over (vec_id, embedding)."""
+    """Sign-projection LSH near-dup pairs over (vec_id, embedding).
+
+    Band geometry is SIZE-ADAPTIVE (r7, found by adding this path to the
+    amplified sweep): 8 bands × 8 bits means only 2⁸ = 256 buckets per
+    band, so above a few thousand vectors the buckets saturate and the
+    band equi-join degrades to n²/256 candidate pairs per band — at the
+    ×100 sweep point (200 k vectors) that is ~6×10⁸ pairs, and at 100 TB
+    it is the quadratic blow-up this operator exists to avoid. Corpora
+    over 10 k vectors therefore use 16 bands × 16 bits (2¹⁶ buckets per
+    band; occupancy n/65 536 stays small two more decades — band bits
+    must grow ~log₂ n). Recall at cos = 0.95 (p = 1 − arccos(.95)/π =
+    0.899): 8×8 → 1−(1−p⁸)⁸ ≈ 0.988; 16×16 → 1−(1−p¹⁶)¹⁶ ≈ 0.96 — both
+    above the certificate's 0.8 floor; precision is unaffected (the
+    exact-dot verify shares the certificate's rounded cut). The size
+    probe is one count() per plan build, amortized by the plan cache
+    like the star/topk prepare-time gates. Driver SFs (≤ 2 k vectors)
+    keep the 8×8 geometry bit-for-bit, so certificate hashes are
+    unchanged."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    dim, n_bands, bits_per_band = 64, 8, 8
+    dim = 64
+    if e.count() > 10_000:
+        n_bands, bits_per_band = 16, 16
+    else:
+        n_bands, bits_per_band = 8, 8
     planes = np.random.RandomState(42).standard_normal((dim, n_bands * bits_per_band))
     weights = 1 << np.arange(bits_per_band, dtype=np.int64)
 

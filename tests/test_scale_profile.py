@@ -144,3 +144,76 @@ def test_outlier_mad_small_profile_stays_exact(spark, duck):
     du = duck.execute(_OS["q_agg_outlier_mad"]).df()
     status, msg = compare(sp, du)
     assert status == "PASS", msg
+
+
+def test_scaled_docs_embeddings_decorrelate(spark):
+    # r6 verdict #5: the sweep corpus roll wraps at factor >= 65 (dim 64 ->
+    # replicas 63 apart share a rotation); the per-replica sign flip must
+    # decorrelate same-roll replicas while preserving intra-replica
+    # geometry exactly. Factor 66 on the tiny sf covers the wrap point.
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import bench
+
+    out = bench.scaled_docs_layout("/root/testdata/sf0.001", 66)
+    assert out != "/root/testdata/sf0.001", "layout synthesis failed"
+    t = pq.read_table(f"{out}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    base_n = (ids < bench._SCALE_BASE).sum()
+    reps = {i: mat[i * base_n : (i + 1) * base_n] for i in (0, 1, 64)}
+    # replica boundaries really are replicas of the same base corpus
+    assert len(ids) == 66 * base_n
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # 1 and 64 share the roll (1 + i % 63); signs must decorrelate them.
+    cross = [cos(reps[1][k], reps[64][k]) for k in range(min(base_n, 50))]
+    assert max(abs(c) for c in cross) < 0.9, max(cross)
+    # intra-replica geometry is preserved exactly (roll + uniform sign
+    # flip: (s o x) . (s o y) == x . y, bit-for-bit on these floats)
+    for k in range(min(base_n - 1, 10)):
+        d0 = float(reps[0][k] @ reps[0][k + 1])
+        d1 = float(reps[1][k] @ reps[1][k + 1])
+        assert abs(d0 - d1) < 1e-9, (k, d0, d1)
+
+
+def test_neardup_lsh_band_adaptivity_recall(spark):
+    # r7: neardup_lsh_pairs switches 8x8 -> 16x16 bands above 10k vectors
+    # (256-bucket saturation fix). Inject known near-dup pairs into a
+    # 12k-vector corpus and require the production path to recover >= 80%
+    # of them under the wide-band geometry (theoretical recall ~0.96 at
+    # cos 0.95).
+    import numpy as np
+    import pandas as pd
+
+    from cuny_courses_spark.operators.similarity import neardup_lsh_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim, n_dup = 12_000, 64, 30
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # overwrite the last n_dup vectors as near-dups of the first n_dup
+    noisy = base[:n_dup] + 0.03 * rng.standard_normal((n_dup, dim))
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    keep = np.array(
+        [base[:n_dup][k] @ noisy[k] >= 0.9605 for k in range(n_dup)]
+    )
+    base[n - n_dup :] = noisy
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(base.astype(np.float32)),
+        }
+    )
+    e = spark.createDataFrame(pdf)
+    got = neardup_lsh_pairs(e).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    expected = {
+        (k, n - n_dup + k) for k in range(n_dup) if keep[k]
+    }
+    assert len(expected) >= 10, "fixture degenerate: too few true pairs"
+    hit = sum(1 for p in expected if p in pairs)
+    assert hit >= 0.8 * len(expected), (hit, len(expected))
