@@ -693,10 +693,12 @@ def main() -> None:
     GRAPH_EXT = ["q_graph_common_neighbors", "q_graph_pagerank"]
     # Shuffle-heaviest TPC-H composites (r5 verdict #4: this family had
     # zero measured points above sf0.1): two fact shuffles (q5), HAVING
-    # semi-join (q18), semi+anti on lineitem (q21). Their oracles are
+    # semi-join (q18), semi+anti on lineitem (q21); r6 verdict #6 adds
+    # the join + grouped-top-k family (q3/q10/q13). Their oracles are
     # linear, so each gets a DuckDB twin at both factors.
     TPCH_EXT = ["q_sql_q5_local_volume", "q_sql_q18_volume_customer",
-                "q_sql_q21_waiting_supplier"]
+                "q_sql_q21_waiting_supplier", "q_sql_q3_shipping_priority",
+                "q_sql_q10_returned_topk", "q_sql_q13_cust_distribution"]
     ext_sweep: dict[str, dict] = {}
     for factor, laps in ((10, 2), (100, 1)):
         point = f"sf{sf}x{factor}"
