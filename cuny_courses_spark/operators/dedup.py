@@ -175,39 +175,33 @@ def near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     review: the capped swap as referee would count a correct LSH pair the
     capped index missed as a precision leak)."""
     d = _doc_shingles(spark, sf_dir)
-    tok = d.select("doc_id", F.explode("t").alias("s"))
+    tok = d.select("doc_id", "n", F.explode("t").alias("s"))
     # shuffle_hash, not the size-estimate's broadcast: both sides are the
     # full postings relation (identical size — broadcast build buys nothing
     # and serializes the whole index through the driver), and at 100 TB a
     # shuffle on the shingle is the only correct distribution anyway; sort
     # on shingle strings (SMJ) is pure overhead for an equi-count. Measured
     # at sf0.1: 3.5 s broadcast → 1.4 s shuffle-hash for the pair counts.
-    inter = (
-        tok.select(F.col("doc_id").alias("doc_id_a"), "s")
+    # Postings carry the doc's shingle count (r7): na/nb come out of the
+    # pair aggregation itself (max of a per-doc constant) instead of
+    # joining the pair relation back against a per-doc sizes relation
+    # twice — at amplified scale sizes exceeds the 8 MB broadcast bound
+    # and those joins became full pair-relation shuffles.
+    return (
+        tok.select(F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"), "s")
         .join(
-            tok.select(F.col("doc_id").alias("doc_id_b"), "s").hint(
-                "shuffle_hash"
-            ),
+            tok.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("n").alias("nb"), "s"
+            ).hint("shuffle_hash"),
             "s",
         )
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    # sizes is per-doc (scales with the corpus) — no broadcast hint; the
-    # size threshold/AQE broadcasts it at test scale and shuffles at 100 TB.
-    sizes = d.select("doc_id", "n")
-    return (
-        inter.join(
-            sizes.withColumnRenamed("n", "na"),
-            inter.doc_id_a == sizes.doc_id,
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
         )
-        .drop("doc_id")
-        .join(
-            sizes.withColumnRenamed("n", "nb"),
-            inter.doc_id_b == sizes.doc_id,
-        )
-        .drop("doc_id")
         .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
         .filter(5 * F.col("i") >= 3 * F.col("u"))
         .select(
@@ -640,63 +634,109 @@ def near_dup_pairs_df_capped(
     are those two could lose candidacy — a birthday-bounded ~2⁻⁶⁴-per-pair
     event on xxhash64, not a structural guarantee.
 
+    r7: postings carry the doc's shingle count (na/nb from the pair
+    aggregation itself — the containment treatment; the former per-doc
+    sizes relation exceeded the 8 MB broadcast bound at ×100 and its two
+    joins shuffled the pair relation), the h-lookup joins only the
+    hot-DOC counts (count-gated broadcast, empty when the cap never
+    binds), and a prepare-time ``hot.count()`` gate dispatches hot-free
+    corpora — both provided SF dirs and the sweep corpus — straight to
+    ``near_dup_pairs_exact``'s sizes-on-postings plan (the prefilter +
+    array verify are dead machinery when iub ≡ i). Same-session ×100
+    A/B: 32→ ~12 s. The gate is sound on hashes: collisions only
+    INFLATE df, so an empty hashed hot set proves no string shingle is
+    hot.
+
     Tests assert bit-equality with q_dedup_near_jaccard's exact form on
     the fixtures and oracle-match under the forced large profile.
     """
     d = _doc_shingles(spark, sf_dir)
-    tok = d.select("doc_id", F.explode("t").alias("s0")).select(
-        "doc_id", F.xxhash64("s0").alias("s")
+    # Postings carry the doc's shingle count (r7, the q_dedup_containment
+    # treatment): na/nb come out of the pair aggregation itself (max of a
+    # per-doc constant) instead of joining the multi-M-row pair relation
+    # back against a per-doc sizes relation TWICE — at ×100 (500 k docs)
+    # sizes exceeds the 8 MB auto-broadcast bound, so those two joins were
+    # full pair-relation shuffles (the dominant cost of the 32 s r6
+    # point).
+    post = d.select("doc_id", "n", F.explode("t").alias("s0")).select(
+        "doc_id", "n", F.xxhash64("s0").alias("s")
     )
     n_docs = d.count()
     cap = min(int(max_df_frac * n_docs), DF_CAP_ABS)
-    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     hot = F.broadcast(dfreq.filter(F.col("df") > cap).select("s"))
-    cold = tok.join(hot, "s", "left_anti")
+    # Prepare-time gate (r7, plan-cached once per corpus like the
+    # star/topk counts): when NO shingle exceeds the cap — both provided
+    # SF dirs and the replica-disjoint sweep corpus — the whole
+    # prefilter/verify superstructure is dead machinery: iub ≡ i, the
+    # hot-count joins are no-ops, and the array verify re-derives counts
+    # the string postings join already produced exactly. Dispatch to the
+    # exact sizes-on-postings plan instead (×10: 4.8 → ~2.9 s; the gate
+    # itself is sound on hashes — a collision only INFLATES df, so an
+    # empty hashed hot set proves no string shingle is hot either). Hot
+    # corpora keep the full capped path below unchanged.
+    if hot.count() == 0:
+        return near_dup_pairs_exact(spark, sf_dir)
+    cold = post.join(hot, "s", "left_anti")
     hcnt = (
-        tok.join(hot, "s", "left_semi")
+        post.join(hot, "s", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("h"))
     )
     i_cold = (
-        cold.select(F.col("doc_id").alias("doc_id_a"), "s")
+        cold.select(
+            F.col("doc_id").alias("doc_id_a"), F.col("n").alias("na"), "s"
+        )
         # shuffle_hash for the same reason as q_dedup_near_jaccard: equal-
         # sized sides, shingle-keyed shuffle is the scale distribution.
         .join(
-            cold.select(F.col("doc_id").alias("doc_id_b"), "s").hint(
-                "shuffle_hash"
-            ),
+            cold.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("n").alias("nb"),
+                "s",
+            ).hint("shuffle_hash"),
             "s",
         )
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("ic"))
+        .agg(
+            F.count(F.lit(1)).alias("ic"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
     )
-    # NARROW prefilter join first (doc_id, n, h only): the pair relation
-    # is huge (every shared-shingle pair), so the wide shingle ARRAYS must
-    # never ride it — r5: joining arrays before the prefilter spilled
-    # ~80 GB at the ×100 doc point; this order spills nothing.
-    sizes = d.join(hcnt, "doc_id", "left").select(
-        "doc_id", "n", F.coalesce("h", F.lit(0)).alias("h")
-    )
+    # Hot-count lookup: ONLY docs containing a hot shingle appear in hcnt
+    # — EMPTY whenever the cap never binds (the common corpus shape; both
+    # provided SF dirs and the sweep corpus have zero hot shingles), in
+    # which case the broadcast is a no-op relation, never a shuffle of
+    # the pair relation. The count gate is the star/topk mini-CBO
+    # pattern: prepare-time count, plan-cached once per corpus;
+    # adversarially hot corpora (many hot docs) fall back to shuffle_hash
+    # rather than an unbounded broadcast.
+    from cuny_courses_spark.operators.joins import _STAR_BCAST_ROWS
+
+    small_h = hcnt.count() <= _STAR_BCAST_ROWS
+    ha = hcnt.select(F.col("doc_id").alias("doc_id_a"), F.col("h").alias("ha"))
+    hb = hcnt.select(F.col("doc_id").alias("doc_id_b"), F.col("h").alias("hb"))
+    if small_h:
+        ha, hb = F.broadcast(ha), F.broadcast(hb)
+    else:
+        ha, hb = ha.hint("shuffle_hash"), hb.hint("shuffle_hash")
+    # NARROW prefilter (counts only): the pair relation is huge (every
+    # shared-shingle pair), so the wide shingle ARRAYS must never ride it
+    # — r5: joining arrays before the prefilter spilled ~80 GB at the
+    # ×100 doc point; this order spills nothing.
     surv = (
-        i_cold.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_id_a"),
-                F.col("n").alias("na"),
-                F.col("h").alias("ha"),
-            ),
-            "doc_id_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_id_b"),
-                F.col("n").alias("nb"),
-                F.col("h").alias("hb"),
-            ),
-            "doc_id_b",
-        )
+        i_cold.join(ha, "doc_id_a", "left")
+        .join(hb, "doc_id_b", "left")
         # Sound prefilter on the upper bound (recall-exact, step 2 above).
-        .withColumn("iub", F.col("ic") + F.least("ha", "hb"))
+        .withColumn(
+            "iub",
+            F.col("ic")
+            + F.least(
+                F.coalesce("ha", F.lit(0)), F.coalesce("hb", F.lit(0))
+            ),
+        )
         .filter(
             5 * F.col("iub") >= 3 * (F.col("na") + F.col("nb") - F.col("iub"))
         )
