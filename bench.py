@@ -872,8 +872,12 @@ def main() -> None:
             # the linear-ish formulation a tuned engine would run — NOT
             # the registered all-pairs list_intersect oracle (quadratic,
             # minutes at ×10). Same output rows; timing twin only (the
-            # value oracle runs at sf0.01 in the driver's gate).
-            if factor == 10 and ddir != sf_dir and (
+            # value oracle runs at sf0.01 in the driver's gate). r7:
+            # runs at BOTH factors (r6 verdict missing-#4) — the indexed
+            # form stays linear-ish (~13 s at ×100, no spill), and the
+            # top decade is where the engine's sizes-on-postings plan
+            # crosses under DuckDB (11.9 vs 13 s, builder r7 session).
+            if ddir != sf_dir and (
                 time.perf_counter() - t_start <= budget
             ):
                 try:
