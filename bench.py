@@ -698,7 +698,8 @@ def main() -> None:
     # linear, so each gets a DuckDB twin at both factors.
     TPCH_EXT = ["q_sql_q5_local_volume", "q_sql_q18_volume_customer",
                 "q_sql_q21_waiting_supplier", "q_sql_q3_shipping_priority",
-                "q_sql_q10_returned_topk", "q_sql_q13_cust_distribution"]
+                "q_sql_q10_returned_topk", "q_sql_q13_cust_distribution",
+                "q_sql_q7_nation_volume"]
     ext_sweep: dict[str, dict] = {}
     for factor, laps in ((10, 2), (100, 1)):
         point = f"sf{sf}x{factor}"

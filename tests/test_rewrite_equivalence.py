@@ -105,6 +105,21 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
 """
 
+OLD_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {_REV} AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
 OLD_Q3 = f"""
 SELECT l_orderkey, {_REV} AS revenue, o_orderdate, o_orderpriority
 FROM customer
@@ -125,6 +140,7 @@ PAIRS = {
     "q_sql_q10_returned_topk": OLD_Q10,
     "q_sql_q5_local_volume": OLD_Q5,
     "q_sql_q3_shipping_priority": OLD_Q3,
+    "q_sql_q7_nation_volume": OLD_Q7,
 }
 
 
@@ -215,6 +231,10 @@ def test_rewrite_matches_canonical_form(name):
     old_sql = PAIRS[name]
     for seed in range(25):
         con = _corpus(seed)
-        a = con.execute(old_sql).fetchall()
-        b = con.execute(new_sql).fetchall()
+        # sorted: multiset equality — the driver's value hash is order-
+        # insensitive, and unordered GROUP BY outputs (Q7) may legally
+        # differ in row order between plans. Top-k cuts are still pinned:
+        # a different LIMIT selection changes the multiset itself.
+        a = sorted(con.execute(old_sql).fetchall(), key=repr)
+        b = sorted(con.execute(new_sql).fetchall(), key=repr)
         assert a == b, f"{name} diverges from canonical form at seed {seed}"
