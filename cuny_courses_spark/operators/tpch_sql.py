@@ -622,25 +622,32 @@ def q_sql_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q2 = """
-WITH offers AS (
-    SELECT l_partkey, l_suppkey,
+WITH eus AS (
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), fp AS (
+    SELECT p_partkey, p_name FROM part
+    WHERE p_size = 15 AND p_type = 'ECONOMY'
+), offers AS (
+    SELECT /*+ SHUFFLE_HASH(eus) */ l_partkey, l_suppkey, s_name,
            min(CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT))
                AS unit_cents
-    FROM lineitem GROUP BY l_partkey, l_suppkey
-), eu AS (
-    SELECT p_partkey, p_name, p_size, p_type, s_suppkey, s_name,
-           o.unit_cents,
-           min(o.unit_cents) OVER (PARTITION BY p_partkey) AS min_cents
-    FROM part
-    JOIN offers o ON o.l_partkey = p_partkey
-    JOIN supplier ON s_suppkey = o.l_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'EUROPE'
+    FROM lineitem
+    JOIN fp  ON l_partkey = p_partkey
+    JOIN eus ON l_suppkey = s_suppkey
+    GROUP BY l_partkey, l_suppkey, s_name
+), ranked AS (
+    SELECT o.l_partkey AS p_partkey, fp.p_name,
+           o.l_suppkey AS s_suppkey, o.s_name, o.unit_cents,
+           min(o.unit_cents) OVER (PARTITION BY o.l_partkey) AS min_cents
+    FROM offers o JOIN fp ON o.l_partkey = fp.p_partkey
 )
 SELECT p_partkey, p_name, s_suppkey, s_name, unit_cents
-FROM eu
-WHERE p_size = 15 AND p_type = 'ECONOMY' AND unit_cents = min_cents
+FROM ranked
+WHERE unit_cents = min_cents
 ORDER BY p_partkey ASC, s_suppkey ASC
 LIMIT 100
 """
@@ -657,13 +664,20 @@ def q_sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic correlated scalar subquery: the correlated form re-traverses
     the offers CTE, and Spark inlines CTEs — lineitem was aggregated TWICE
     (the decorrelated aggregate-join re-scans it). The window form
-    aggregates lineitem once and min-partitions by p_partkey; the
-    attribute filter (p_size/p_type) correctly stays ABOVE the window
-    (the per-part regional minimum is independent of part attributes, and
-    Catalyst won't push a non-partition-key predicate below a Window).
-    One dialect-portable text, both engines, same plan story at 100 TB:
-    one fact aggregation + one window shuffle instead of two fact
-    aggregations + a decorrelated join."""
+    aggregates lineitem once and min-partitions by part key.
+
+    r7 (found by the full-family ×100 sweep): BOTH selective filters are
+    applied BEFORE the fact aggregation. The EU supplier set restricts
+    which offers exist (the window min ranges over EU offers only — same
+    set the old region join kept, now pruning the aggregation input),
+    and the part predicate restricts which PARTITIONS are computed at
+    all: each part's regional minimum depends only on its own offers, so
+    dropping non-matching parts before the window leaves every surviving
+    partition's min untouched (Catalyst cannot derive this itself — a
+    non-partition-key predicate never pushes below a Window). ×100 A/B:
+    6.40 → 0.85 s, DuckDB 1.36 → 0.19 s on the same text;
+    property-tested against the filter-above-window form on randomized
+    corpora (tests/test_rewrite_equivalence.py)."""
     return run_sql(spark, sf_dir, _Q2)
 
 

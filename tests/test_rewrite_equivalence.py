@@ -105,6 +105,30 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
 """
 
+OLD_Q2 = """
+WITH offers AS (
+    SELECT l_partkey, l_suppkey,
+           min(CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT))
+               AS unit_cents
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+    SELECT p_partkey, p_name, p_size, p_type, s_suppkey, s_name,
+           o.unit_cents,
+           min(o.unit_cents) OVER (PARTITION BY p_partkey) AS min_cents
+    FROM part
+    JOIN offers o ON o.l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = o.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, unit_cents
+FROM eu
+WHERE p_size = 15 AND p_type = 'ECONOMY' AND unit_cents = min_cents
+ORDER BY p_partkey ASC, s_suppkey ASC
+LIMIT 100
+"""
+
 OLD_Q7 = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -141,6 +165,7 @@ PAIRS = {
     "q_sql_q5_local_volume": OLD_Q5,
     "q_sql_q3_shipping_priority": OLD_Q3,
     "q_sql_q7_nation_volume": OLD_Q7,
+    "q_sql_q2_min_cost_supplier": OLD_Q2,
 }
 
 
@@ -155,13 +180,17 @@ def _random_corpus(con: duckdb.DuckDBPyConnection, seed: int) -> None:
     n_regions, n_nations = 3, 6
     n_cust, n_supp = 30, 8
     n_orders = 120
+    n_part = 12
     con.execute("DROP TABLE IF EXISTS region; DROP TABLE IF EXISTS nation;"
                 "DROP TABLE IF EXISTS customer; DROP TABLE IF EXISTS supplier;"
-                "DROP TABLE IF EXISTS orders; DROP TABLE IF EXISTS lineitem")
+                "DROP TABLE IF EXISTS orders; DROP TABLE IF EXISTS lineitem;"
+                "DROP TABLE IF EXISTS part")
     con.execute("CREATE TABLE region(r_regionkey INT, r_name VARCHAR)")
     for r in range(n_regions):
-        con.execute("INSERT INTO region VALUES (?, ?)",
-                    [r, "ASIA" if r == 0 else f"REGION_{r}"])
+        con.execute(
+            "INSERT INTO region VALUES (?, ?)",
+            [r, {0: "ASIA", 1: "EUROPE"}.get(r, f"REGION_{r}")],
+        )
     con.execute("CREATE TABLE nation(n_nationkey INT, n_name VARCHAR,"
                 " n_regionkey INT)")
     for n in range(n_nations):
@@ -181,13 +210,20 @@ def _random_corpus(con: duckdb.DuckDBPyConnection, seed: int) -> None:
         # duplicate s_name across suppliers sometimes (Q21 groups by name)
         con.execute("INSERT INTO supplier VALUES (?, ?, ?)",
                     [s, f"supp#{s % 5}", rng.randrange(n_nations)])
+    con.execute("CREATE TABLE part(p_partkey BIGINT, p_name VARCHAR,"
+                " p_size INT, p_type VARCHAR)")
+    for p in range(n_part):
+        con.execute("INSERT INTO part VALUES (?, ?, ?, ?)", [
+            p, f"part#{p}", rng.choice([10, 15, 20]),
+            rng.choice(["ECONOMY", "STANDARD"]),
+        ])
     con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,"
                 " o_orderstatus VARCHAR, o_totalprice DOUBLE,"
                 " o_orderdate TIMESTAMP, o_orderpriority VARCHAR)")
     con.execute("CREATE TABLE lineitem(l_orderkey BIGINT, l_suppkey BIGINT,"
-                " l_quantity DOUBLE, l_extendedprice DOUBLE,"
-                " l_discount DOUBLE, l_shipdate TIMESTAMP,"
-                " l_returnflag VARCHAR)")
+                " l_partkey BIGINT, l_quantity DOUBLE,"
+                " l_extendedprice DOUBLE, l_discount DOUBLE,"
+                " l_shipdate TIMESTAMP, l_returnflag VARCHAR)")
     for o in range(n_orders):
         day = rng.randrange(0, 1000)
         con.execute(
@@ -201,9 +237,9 @@ def _random_corpus(con: duckdb.DuckDBPyConnection, seed: int) -> None:
              rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"])])
         for _ in range(rng.randrange(1, 5)):  # 1..4 lines; 1-line orders exist
             con.execute(
-                "INSERT INTO lineitem VALUES (?, ?, ?, ?, ?,"
+                "INSERT INTO lineitem VALUES (?, ?, ?, ?, ?, ?,"
                 " TIMESTAMP '1995-06-01' + INTERVAL (?) DAY, ?)",
-                [o, rng.randrange(n_supp),
+                [o, rng.randrange(n_supp), rng.randrange(n_part),
                  float(rng.randrange(1, 120)),   # qty: Q18's 300 cut reachable
                  rng.randrange(1, 50) * 100 / 4.0,
                  rng.randrange(0, 11) / 100.0,
