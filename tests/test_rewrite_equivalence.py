@@ -105,6 +105,30 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
 """
 
+OLD_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+                AND l_shipdate > TIMESTAMP '1996-03-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+OLD_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
 OLD_Q2 = """
 WITH offers AS (
     SELECT l_partkey, l_suppkey,
@@ -166,6 +190,8 @@ PAIRS = {
     "q_sql_q3_shipping_priority": OLD_Q3,
     "q_sql_q7_nation_volume": OLD_Q7,
     "q_sql_q2_min_cost_supplier": OLD_Q2,
+    "q_sql_q4_priority_exists": OLD_Q4,
+    "q_sql_q16_supplier_cnt": OLD_Q16,
 }
 
 
@@ -205,17 +231,19 @@ def _random_corpus(con: duckdb.DuckDBPyConnection, seed: int) -> None:
             rng.randrange(n_nations),
         ])
     con.execute("CREATE TABLE supplier(s_suppkey BIGINT, s_name VARCHAR,"
-                " s_nationkey INT)")
+                " s_nationkey INT, s_acctbal DOUBLE)")
     for s in range(n_supp):
         # duplicate s_name across suppliers sometimes (Q21 groups by name)
-        con.execute("INSERT INTO supplier VALUES (?, ?, ?)",
-                    [s, f"supp#{s % 5}", rng.randrange(n_nations)])
+        con.execute("INSERT INTO supplier VALUES (?, ?, ?, ?)",
+                    [s, f"supp#{s % 5}", rng.randrange(n_nations),
+                     rng.randrange(-500, 2000) / 4.0])
     con.execute("CREATE TABLE part(p_partkey BIGINT, p_name VARCHAR,"
-                " p_size INT, p_type VARCHAR)")
+                " p_size INT, p_type VARCHAR, p_brand VARCHAR)")
     for p in range(n_part):
-        con.execute("INSERT INTO part VALUES (?, ?, ?, ?)", [
-            p, f"part#{p}", rng.choice([10, 15, 20]),
-            rng.choice(["ECONOMY", "STANDARD"]),
+        con.execute("INSERT INTO part VALUES (?, ?, ?, ?, ?)", [
+            p, f"part#{p}", rng.choice([10, 15, 19, 20, 23]),
+            rng.choice(["ECONOMY", "STANDARD", "MEDIUM BRUSHED"]),
+            rng.choice(["Brand#45", "Brand#12", "Brand#33"]),
         ])
     con.execute("CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,"
                 " o_orderstatus VARCHAR, o_totalprice DOUBLE,"
