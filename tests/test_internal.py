@@ -468,3 +468,59 @@ def test_scaled_docs_layout_replicas_disjoint(tmp_path):
     assert dup(r0) == dup(r1)
     # ids shifted, all distinct
     assert len(set(ids)) == 2 * n
+
+
+def test_df_capped_neardup_hot_path_exact_values(spark, tmp_path):
+    # r7: the capped index now DISPATCHES to the exact plan when no
+    # shingle exceeds the cap, so the fixture test above only covers the
+    # fast path. This corpus forces the HOT branch (a phrase shared by
+    # every doc => df = n_docs > cap = 0.1*n): near-dup pairs share both
+    # the hot shingles and plenty of cold ones, so candidate recall is
+    # unaffected and the capped output must still be bit-equal to the
+    # exact form (the prefilter is a sound upper bound; survivors get
+    # the exact string-array verify).
+    import pandas as pd
+
+    from cuny_courses_spark.operators.dedup import (
+        near_dup_pairs_df_capped,
+        near_dup_pairs_exact,
+    )
+
+    rows = []
+    for k in range(20):
+        base = " ".join(f"tok{k}w{j}" for j in range(12))
+        # pair (2k, 2k+1): identical tail => high cold-shingle overlap
+        rows.append((2 * k, f"the quick brown {base}"))
+        rows.append((2 * k + 1, f"the quick brown {base} extra{k}"))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+
+    exact = {tuple(r) for r in near_dup_pairs_exact(spark, d).collect()}
+    capped = {tuple(r) for r in near_dup_pairs_df_capped(spark, d).collect()}
+    assert len(exact) >= 20, "fixture degenerate: planted pairs missing"
+    assert capped == exact
+    # the corpus really does bind the cap (sanity on the test itself)
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.operators.dedup import DF_CAP_ABS, _doc_shingles
+
+    dd = _doc_shingles(spark, d)
+    n_docs = dd.count()
+    cap = min(int(0.10 * n_docs), DF_CAP_ABS)
+    max_df = (
+        dd.select(F.explode("t").alias("s"))
+        .groupBy("s")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df > cap, (max_df, cap)
