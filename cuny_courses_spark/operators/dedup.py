@@ -664,7 +664,11 @@ def near_dup_pairs_df_capped(
     n_docs = d.count()
     cap = min(int(max_df_frac * n_docs), DF_CAP_ABS)
     dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    hot = F.broadcast(dfreq.filter(F.col("df") > cap).select("s"))
+    # The hot shingle set is ≤ postings/cap entries — tiny; localCheckpoint
+    # materializes it ONCE so the gate count, the anti-join, and the
+    # semi-join below all read the checkpointed rows instead of each
+    # re-running the full postings aggregation (r7 review finding).
+    hot_set = dfreq.filter(F.col("df") > cap).select("s").localCheckpoint()
     # Prepare-time gate (r7, plan-cached once per corpus like the
     # star/topk counts): when NO shingle exceeds the cap — both provided
     # SF dirs and the replica-disjoint sweep corpus — the whole
@@ -675,8 +679,9 @@ def near_dup_pairs_df_capped(
     # itself is sound on hashes — a collision only INFLATES df, so an
     # empty hashed hot set proves no string shingle is hot either). Hot
     # corpora keep the full capped path below unchanged.
-    if hot.count() == 0:
+    if hot_set.count() == 0:
         return near_dup_pairs_exact(spark, sf_dir)
+    hot = F.broadcast(hot_set)
     cold = post.join(hot, "s", "left_anti")
     hcnt = (
         post.join(hot, "s", "left_semi")
