@@ -20,6 +20,31 @@ from cuny_courses_spark.session import cluster_confs, configure, get_session
 from cuny_courses_spark.sources.loaders import load
 from cuny_courses_spark.sql import register_views, run_sql
 
+# Worker-side portability (r7): pandas_udf / applyInPandas closures defined
+# in an importable module are cloudpickled BY REFERENCE — the executor's
+# Python worker then tries `import cuny_courses_spark.<module>` and dies
+# with ModuleNotFoundError unless the package happens to be on the worker's
+# path (true when the driver's cwd is the repo — the masked case — false
+# for a plain session launched anywhere else, and false on a real cluster
+# without --py-files). Registering the UDF-defining modules for
+# pickle-BY-VALUE embeds the function bodies in the serialized task, so
+# any executor can run them with zero deployment coupling. Scope is the
+# three modules whose functions execute on workers; relational operators
+# never ship Python. Guarded: pickle-by-value is a portability
+# improvement, not a correctness dependency.
+try:  # pragma: no cover - trivially absent only on exotic pyspark builds
+    from pyspark import cloudpickle as _cp
+
+    from cuny_courses_spark.functions import multimodal as _mm
+    from cuny_courses_spark.functions import udfs as _udfs
+    from cuny_courses_spark.operators import similarity as _sim
+    from cuny_courses_spark.streaming import batch_twins as _bt
+
+    for _m in (_sim, _udfs, _mm, _bt):
+        _cp.register_pickle_by_value(_m)
+except Exception:
+    pass
+
 __all__ = [
     "queries",       # name -> (spark, sf_dir) -> DataFrame (SURVEY §2 contract)
     "oracles",       # name -> DuckDB oracle SQL
