@@ -807,22 +807,32 @@ def main() -> None:
             # pair join is quadratic-infeasible here by design, like the
             # near_jaccard/minhash twins; value-correctness runs at the
             # driver's SFs via the certificate.
-            if ddir != sf_dir and time.perf_counter() - t_start > budget:
+            # Snapshot elapsed ONCE (r7 ADVICE): two separate clock reads
+            # could straddle the budget boundary, firing neither branch
+            # and leaving the key silently absent — which the bench's own
+            # convention reads as "removed", not "skipped".
+            _sim_over_budget = time.perf_counter() - t_start > budget
+            if ddir != sf_dir and _sim_over_budget:
                 # record the omission, don't drop the keys (the bench's
                 # own convention — a missing key reads as "removed")
                 entry["q_sim_neardup_lsh_prod"] = (
                     "skipped: wall budget exhausted"
                 )
-            if ddir != sf_dir and time.perf_counter() - t_start <= budget:
+            if ddir != sf_dir and not _sim_over_budget:
                 try:
                     from cuny_courses_spark.operators.similarity import (
                         neardup_lsh_pairs,
                     )
                     from cuny_courses_spark.sources.loaders import load as _ld
 
+                    # Count once per point, not per lap (r7 ADVICE: the
+                    # geometry probe inside neardup_lsh_pairs re-counts
+                    # its input per invocation).
+                    _n_vec = _ld(spark, ddir, "embeddings").count()
+
                     def _sim_lap():
                         neardup_lsh_pairs(
-                            _ld(spark, ddir, "embeddings")
+                            _ld(spark, ddir, "embeddings"), n_vectors=_n_vec
                         ).toPandas()
 
                     try:

@@ -583,9 +583,11 @@ FROM exact
 def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision CERTIFICATE for sign-projection LSH near-dup
     detection (r3 verdict #4): runs the production banded sign-sketch path
-    (``neardup_lsh_pairs`` — 64 fixed hyperplanes seed 42, 8 bands × 8
-    bits, P(candidate) ≈ 0.988 at cos = 0.95, hash equi-join candidates,
-    exact-dot verify) AND the exact block-partitioned all-pairs twin
+    (``neardup_lsh_pairs`` — 64 fixed hyperplanes seed 42, SIZE-ADAPTIVE
+    band geometry: 8 bands × 8 bits up to 10 k vectors — P(candidate)
+    ≈ 0.988 at cos = 0.95 — and 16 bands × 16 bits above, theoretical
+    recall ≈ 0.96, both over the certificate's 0.8 floor; hash equi-join
+    candidates, exact-dot verify) AND the exact block-partitioned all-pairs twin
     (``neardup_cosine_pairs``), emitting one row: the exact pair count,
     ``recall_floor_met`` = |LSH ∩ exact| ≥ 0.8·|exact| (vacuously true on
     an empty exact set — the synthetic corpus tops out near cos ≈ 0.6, so
@@ -606,7 +608,9 @@ def q_sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def neardup_lsh_pairs(e: DataFrame, threshold: float = 0.95) -> DataFrame:
+def neardup_lsh_pairs(
+    e: DataFrame, threshold: float = 0.95, n_vectors: int | None = None
+) -> DataFrame:
     """Sign-projection LSH near-dup pairs over (vec_id, embedding).
 
     Band geometry is SIZE-ADAPTIVE (r7, found by adding this path to the
@@ -622,15 +626,17 @@ def neardup_lsh_pairs(e: DataFrame, threshold: float = 0.95) -> DataFrame:
     above the certificate's 0.8 floor; precision is unaffected (the
     exact-dot verify shares the certificate's rounded cut). The size
     probe is one count() per plan build, amortized by the plan cache
-    like the star/topk prepare-time gates. Driver SFs (≤ 2 k vectors)
-    keep the 8×8 geometry bit-for-bit, so certificate hashes are
-    unchanged."""
+    like the star/topk prepare-time gates; callers that already know the
+    corpus size (or whose input is an expensive non-parquet lineage the
+    count would re-execute — r7 ADVICE) pass ``n_vectors`` to skip the
+    probe job entirely. Driver SFs (≤ 2 k vectors) keep the 8×8
+    geometry bit-for-bit, so certificate hashes are unchanged."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     dim = 64
-    if e.count() > 10_000:
+    if (n_vectors if n_vectors is not None else e.count()) > 10_000:
         n_bands, bits_per_band = 16, 16
     else:
         n_bands, bits_per_band = 8, 8

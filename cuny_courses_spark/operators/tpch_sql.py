@@ -169,7 +169,15 @@ def q_sql_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The inner sort key is the same rounded-revenue image + custkey
     tiebreak as the outer, so the cut is identical (verified
     value-identical to the prior text in DuckDB at ×100 and by the
-    driver's sf0.01 gate). SHUFFLE_HASH(od) builds on date-filtered
+    driver's sf0.01 gate).
+
+    PRECONDITION (FK contract): cutting top-20 before the customer join
+    is equivalent ONLY because every o_custkey has a matching customer
+    row (o_custkey ⊆ customer.c_custkey, FIXTURES.md referential
+    contract; asserted by q_etl_fk_orphans and the equivalence suite's
+    FK-consistent corpora). On orphaned data the inner join would drop
+    ranked rows AFTER the cut and the top-20 multiset would change —
+    re-check this note if the corpus contract ever loosens. SHUFFLE_HASH(od) builds on date-filtered
     orders rather than SMJ-sorting the 'R'-filtered fact; ×100 A/B:
     2.30 → 1.85 s (DuckDB twin 0.30 s — the residual is the recorded
     scan/shuffle floor, BASELINE.md round-7)."""
@@ -521,7 +529,16 @@ def q_sql_q18_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-20 is taken BEFORE the customer join (`top` — the orderdate/
     totalprice sort keys live entirely in orders), so customer is probed
     by 20 rows (statically-known small after LIMIT → broadcast) instead
-    of shuffling all customers. ×100 A/B (round 7): the fold cut Spark
+    of shuffling all customers.
+
+    PRECONDITION (FK contract): the early top-20 cut relies on
+    o_custkey ⊆ customer.c_custkey (FIXTURES.md referential contract;
+    asserted by q_etl_fk_orphans and the equivalence suite's
+    FK-consistent corpora) — an orphaned o_custkey would be dropped by
+    the customer join AFTER the cut, changing the top-20 multiset. The
+    driver's same-text oracle gate cannot catch a violation (both
+    engines run this text), so re-check here if the corpus contract
+    ever loosens. ×100 A/B (round 7): the fold cut Spark
     4.43 → 2.55 s; the same text also cut the DuckDB twin 1.54 → 0.53 s,
     so the recorded ratio moves 2.9× → ~4.8× — which equals the bare
     forced-decode scan + shuffle-agg floor (components at ×100: lineitem
