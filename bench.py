@@ -644,6 +644,67 @@ def main() -> None:
                     " AND o_orderdate < TIMESTAMP '1998-01-01'"
                     " AND c_nationkey IN (1, 6, 11, 16, 21)",
                 ),
+                # r8 (r7 verdict #4/#7): component floors for the weak-set
+                # TPC-H queries. Q13 — forced decode of the two orders
+                # columns its twin reads (proves the 0.09 s DuckDB twin is
+                # NOT answered from row-group stats) plus the per-custkey
+                # agg shape (the query's one exchange). Q16 — the fact
+                # 2-col decode. Q7 — the 5-col fact decode its star join
+                # carries through two exchanges.
+                "orders_2col": (
+                    lambda d: load(spark, d, "orders").agg(
+                        F.sum(F.col("o_custkey") % 1000000).alias("a"),
+                        F.sum(F.length("o_orderpriority")).alias("b"),
+                    ),
+                    "SELECT sum(o_custkey % 1000000),"
+                    " sum(length(o_orderpriority)) FROM orders",
+                ),
+                "q13_agg_shape": (
+                    lambda d: load(spark, d, "orders")
+                    .filter(F.col("o_orderpriority") != "1-URGENT")
+                    .groupBy("o_custkey")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("c") % 97).alias("x"),
+                    ),
+                    "SELECT count(*), sum(c % 97) FROM"
+                    " (SELECT o_custkey, count(*) AS c FROM orders"
+                    " WHERE o_orderpriority <> '1-URGENT'"
+                    " GROUP BY o_custkey)",
+                ),
+                "q16_fact_2col": (
+                    lambda d: load(spark, d, "lineitem").agg(
+                        F.sum(F.col("l_partkey") % 1000000).alias("a"),
+                        F.sum(F.col("l_suppkey") % 1000000).alias("b"),
+                    ),
+                    "SELECT sum(l_partkey % 1000000),"
+                    " sum(l_suppkey % 1000000) FROM lineitem",
+                ),
+                "q7_fact_5col": (
+                    lambda d: load(spark, d, "lineitem").agg(
+                        F.sum(F.col("l_suppkey") % 1000000).alias("a"),
+                        F.sum(F.col("l_orderkey") % 1000000).alias("b"),
+                        F.sum(F.unix_micros("l_shipdate") % 1000000).alias(
+                            "c"
+                        ),
+                        F.sum(
+                            (F.col("l_extendedprice") * 100 + F.lit(0.5))
+                            .cast("long") % 1000000
+                        ).alias("d"),
+                        F.sum(
+                            (F.col("l_discount") * 100 + F.lit(0.5))
+                            .cast("long")
+                        ).alias("e"),
+                    ),
+                    "SELECT sum(l_suppkey % 1000000),"
+                    " sum(l_orderkey % 1000000),"
+                    " sum(epoch_us(l_shipdate) % 1000000),"
+                    " sum(CAST(round(l_extendedprice*100) AS BIGINT)"
+                    " % 1000000),"
+                    " sum(CAST(round(l_discount*100) AS BIGINT))"
+                    " FROM lineitem",
+                ),
                 "topk_agg_shape": (
                     lambda d: load(spark, d, "lineitem")
                     .filter(
@@ -671,6 +732,43 @@ def main() -> None:
                     " GROUP BY l_orderkey)",
                 ),
             }
+            # SQL-shape probes (r8): the Q4/Q12 join shape and Q16's
+            # filtered pair-dedup stage, run through run_sql so Spark
+            # gets the same hint machinery as the registered queries and
+            # DuckDB executes the identical text.
+            from cuny_courses_spark.sql import run_sql as _rs
+
+            _Q4_SHAPE = """
+WITH fo AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT /*+ SHUFFLE_HASH(fo) */ count(*) AS n,
+       CAST(sum(l_orderkey % 97) AS BIGINT) AS x
+FROM fo JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '1996-03-01 00:00:00'
+"""
+            _Q16_DEDUP_SHAPE = """
+WITH fp AS (
+    SELECT p_partkey FROM part
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+)
+SELECT /*+ BROADCAST(fp) */ count(*) AS n,
+       CAST(sum(l_suppkey % 97) AS BIGINT) AS x
+FROM (SELECT DISTINCT l_partkey, l_suppkey
+      FROM lineitem JOIN fp ON l_partkey = p_partkey)
+"""
+            probes["q4_ol_join"] = (
+                lambda d: _rs(spark, d, _Q4_SHAPE),
+                _Q4_SHAPE,
+            )
+            probes["q16_pair_dedup_f"] = (
+                lambda d: _rs(spark, d, _Q16_DEDUP_SHAPE),
+                _Q16_DEDUP_SHAPE,
+            )
             con = duck_con(sdir)
             for t, (sfn, dsql) in probes.items():
                 sfn(sdir).toPandas()  # warm
@@ -681,6 +779,29 @@ def main() -> None:
                 scan_floor[f"{t}_duckdb"] = _time_best(
                     lambda: con.execute(dsql).fetchall(), 3
                 )
+            # Spark-only exchange floor (no DuckDB analog BY DESIGN — an
+            # in-process engine never pays an exchange; the delta between
+            # this and q7_fact_5col is the per-exchange cost Q7's two
+            # fact shuffles each add on top of the shared scan floor).
+            def _q7_ex(d):
+                return (
+                    load(spark, d, "lineitem")
+                    .select("l_suppkey", "l_orderkey", "l_shipdate",
+                            "l_extendedprice", "l_discount")
+                    .repartition(32, "l_orderkey")
+                    .agg(
+                        F.sum(F.col("l_suppkey") % 1000000).alias("a"),
+                        F.sum(F.col("l_orderkey") % 1000000).alias("b"),
+                        F.sum(F.unix_micros("l_shipdate") % 1000000).alias(
+                            "c"
+                        ),
+                    )
+                )
+
+            _q7_ex(sdir).toPandas()  # warm
+            scan_floor["q7_fact_exchange_spark"] = _time_best(
+                lambda: _q7_ex(sdir).toPandas(), 3
+            )
             scan_floor["point"] = f"sf{sf}x100"
     except Exception as exc:
         scan_floor = {"error": type(exc).__name__}

@@ -793,11 +793,15 @@ WITH fp AS (
     WHERE p_brand <> 'Brand#45'
       AND p_type NOT LIKE 'MEDIUM%'
       AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+),
+pairs AS (
+    SELECT /*+ BROADCAST(fp) */ DISTINCT l_partkey, l_suppkey
+    FROM lineitem JOIN fp ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 )
-SELECT /*+ SHUFFLE_HASH(fp) */ p_brand, p_type, p_size,
+SELECT /*+ BROADCAST(fp) */ p_brand, p_type, p_size,
        count(DISTINCT l_suppkey) AS supplier_cnt
-FROM lineitem JOIN fp ON l_partkey = p_partkey
-WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+FROM pairs JOIN fp ON l_partkey = p_partkey
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
 """
@@ -811,11 +815,22 @@ def q_sql_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     key column plans as a null-aware anti join; count(DISTINCT) expands to
     a two-level aggregate — both engines agree exactly on counts.
 
-    r7: the filtered part set is a named CTE so SHUFFLE_HASH can build on
-    it instead of SMJ-sorting the fact against part (×100 A/B: 3.45 →
-    2.89 s, DuckDB flat). The residual ~11× ratio is the two-level
-    distinct aggregate over string group keys riding the fact — measured
-    at the family floor (BASELINE.md round-7)."""
+    r8 (r7 verdict #3 — kill the string-keyed distinct riding the fact):
+    the fact is deduplicated to DISTINCT (l_partkey, l_suppkey) FIRST —
+    integer keys only, map-side partial dedup collapses the ~30 lines per
+    (part, supplier) before the exchange — and the (brand, type, size)
+    strings are re-attached AFTER, to the ~2 M deduped pairs instead of
+    every fact row. Counting distinct suppliers per triple over the pair
+    set is value-identical because fp maps partkey → triple functionally
+    (equivalence-tested vs the canonical join-then-count-distinct form on
+    25 random corpora). ×100 A/B: 2.97 → 2.19 s; the same text slows the
+    DuckDB twin 0.285 → 0.402 s (it folded the old form to this shape
+    already), same-text ratio 10.4× → 5.4×, sitting on the recorded
+    q16_fact_2col scan+dedup floor (BASELINE.md round-8). BROADCAST(fp)
+    keeps the fact exchange-free for the label joins at the measured
+    regime (fp ≈ 12 % of part); at a dim scale past broadcastability the
+    hint flips to SHUFFLE_HASH — A/B'd at 2.94 s, still under the old
+    form."""
     return run_sql(spark, sf_dir, _Q16)
 
 
