@@ -834,6 +834,17 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
     # single-sort window path (builder r7 session). Linear oracles →
     # DuckDB twins at both factors, same loop as TPCH_EXT.
     WIN_EXT = ["q_ts_sessionize", "q_win_median_sliding", "q_ts_ewma"]
+    # LLM text + sampling families at amplified scale (r7 verdict #1: the
+    # north-star training-data workload had zero scale evidence). All run
+    # on the replica-disjoint docs corpus; every oracle is linear →
+    # DuckDB twins at both factors. r8 findings now pinned per-round:
+    # contamination is a measured Spark WIN at ×100 (0.89× — DuckDB's
+    # gram self-join degrades superlinearly, 0.23 → 7.8 s, while Spark
+    # grows 3.5× on 10× data), rarity 1.6×, idf 4.0×, pack 3.0×,
+    # importance-sampling flat/dispatch-bound.
+    TEXT_EXT = ["q_text_contamination", "q_text_rarity_score",
+                "q_text_idf_top_terms", "q_text_pack_sequences",
+                "q_sample_importance_weighted"]
     ext_sweep: dict[str, dict] = {}
     for factor, laps in ((10, 2), (100, 1)):
         point = f"sf{sf}x{factor}"
@@ -854,6 +865,7 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
             for name, d in (
                 [(n, gdir) for n in TPCH_EXT]
                 + [(n, gdir) for n in WIN_EXT]
+                + [(n, ddir) for n in TEXT_EXT]
                 + [(n, ddir) for n in DOC_EXT]
                 + [(n, gdir) for n in GRAPH_EXT]
             ):
@@ -1027,6 +1039,27 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         )
                 except Exception as exc:
                     entry["_tpch_duckdb"] = f"error: {type(exc).__name__}"
+            # Text/sampling twins run on the DOCS corpus connection (the
+            # gdir twin loop above can't serve them — different files).
+            if ddir != sf_dir:
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(ddir)
+                    os_all = oracles()
+                    for name in TEXT_EXT:
+                        if time.perf_counter() - t_start > budget:
+                            entry[f"{name}_duckdb"] = (
+                                "skipped: wall budget exhausted"
+                            )
+                            continue
+                        sql = os_all[name]
+                        con.execute(sql).fetchall()  # warm
+                        entry[f"{name}_duckdb"] = _time_best(
+                            lambda: con.execute(sql).fetchall(), laps
+                        )
+                except Exception as exc:
+                    entry["_text_duckdb"] = f"error: {type(exc).__name__}"
             # One DuckDB-feasible dedup ratio (r5 verdict #6): the
             # containment workload written as the INVERTED-INDEX join
             # (unnest shingles → equi-join on shingle → per-pair count),

@@ -21,6 +21,22 @@ from cuny_courses_spark.common import O_davg, davg
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import load
 
+# Broadcast-side row cap for the corpus-statistic join-backs (rarity's
+# vocabulary table, contamination's benchmark gram set). Real corpora keep
+# these sides small — vocabularies grow sublinearly and eval suites are
+# MBs against a 100 TB corpus — but a FORCED broadcast is still the wrong
+# failure mode when the assumption breaks (a web-scale long-tail
+# vocabulary is billions of tokens). Above the cap the plan falls back to
+# a plain shuffled hash join, the same count-gate pattern as
+# joins._STAR_BCAST_ROWS; the count runs once per plan build (plan cache)
+# and every driver SF / sweep point stays far below the cap, so measured
+# plans are unchanged.
+_TEXT_BCAST_ROWS = 4_000_000
+
+
+def _bcast_if_small(side: DataFrame) -> DataFrame:
+    return F.broadcast(side) if side.count() <= _TEXT_BCAST_ROWS else side
+
 def _toks() -> "F.Column":
     """Lowercased whitespace tokens (lazy: Columns need an active session)."""
     return F.split(F.lower(F.col("text")), " ")
@@ -665,7 +681,10 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     are MBs against a 100 TB corpus), so its distinct-gram set is the one
     side that SHOULD broadcast — candidate generation is then a map-side
     hash probe over the corpus postings with no shuffle of the corpus at
-    all; the only exchange is the per-doc count aggregation. The shingle
+    all; the only exchange is the per-doc count aggregation. The broadcast
+    is count-gated (`_TEXT_BCAST_ROWS`, r8): if the "benchmark" ever isn't
+    small, the plan degrades to a shuffled hash join instead of a forced
+    driver-side OOM. The shingle
     expression is the shared arrays_zip builder (narrow, one evaluation
     per row — see dedup._shingles)."""
     from cuny_courses_spark.operators.dedup import _shingles
@@ -679,7 +698,7 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grams.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench), "s")
+        .join(_bcast_if_small(bench), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -715,9 +734,12 @@ def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the postings → re-aggregate per doc.
 
     Scale: the df table is |vocabulary| rows — small relative to the
-    corpus (vocabularies grow sublinearly), so it is the broadcast side at
-    any scale and the corpus postings never shuffle for the join; the two
-    aggregations are map-side-partial bounded. All outputs are exact
+    corpus (vocabularies grow sublinearly), so it is the broadcast side in
+    any realistic regime and the corpus postings never shuffle for the
+    join; the two aggregations are map-side-partial bounded. The broadcast
+    is count-gated (`_TEXT_BCAST_ROWS`, r8): a web-scale long-tail
+    vocabulary past the cap falls back to a shuffled hash join rather
+    than forcing a driver-sized broadcast. All outputs are exact
     integers — no ln()/float scoring, whose cross-engine 1-ulp drift
     under a value-hash gate is exactly the flake class the determinism
     rules exist to prevent (rank-transformed df carries the same signal
@@ -728,7 +750,7 @@ def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
-        toks.join(F.broadcast(df), "tok")
+        toks.join(_bcast_if_small(df), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_distinct_toks"),
