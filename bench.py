@@ -327,6 +327,39 @@ def scaled_docs_layout(sf_dir: str, factor: int = 10) -> str:
         return sf_dir
 
 
+def _drain_storage(spark, timeout_sec: float = 15.0) -> None:
+    """Deterministically release leftover RDD storage blocks (pagerank's
+    per-superstep localCheckpoints above all — r7 verdict #5).
+
+    ``clearCache()`` + ``System.gc()`` alone are NOT enough: checkpoint
+    blocks are freed by the ContextCleaner, which reacts to JVM weak-ref
+    queues ASYNCHRONOUSLY — a query timed right after pagerank once
+    measured 19.7 s vs 2.9-3.5 s isolated because its shuffle-hash build
+    ran under the still-pinned blocks. This helper makes the release a
+    POSTCONDITION instead of a race: drop Python-side refs (py4j
+    finalizers detach the JVM plan objects holding the checkpoint RDDs),
+    trigger JVM GC, then POLL the storage registry until it reports zero
+    persisted RDDs (or the timeout passes — never wedge the bench on a
+    stuck cleaner)."""
+    import gc
+
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    deadline = time.perf_counter() + timeout_sec
+    while True:
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+            n = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        except Exception:
+            return
+        if n == 0 or time.perf_counter() > deadline:
+            return
+        time.sleep(0.2)
+
+
 def _time_best(fn, laps: int) -> float:
     best = float("inf")
     for _ in range(laps):
@@ -458,6 +491,22 @@ def main() -> None:
 
     ext_fns = dict(qs)
     ext_fns["q_dedup_minhash_lsh"] = minhash_lsh_pairs
+
+    # Real stateful-streaming lap (r7 verdict #6): the session_window
+    # aggregation replayed through 8 micro-batches with watermark-driven
+    # state admission/merge/eviction (streaming/runner.py). Wrapped to
+    # return a 1-row frame so the sweep's fn(spark, d).toPandas() timing
+    # harness applies unchanged — the streaming run completes eagerly
+    # inside the call, so the lap time is the full drain.
+    def _stream_session_replay(sp, d):
+        from cuny_courses_spark.streaming.runner import (
+            run_stream_session_scale,
+        )
+
+        run_stream_session_scale(sp, d, n_files=8)
+        return sp.range(1)
+
+    ext_fns["q_stream_session_replay"] = _stream_session_replay
     extended: dict[str, float | str] = {}
     for name in EXTENDED:
         try:
@@ -833,7 +882,8 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
     # sessionize/sliding-median/EWMA at 0.44-0.59× of DuckDB's
     # single-sort window path (builder r7 session). Linear oracles →
     # DuckDB twins at both factors, same loop as TPCH_EXT.
-    WIN_EXT = ["q_ts_sessionize", "q_win_median_sliding", "q_ts_ewma"]
+    WIN_EXT = ["q_ts_sessionize", "q_win_median_sliding", "q_ts_ewma",
+               "q_stream_session"]
     # LLM text + sampling families at amplified scale (r7 verdict #1: the
     # north-star training-data workload had zero scale evidence). All run
     # on the replica-disjoint docs corpus; every oracle is linear →
@@ -866,6 +916,13 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                 [(n, gdir) for n in TPCH_EXT]
                 + [(n, gdir) for n in WIN_EXT]
                 + [(n, ddir) for n in TEXT_EXT]
+                # state-store scale lap at ×10 only (×100 would be ~8
+                # minutes of micro-batch drain for no added signal —
+                # per-batch overhead is the finding, and it's factor-
+                # independent); placed before the heavy dedup/graph
+                # set per the precise-before-stateful ordering.
+                + ([("q_stream_session_replay", gdir)] if factor == 10
+                   else [])
                 + [(n, ddir) for n in DOC_EXT]
                 + [(n, gdir) for n in GRAPH_EXT]
             ):
@@ -881,12 +938,12 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     # cached blocks / garbage otherwise bleed into this
                     # one's laps (r5: pagerank's cold build measured 64 s
                     # after the dedup set vs ~30 s from a quiesced
-                    # session — same query, same data).
-                    try:
-                        spark.catalog.clearCache()
-                        spark.sparkContext._jvm.System.gc()
-                    except Exception:
-                        pass
+                    # session — same query, same data). r8: the quiesce
+                    # is now a polled DRAIN (postcondition: zero persisted
+                    # RDDs), so timings no longer depend on whether the
+                    # async ContextCleaner happened to run — the r7
+                    # squeezed-build incident class (verdict #5).
+                    _drain_storage(spark)
                     # q_graph_pagerank localCheckpoints its supersteps at
                     # BUILD time, so a plan-cached re-collect would reuse
                     # the materialized iterations and time ~nothing; force
@@ -1092,13 +1149,10 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
         except Exception as exc:
             entry["_point"] = f"error: {type(exc).__name__}"
         finally:
-            # Drop session-lifetime caches (pagerank's partitioned
-            # adjacency) between factors so one point's storage can't
-            # squeeze the next point's execution memory.
-            try:
-                spark.catalog.clearCache()
-            except Exception:
-                pass
+            # Drain storage between factors (polled, not fire-and-forget)
+            # so one point's checkpoint/cache blocks can't squeeze the
+            # next point's execution memory.
+            _drain_storage(spark)
 
     detail = {
         "metric": "suite_wall_sec",

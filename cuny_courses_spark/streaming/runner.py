@@ -308,3 +308,51 @@ def run_arbitrary_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("vmax", 4).alias("vmax"),
         )
     )
+
+
+def run_stream_session_scale(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> None:
+    """One timed stateful-streaming lap for the amplified bench sweep
+    (r7 verdict #6: the state store was the last execution surface with
+    no scale number): per-user 30-minute ``session_window`` aggregation
+    over an ``n_files``-micro-batch chronological replay of ``sf_dir``'s
+    events, WITH a watermark so session state is admitted, merged and
+    EVICTED batch-by-batch exactly as an unbounded deployment would —
+    complete-mode (what the equivalence tests use for checking) would
+    instead re-emit and retain every session forever, timing state
+    accumulation rather than steady-state behavior.
+
+    Sink is ``noop`` (engine cost only); the checkpoint is FRESH per call
+    — a reused checkpoint would mark every source file committed and turn
+    the lap into a no-op. Returns nothing: the caller times the wall
+    clock of the whole run (source listing + n_files stateful
+    micro-batches + state-store commits), because per-batch latency is
+    meaningless under AvailableNow draining.
+
+    Correctness of this exact aggregation is pinned separately:
+    stream ≡ batch (tests/test_streaming.py) and the registered
+    q_stream_session oracle at the driver's SFs.
+    """
+    replay = chronological_replay_dir(sf_dir, n_files=n_files)
+    ckpt = _replay_base(sf_dir, f"sess_scale_ckpt_{n_files}")
+    if ckpt.exists():
+        shutil.rmtree(ckpt)
+    agg = (
+        read_stream(spark, replay)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
