@@ -952,6 +952,20 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     prior = os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE")
                     if ckpt:
                         os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = "1"
+                    # GC/string-heavy stateful laps need one extra ×100
+                    # lap to reach steady state (r8, measured in a fresh
+                    # quiesced session: near_jaccard ×100 ran 33.6 / 33.0
+                    # / 15.2 s across three back-to-back executions with
+                    # the corpus fully page-cached — the first two laps
+                    # time JIT tier-up + GC adaptation, not the plan;
+                    # r7-vs-r8 artifacts differed ~2× on these entries
+                    # from lap-count luck alone). Best-of over 3
+                    # executions records the converged number.
+                    op_laps = (
+                        laps + 1
+                        if factor >= 100 and name in DOC_EXT + GRAPH_EXT
+                        else laps
+                    )
                     try:
                         # The warm lap counts toward best-of: the big
                         # points run few laps, and one load-spiked lap
@@ -969,7 +983,7 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         # OUTSIDE the timed region (extended-sweep-only;
                         # the ms-scale headline laps are untouched).
                         best = warm_sec
-                        for _ in range(laps):
+                        for _ in range(op_laps):
                             try:
                                 spark.sparkContext._jvm.System.gc()
                             except Exception:
