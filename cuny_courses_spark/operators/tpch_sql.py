@@ -366,26 +366,34 @@ def q_sql_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q8 = f"""
+WITH fp AS (
+    SELECT p_partkey FROM part WHERE p_type = 'ECONOMY'
+), ac AS (
+    SELECT c_custkey
+    FROM customer JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+), oc AS (
+    SELECT /*+ SHUFFLE_HASH(ac) */ o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year
+    FROM orders JOIN ac ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+), sn AS (
+    SELECT s_suppkey, n2.n_name AS nation
+    FROM supplier JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
 SELECT o_year,
        round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
                   AS DOUBLE)
              / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
 FROM (
-    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           {_EP} * (100 - {_DISC}) AS volume,
-           n2.n_name AS nation
-    FROM part
-    JOIN lineitem ON p_partkey = l_partkey
-    JOIN supplier ON s_suppkey = l_suppkey
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation n1 ON c_nationkey = n1.n_nationkey
-    JOIN region    ON n1.n_regionkey = r_regionkey
-    JOIN nation n2 ON s_nationkey = n2.n_nationkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-      AND p_type = 'ECONOMY'
+    SELECT /*+ BROADCAST(fp, sn) SHUFFLE_HASH(oc) */ o_year,
+           {_EP} * (100 - {_DISC}) AS volume, nation
+    FROM lineitem
+    JOIN fp ON p_partkey = l_partkey
+    JOIN sn ON s_suppkey = l_suppkey
+    JOIN oc ON l_orderkey = o_orderkey
 ) all_nations
 GROUP BY o_year
 ORDER BY o_year
@@ -399,7 +407,21 @@ def q_sql_q8_mkt_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     roles. Both numerator and denominator are exact integer sums; the
     share is ONE float division at the end (deterministic both engines).
     The conditional sum is a map-side partial aggregate — no second pass
-    over the join output."""
+    over the join output.
+
+    r8 (r7 verdict #7 — floor-or-fix): Q5-style REDUCE-FIRST staging.
+    The customer⋈nation⋈region chain collapses to `ac`, orders to a
+    narrow (o_orderkey, o_year) build `oc` BEFORE lineitem is touched;
+    the part filter `fp` and the supplier→nation map `sn` broadcast, so
+    the fact pays exactly ONE exchange (the oc SHUFFLE_HASH probe on
+    l_orderkey). ×100 A/B: 2.88 → 1.75 s (the SHUFFLE_HASH(sn) variant
+    measured 2.18 — broadcasting sn removes a second fact exchange);
+    DuckDB on the same text 0.40 → 0.44 s; ratio ~7.2× → ~4.0×, at the
+    recorded q7_fact_5col + one-exchange floor. Regime note: sn is
+    |supplier| rows (2 M at ×100, ~50 MB) — at a dim scale past
+    broadcastability the hint flips to SHUFFLE_HASH(sn), A/B'd and still
+    under the flat form. Equivalence-tested vs the canonical flat 8-way
+    join on 25 random FK-consistent corpora."""
     return run_sql(spark, sf_dir, _Q8)
 
 

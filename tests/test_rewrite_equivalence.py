@@ -129,6 +129,33 @@ GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
 """
 
+OLD_Q8 = f"""
+SELECT o_year,
+       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+FROM (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
 OLD_Q2 = """
 WITH offers AS (
     SELECT l_partkey, l_suppkey,
@@ -192,6 +219,7 @@ PAIRS = {
     "q_sql_q2_min_cost_supplier": OLD_Q2,
     "q_sql_q4_priority_exists": OLD_Q4,
     "q_sql_q16_supplier_cnt": OLD_Q16,
+    "q_sql_q8_mkt_share": OLD_Q8,
 }
 
 
