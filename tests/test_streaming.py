@@ -95,6 +95,16 @@ def test_stream_session_equals_batch(spark, replay_dir):
     assert _frames_equal(got, want)
 
 
+def test_stream_session_scale_lap_runs(spark):
+    # The bench's stateful scale lap (runner.run_stream_session_scale):
+    # must drain fully, leave no active query behind, and be re-runnable
+    # (fresh checkpoint per call is part of its contract — a reused
+    # checkpoint would silently turn the lap into a no-op).
+    for _ in range(2):
+        runner.run_stream_session_scale(spark, SF_DIR, n_files=3)
+        assert not spark.streams.active
+
+
 def test_stream_dedup_within_watermark(spark):
     # Replay with duplicate delivery: chunk 2 re-sends chunk 1's rows.
     t = runner._events_us(SF_DIR)

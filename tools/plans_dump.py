@@ -31,6 +31,10 @@ SHOW = [
     ("q_graph_common_neighbors", "wedge equi-join + anti join; hub cap at scale"),
     ("q_etl_table_stats", "single Expand-planned scan for 6-column profile"),
     ("q_ts_ewma", "exact-int64 EWMA: JVM higher-order fold, no Python stage"),
+    ("q_sql_q16_supplier_cnt",
+     "r8 dedup-first Q16: int-key pair dedup before string label joins"),
+    ("q_sql_q8_mkt_share",
+     "r8 staged Q8: reduce-first builds, one fact exchange (oc probe)"),
 ]
 
 KEY_LINES = re.compile(
