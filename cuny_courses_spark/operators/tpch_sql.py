@@ -102,10 +102,10 @@ WITH fs AS (
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE n_name IN ('NATION_3', 'NATION_7')
 ), oc AS (
-    SELECT /*+ SHUFFLE_HASH(fc) */ o_orderkey, cust_nation
+    SELECT /*+ BROADCAST(fc) */ o_orderkey, cust_nation
     FROM orders JOIN fc ON o_custkey = c_custkey
 )
-SELECT /*+ SHUFFLE_HASH(oc) */ supp_nation, cust_nation,
+SELECT /*+ BROADCAST(fs, oc) */ supp_nation, cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
        {_REV} AS revenue
 FROM lineitem
@@ -133,7 +133,21 @@ def q_sql_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange by the nation selectivity before it happens. ×100 A/B:
     6.65 → 2.90 s; the same text also takes DuckDB 1.01 → 0.28 s.
     Property-tested against the flat form on randomized corpora
-    (tests/test_rewrite_equivalence.py)."""
+    (tests/test_rewrite_equivalence.py).
+
+    r8: ZERO fact exchanges — every build side of the staged form is
+    nation-bounded (fs = suppliers of 2 nations, 8 k rows ×100; fc =
+    customers of 2 nations; oc = their orders, 1.25 M rows ≈ 8 % of
+    orders), so all three broadcast and lineitem scans straight into
+    two hash probes + the final small aggregate, and the oc build probes
+    a broadcast fc instead of exchanging orders. ×100 A/B: 3.45 → 1.70 s
+    (BROADCAST(fs, oc) alone: 2.07 — the fc broadcast removes the
+    orders exchange too); DuckDB flat at 0.31 s; ratio ~11× → ~5.5×,
+    against the recorded q7_fact_5col decode floor of 2.5×. Regime
+    note: oc grows with SF — past broadcastability the hints flip back
+    to SHUFFLE_HASH (the r7 form, kept A/B'd); the floor decomposition
+    for that regime (scan + 2×~0.95 s exchanges) is recorded in
+    BASELINE.md round-8."""
     return run_sql(spark, sf_dir, _Q7)
 
 
@@ -329,12 +343,12 @@ WITH ac AS (
     JOIN region ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
 ), oc AS (
-    SELECT /*+ SHUFFLE_HASH(ac) */ o_orderkey, c_nationkey
+    SELECT /*+ BROADCAST(ac) */ o_orderkey, c_nationkey
     FROM orders JOIN ac ON o_custkey = c_custkey
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 )
-SELECT /*+ SHUFFLE_HASH(oc) */ n_name, {_REV} AS revenue
+SELECT /*+ BROADCAST(oc) */ n_name, {_REV} AS revenue
 FROM lineitem
 JOIN oc ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -361,7 +375,16 @@ def q_sql_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged (~0.27 s; its optimizer already staged the flat form).
     The DataFrame twin reaches 1.24 s via its prepare-time COUNT-gated
     broadcast of `oc` — the runtime decision a static SQL text cannot
-    express (BASELINE.md round-7)."""
+    express (BASELINE.md round-7).
+
+    r8: the SQL text now takes the same broadcast plan statically —
+    `oc` is region- AND year-bounded (454 k rows at ×100, ~12 MB), so
+    BROADCAST(ac)/BROADCAST(oc) leave the fact with ZERO exchanges
+    before the 5-row aggregate. ×100 A/B: 3.10 → 1.57 s (matching the
+    DataFrame twin's count-gated number); DuckDB flat 0.31/0.34; ratio
+    ~10× → ~4.6×. Broadcasting supplier too measured 1.45 s (+4 %) —
+    not worth forcing a 2 M-row build; past oc's broadcastable regime
+    the hints flip back to SHUFFLE_HASH (the r7 form)."""
     return run_sql(spark, sf_dir, _Q5)
 
 
