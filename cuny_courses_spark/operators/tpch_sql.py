@@ -297,13 +297,13 @@ def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3 = f"""
 WITH co AS (
-    SELECT /*+ SHUFFLE_HASH(customer) */
+    SELECT /*+ BROADCAST(customer) */
            o_orderkey, o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
     WHERE c_mktsegment = 'BUILDING'
       AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
 )
-SELECT /*+ SHUFFLE_HASH(co) */
+SELECT /*+ BROADCAST(co) */
        l_orderkey, {_REV} AS revenue, o_orderdate, o_orderpriority
 FROM co JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
@@ -328,7 +328,12 @@ def q_sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds are the provably smaller sides at any scale; the grouped
     aggregate reuses the probe side's l_orderkey partitioning. ×100 A/B:
     2.66 → 2.42 s vs DuckDB 0.32 s — the residual sits at the recorded
-    component floor (BASELINE.md round-7); the DataFrame twin
+    component floor (BASELINE.md round-7). r8: both hints flip to
+    BROADCAST — co is segment+date-bounded (546 k rows ×100, ~20 MB), so
+    the fact pays zero exchanges before the TakeOrderedAndProject;
+    2.72 → 1.49 s, DuckDB flat 0.34, ratio ~6.8× → ~4.4×. Past co's
+    broadcastable regime the hints revert to the r7 SHUFFLE_HASH form
+    (kept in the equivalence suite). The DataFrame twin
     q_limit_topk reaches 1.83 s only via its prepare-time COUNT-gated
     broadcast of co, a runtime decision a static portable SQL text
     cannot express (and AQE cannot recover — it submits both fact
