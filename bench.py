@@ -840,6 +840,56 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                 scan_floor[f"{t}_duckdb"] = _time_best(
                     lambda: con.execute(dsql).fetchall(), 3
                 )
+            # Portable-hash floor (r8): q_sample_importance_weighted's
+            # whole cost is the md5-prefix bucket (the engine-wide
+            # deterministic-split contract) evaluated per row — this
+            # probe isolates that hash throughput on both engines over
+            # the same ×100 docs corpus, the denominator of the family's
+            # ~15× dispatch+hash ratio (absolute ~0.5 s).
+            try:
+                dd100 = scaled_docs_layout(sf_dir, factor=100)
+                if dd100 != sf_dir:
+                    md5_sql = (
+                        "SELECT sum(('0x' || substring(md5(CAST(doc_id AS"
+                        " VARCHAR) || '|imp42'), 1, 8))::BIGINT % 10000)"
+                        " FROM documents"
+                    )
+
+                    def _md5_probe(d):
+                        return load(spark, d, "documents").agg(
+                            F.sum(
+                                F.conv(
+                                    F.substring(
+                                        F.md5(
+                                            F.concat(
+                                                F.col("doc_id").cast(
+                                                    "string"
+                                                ),
+                                                F.lit("|imp42"),
+                                            )
+                                        ),
+                                        1,
+                                        8,
+                                    ),
+                                    16,
+                                    10,
+                                ).cast("long")
+                                % 10000
+                            ).alias("a")
+                        )
+
+                    con_d = duck_con(dd100)
+                    _md5_probe(dd100).toPandas()  # warm
+                    scan_floor["md5_bucket_docs_spark"] = _time_best(
+                        lambda: _md5_probe(dd100).toPandas(), 3
+                    )
+                    con_d.execute(md5_sql).fetchall()  # warm
+                    scan_floor["md5_bucket_docs_duckdb"] = _time_best(
+                        lambda: con_d.execute(md5_sql).fetchall(), 3
+                    )
+            except Exception as exc:
+                scan_floor["md5_bucket_docs"] = f"error: {type(exc).__name__}"
+
             # Spark-only exchange floor (no DuckDB analog BY DESIGN — an
             # in-process engine never pays an exchange; the delta between
             # this and q7_fact_5col is the per-exchange cost Q7's two

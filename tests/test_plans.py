@@ -249,6 +249,40 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
 
 
+def test_text_bcast_gate_fallback_matches(spark, monkeypatch):
+    # r8 gate (_TEXT_BCAST_ROWS): past the cap, rarity/contamination fall
+    # back from broadcast to a shuffled hash join instead of forcing a
+    # driver-sized broadcast. Force the fallback (cap = 0) and pin (a)
+    # values identical to the broadcast plan and (b) the broadcast gone.
+    import pandas as pd
+
+    from cuny_courses_spark.operators import text as text_mod
+    from cuny_courses_spark.plans import plan_cache
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_PLAN_CACHE", "1")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for name in ("q_text_rarity_score", "q_text_contamination"):
+            want = canon(_QS[name](spark, SF_DIR).toPandas())
+            monkeypatch.setattr(text_mod, "_TEXT_BCAST_ROWS", 0)
+            # Disable auto-broadcast too: at test SFs Spark would convert
+            # the small side back to broadcast on its own, hiding whether
+            # the FORCED broadcast is really gone.
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = _QS[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            got = canon(df.toPandas())
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+            monkeypatch.setattr(text_mod, "_TEXT_BCAST_ROWS", 4_000_000)
+            assert "BroadcastHashJoin" not in plan, plan[:2000]
+            assert want.equals(got), name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
 def test_pack_sequences_single_exchange(spark):
     # One shuffle on shard for the window; the (shard, pack) re-agg reuses
     # that partitioning (hash on a prefix of the grouping keys).
