@@ -249,6 +249,17 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan, plan[:3000]
 
 
+def test_q5_q7_zero_fact_exchanges(spark):
+    # r8 broadcast staging: every build side of Q5/Q7 is selectivity-
+    # bounded and broadcasts, so the ONLY hash exchange left in either
+    # plan is the final small aggregate — the fact (and the orders scan
+    # inside the oc build) never shuffle.
+    for name in ("q_sql_q5_local_volume", "q_sql_q7_nation_volume"):
+        plan = _plan(spark, name)
+        n = plan.count("Exchange hashpartitioning")
+        assert n == 1, f"{name}: {n} hash exchanges\n{plan[:3000]}"
+
+
 def test_text_bcast_gate_fallback_matches(spark, monkeypatch):
     # r8 gate (_TEXT_BCAST_ROWS): past the cap, rarity/contamination fall
     # back from broadcast to a shuffled hash join instead of forcing a

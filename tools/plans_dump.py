@@ -35,6 +35,10 @@ SHOW = [
      "r8 dedup-first Q16: int-key pair dedup before string label joins"),
     ("q_sql_q8_mkt_share",
      "r8 staged Q8: reduce-first builds, one fact exchange (oc probe)"),
+    ("q_sql_q7_nation_volume",
+     "r8 zero-exchange Q7: all builds broadcast; one agg exchange total"),
+    ("q_sql_q5_local_volume",
+     "r8 zero-exchange Q5: bounded oc broadcast; one agg exchange total"),
 ]
 
 KEY_LINES = re.compile(
