@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "cuny_courses_spark.functions.multimodal",   # multimodal columns ext.
     "cuny_courses_spark.operators.graph",        # §2 ext (iterative graph)
     "cuny_courses_spark.operators.etl",          # §2 N
+    "cuny_courses_spark.operators.lakehouse",    # §2 N-ext (table format)
     "cuny_courses_spark.operators.pipeline",     # §2 N-ext (composed pipeline)
 ]
 
