@@ -300,3 +300,113 @@ def q_lake_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version long, n_rows long, sum_cents long, n_x long,"
         " n_files long, n_files_reused long",
     )
+
+
+def expire_snapshots(
+    table_dir: str, keep: list[int]
+) -> tuple[list[str], list[str]]:
+    """VACUUM: delete every data file not referenced by a kept snapshot.
+
+    Returns (expired_files, live_files). Deletion order is safety-first:
+    the expired MANIFESTS are removed before their exclusively-referenced
+    data files, so a concurrent reader either resolves a kept manifest
+    (whose files are never touched) or fails cleanly at manifest
+    resolution — it can never resolve a manifest whose files are being
+    deleted under it. This is the retention/GC half of the commit
+    protocol: data files are immutable and shared across snapshots, so
+    "deletable" is exactly (referenced by an expired version) minus
+    (referenced by any kept version)."""
+    mdir = os.path.join(table_dir, "manifest")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    live: set[str] = set()
+    for v in keep:
+        live.update(read_manifest(table_dir, v))
+    expired: set[str] = set()
+    for v in versions:
+        if v in keep:
+            continue
+        files = set(read_manifest(table_dir, v))
+        os.unlink(_manifest_path(table_dir, v))  # manifest first
+        expired.update(files - live)
+    for p in sorted(expired):
+        os.unlink(p)
+    return sorted(expired), sorted(live)
+
+
+@register(
+    "q_lake_vacuum_expire",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders WHERE o_orderkey % 5 <> 0
+), upd AS (
+    SELECT o_orderkey AS k,
+           2 * CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           'X' AS st
+    FROM orders WHERE o_orderkey % 97 = 0
+), v2 AS (
+    SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+    UNION ALL
+    SELECT * FROM upd
+), bb AS (SELECT DISTINCT k % 16 AS b FROM base),
+   ub AS (SELECT DISTINCT k % 16 AS b FROM upd)
+SELECT (SELECT count(*) FROM bb WHERE b IN (SELECT b FROM ub))
+           AS n_expired_files,
+       (SELECT count(*) FROM (SELECT b FROM bb UNION SELECT b FROM ub))
+           AS n_live_files,
+       (SELECT count(*) FROM v2) AS n_rows_live,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM v2) AS sum_cents_live
+""",
+)
+def q_lake_vacuum_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention/VACUUM on the lakehouse format: build the same
+    v1 → CoW-merge → v2 table as q_lake_merge_time_travel, expire v1,
+    and emit the GC evidence (files deleted = v1 files superseded by the
+    merge, i.e. the rewritten buckets; files kept = v2's manifest) plus
+    v2's FULL table state read back AFTER the deletion — the oracle
+    recomputes all four columns logically, so a vacuum that deleted one
+    live byte (or kept one dead file) hash-fails. Deletion is
+    manifest-first (expire_snapshots), so concurrent readers never
+    resolve a manifest whose files are mid-deletion — the retention half
+    of the commit protocol every table format needs once snapshots
+    accumulate (at 100 TB, un-vacuumed CoW tables grow without bound)."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_orders_vac")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    base = o.filter(F.col("k") % 5 != 0)
+    snapshot_write(base, table_dir, key="k", version=1)
+    upd = o.filter(F.col("k") % 97 == 0).select(
+        "k", (F.col("cents") * 2).alias("cents"), F.lit("X").alias("st")
+    )
+    merge_upsert(spark, table_dir, 1, upd, key="k")
+    expired, live = expire_snapshots(table_dir, keep=[2])
+    agg = (
+        snapshot_read(
+            spark,
+            table_dir,
+            2,
+            empty_schema="k long, cents long, st string",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(len(expired), len(live), agg["n"], agg["s"])],
+        "n_expired_files long, n_live_files long, n_rows_live long,"
+        " sum_cents_live long",
+    )

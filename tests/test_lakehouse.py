@@ -98,3 +98,23 @@ def test_registered_query_idempotent(spark):
     a = sorted(_QS["q_lake_merge_time_travel"](spark, SF_DIR).collect())
     b = sorted(_QS["q_lake_merge_time_travel"](spark, SF_DIR).collect())
     assert a == b
+
+
+def test_vacuum_deletes_only_dead_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    table_dir, o, _ = _table(spark, tmp_path)
+    upd = o.filter(F.col("k") % 300 == 7).select("k", F.lit("X").alias("st"))
+    lh.merge_upsert(spark, table_dir, 1, upd, key="k")
+    v1 = set(lh.read_manifest(table_dir, 1))
+    v2 = set(lh.read_manifest(table_dir, 2))
+    want_rows = sorted(lh.snapshot_read(spark, table_dir, 2).collect())
+    expired, live = lh.expire_snapshots(table_dir, keep=[2])
+    # exactly the v1-only files died; every v2 file survives on disk
+    assert set(expired) == v1 - v2
+    assert set(live) == v2
+    assert all(not os.path.exists(p) for p in expired)
+    assert all(os.path.exists(p) for p in v2)
+    # v1's manifest is gone; v2 reads back byte-identical content
+    assert not os.path.exists(lh._manifest_path(table_dir, 1))
+    assert sorted(lh.snapshot_read(spark, table_dir, 2).collect()) == want_rows
