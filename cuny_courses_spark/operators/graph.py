@@ -67,6 +67,41 @@ WITH edges AS (
     return "".join(ctes) + f"\nSELECT node, r AS rank FROM r{n_iter}"
 
 
+def _superstep_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage truncation between iterative supersteps, with a
+    fault-tolerance choice (r8 verdict "what's wrong" #5):
+
+    · Default — ``localCheckpoint(DISK_ONLY)``: blocks live on
+      executor-local disk. Fastest (no replicated write job; r8 measured
+      34-38 s vs 50-61 s warm ×100 against MEMORY_AND_DISK) and leaves
+      the session heap clean, but NOT fault-tolerant: lineage is
+      truncated, so losing an executor on a real cluster loses its rank
+      blocks unrecoverably and kills the job. Fine in local mode and for
+      short jobs where rerunning beats replicating.
+    · ``SPARK_GRAFT_RELIABLE_CKPT_DIR=<dir>`` — reliable ``checkpoint()``
+      into that directory (HDFS/object store on a cluster): each
+      superstep's ranks are persisted off-executor, so executor loss
+      recovers by re-reading the checkpoint instead of failing the job.
+      Costs one write job per superstep — the standard trade for
+      long-running iterative jobs at 100 TB, where the probability of
+      losing SOME executor over N supersteps approaches 1.
+
+    The checkpoint dir is set once per SparkContext (idempotent)."""
+    import os
+
+    ckpt_dir = os.environ.get("SPARK_GRAFT_RELIABLE_CKPT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        # setCheckpointDir appends a UUID subdir, so compare against unset
+        # only — first caller wins for the session (idempotent thereafter).
+        if not sc.getCheckpointDir():
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
 @register("q_graph_pagerank", oracle=_pagerank_oracle(_N_ITER))
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five rounds of fixed-point PageRank (d=0.85, scale 1e6) over the
@@ -140,12 +175,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the session clean (follow-up Q21 5.5 s vs 14-28 s). On a real
     # cluster this is executor-local disk — the standard iterative-
     # algorithm checkpoint medium.
-    from pyspark.storagelevel import StorageLevel
-
-    _CKPT = {"storageLevel": StorageLevel.DISK_ONLY}
     try:
-        r = nodes.withColumn("r", F.lit(1000000).cast("long")).localCheckpoint(
-            **_CKPT
+        r = _superstep_checkpoint(
+            nodes.withColumn("r", F.lit(1000000).cast("long"))
         )
         for _ in range(_N_ITER):
             contrib = (
@@ -162,8 +194,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "CAST(150000 + (850 * COALESCE(c, 0)) div 1000 AS BIGINT)"
                     ).alias("r"),
                 )
-                .localCheckpoint(**_CKPT)
             )
+            r = _superstep_checkpoint(r)
         return r.select("node", F.col("r").alias("rank"))
     finally:
         # The final r is EAGERLY localCheckpoint'ed above, so its lineage

@@ -456,3 +456,30 @@ def test_streak_matches_python_reference(spark):
             cur = cur + 1 if (b - a) == dt.timedelta(days=1) else 1
             longest = max(longest, cur)
         assert got[uid] == (longest, len(ds)), uid
+
+
+def test_pagerank_reliable_checkpoint_path(spark, tmp_path, monkeypatch):
+    """Both superstep-checkpoint media produce identical ranks, and the
+    reliable path actually persists to the configured directory (cluster
+    fault-tolerance option, r8 verdict #5). localCheckpoint truncates
+    lineage non-recoverably; SPARK_GRAFT_RELIABLE_CKPT_DIR swaps in
+    reliable ``checkpoint()`` so executor loss re-reads instead of
+    failing the job."""
+    import os
+
+    from cuny_courses_spark.registry import queries
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_PLAN_CACHE", "1")
+    q = queries()["q_graph_pagerank"]
+    local = sorted(q(spark, SF_DIR).collect())
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CKPT_DIR", ckpt_dir)
+    reliable = sorted(q(spark, SF_DIR).collect())
+    assert reliable == local
+    # the reliable path wrote real checkpoint data under the option dir
+    persisted = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(ckpt_dir)
+        for f in fs
+    ]
+    assert persisted, "reliable checkpoint dir is empty"
