@@ -744,7 +744,7 @@ def q_lake_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp("o_totalprice").alias("cents"),
     )
     mx = o.agg(F.max("k")).collect()[0][0]  # scalar readback, one job
-    width = mx // 16 + 1
+    width = (mx or 0) // 16 + 1  # empty input: any positive width works
     snapshot_write(
         o,
         table_dir,
@@ -755,7 +755,13 @@ def q_lake_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     rlo, rhi = 3 * width, 5 * width + width // 2
     selected, total = prune_files(table_dir, 1, rlo, rhi)
     agg = (
-        snapshot_read(spark, table_dir, 1, key_range=(rlo, rhi))
+        snapshot_read(
+            spark,
+            table_dir,
+            1,
+            empty_schema="k long, cents long",
+            key_range=(rlo, rhi),
+        )
         .filter(F.col("k").between(rlo, rhi))  # residual row-level filter
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -842,7 +848,7 @@ def q_lake_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         set(read_manifest(table_dir, 3)) & set(read_manifest(table_dir, 4))
     )
     agg = (
-        snapshot_read(spark, table_dir, 4)
+        snapshot_read(spark, table_dir, 4, empty_schema="k long, cents long")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("cents").cast("long").alias("s"),
@@ -936,7 +942,9 @@ def q_lake_stream_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     agg = (
-        snapshot_read(spark, table_dir, n_versions)
+        snapshot_read(
+            spark, table_dir, n_versions, empty_schema="k long, cents long"
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("cents").cast("long").alias("s"),
