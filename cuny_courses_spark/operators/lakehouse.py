@@ -110,6 +110,7 @@ def commit_snapshot(
     files: list[str],
     stats: dict[str, dict] | None = None,
     meta: dict | None = None,
+    schema: dict | None = None,
 ) -> None:
     """Atomically publish ``files`` as snapshot ``version``.
 
@@ -121,7 +122,12 @@ def commit_snapshot(
 
     ``stats`` maps file path → {"min", "max", "rows"} of the table key
     (pruning metadata); ``meta`` is commit provenance (e.g. the streaming
-    ``batch_id`` that makes replayed commits detectable).
+    ``batch_id`` that makes replayed commits detectable); ``schema`` is
+    the snapshot's READ schema (StructType.jsonValue()) — carrying it in
+    the manifest is what makes ADDITIVE SCHEMA EVOLUTION work: a child
+    snapshot can widen the schema, and readers apply the manifest schema
+    to every listed file, so files written before the evolution read
+    their missing columns as null (the Iceberg/Delta read contract).
     """
     mdir = os.path.join(table_dir, "manifest")
     os.makedirs(mdir, exist_ok=True)
@@ -132,6 +138,8 @@ def commit_snapshot(
         doc["stats"] = stats
     if meta is not None:
         doc["meta"] = meta
+    if schema is not None:
+        doc["schema"] = schema
     with open(tmp, "w") as f:
         json.dump(doc, f, sort_keys=True)
         f.flush()
@@ -222,21 +230,31 @@ def snapshot_read(
     applies the row-level predicate; pruning only removes files that
     PROVABLY contain no match).
 
-    A snapshot of an empty table lists zero files (parquet writes no part
-    files for an empty frame); ``empty_schema`` is the declared read-back
-    schema for that case — manifests carry file lists, not schemas, in
-    this minimal format."""
+    Snapshots committed with a manifest SCHEMA (every write path since
+    r9) are read under that schema explicitly — files written before an
+    additive schema evolution yield null for the added columns, and an
+    empty snapshot (zero part files) reads back as an empty frame of the
+    manifest schema. ``empty_schema`` remains the fallback for manifests
+    that carry no schema (hand-built or pre-r9)."""
+    from pyspark.sql import types as T
+
+    doc = _read_manifest_doc(table_dir, version)
     if key_range is not None:
         files, _ = prune_files(table_dir, version, key_range[0], key_range[1])
     else:
-        files = read_manifest(table_dir, version)
+        files = doc["files"]
+    sch = doc.get("schema")
     if not files:
+        if sch is not None:
+            return spark.createDataFrame([], T.StructType.fromJson(sch))
         if empty_schema is None:
             raise ValueError(
                 f"snapshot v{version} of {table_dir} is empty and no "
                 "empty_schema was provided"
             )
         return spark.createDataFrame([], empty_schema)
+    if sch is not None:
+        return spark.read.schema(T.StructType.fromJson(sch)).parquet(*files)
     return spark.read.parquet(*files)
 
 
@@ -271,6 +289,15 @@ def _bucket_of(key: str):
     return F.pmod(F.col(key), F.lit(_N_BUCKETS))
 
 
+def _schema_of(df: DataFrame) -> dict:
+    """Manifest-serializable snapshot schema: the frame's schema minus the
+    internal ``_b`` bucket column (a partition column — never in files)."""
+    from pyspark.sql import types as T
+
+    fields = [f for f in df.schema.fields if f.name != "_b"]
+    return T.StructType(fields).jsonValue()
+
+
 def snapshot_write(
     df: DataFrame,
     table_dir: str,
@@ -290,7 +317,11 @@ def snapshot_write(
         os.path.join(table_dir, "data", f"v{version}"),
     )
     commit_snapshot(
-        table_dir, version, files, stats=_file_key_stats(files, key)
+        table_dir,
+        version,
+        files,
+        stats=_file_key_stats(files, key),
+        schema=_schema_of(df),
     )
     return files
 
@@ -301,11 +332,12 @@ def merge_upsert(
     parent_version: int,
     updates: DataFrame,
     key: str,
+    delete_col: str | None = None,
 ) -> list[str]:
     """Copy-on-write MERGE: upsert ``updates`` into snapshot
     ``parent_version``, producing ``parent_version + 1``.
 
-    Only buckets containing an update key are rewritten (matched rows
+    Only buckets containing a changeset key are rewritten (matched rows
     replaced, unmatched keys inserted — full upsert semantics); every
     other parent file is re-referenced in the child manifest unchanged.
     The affected-bucket set is derived from the CHANGESET (one distinct
@@ -315,7 +347,13 @@ def merge_upsert(
     and the rows that get written are the SAME materialization — without
     it, a nondeterministic updates lineage could recompute rows into a
     bucket outside the collected ``hot`` set and silently drop them at
-    the ``isin(hot)`` filter (r8 ADVICE)."""
+    the ``isin(hot)`` filter (r8 ADVICE).
+
+    ``delete_col`` adds the MERGE ... WHEN MATCHED THEN DELETE clause:
+    changeset rows where that boolean column is true remove their key
+    from the table (their buckets are rewritten WITHOUT the row; a
+    delete of an absent key is a no-op, matching SQL MERGE). The flag
+    column itself never reaches the data files."""
     upd = updates.withColumn("_b", _bucket_of(key)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -338,25 +376,38 @@ def merge_upsert(
             else None
         )
         upd_hot = upd.filter(F.col("_b").isin(hot)).drop("_b")
+        # anti-join on ALL changeset keys (updates AND deletes) — both
+        # displace the base row; only non-delete rows are re-inserted.
+        changeset_keys = upd_hot.select(F.col(key).alias("_uk"))
+        inserts = (
+            upd_hot.filter(~F.col(delete_col)).drop(delete_col)
+            if delete_col is not None
+            else upd_hot
+        )
         if base_hot is not None:
             keep = base_hot.join(
-                upd_hot.select(F.col(key).alias("_uk")),
+                changeset_keys,
                 F.col(key) == F.col("_uk"),
                 "left_anti",
             )
-            merged = keep.unionByName(upd_hot)
+            merged = keep.unionByName(inserts)
         else:
-            merged = upd_hot
+            merged = inserts
         new_files = _write_buckets(
             merged.withColumn("_b", _bucket_of(key)),
             os.path.join(table_dir, "data", f"v{parent_version + 1}"),
         )
+        child_schema = _schema_of(merged)
     finally:
         upd.unpersist()
     stats = {p: parent_stats[p] for p in reused if p in parent_stats}
     stats.update(_file_key_stats(new_files, key))
     commit_snapshot(
-        table_dir, parent_version + 1, reused + new_files, stats=stats
+        table_dir,
+        parent_version + 1,
+        reused + new_files,
+        stats=stats,
+        schema=child_schema,
     )
     return reused + new_files
 
@@ -404,12 +455,19 @@ def append_snapshot(
     stats = dict(parent.get("stats", {}))
     stats.update(_file_key_stats(new_files, key))
     try:
+        # The child manifest carries the APPENDED rows' schema — the
+        # additive-evolution point: appending with extra columns widens
+        # the table schema, and parent files (which lack them) read the
+        # new columns as null through the manifest-schema read path.
+        # Evolution must be additive (never drop/retype a column the
+        # parent files carry) — the same constraint Delta enforces.
         commit_snapshot(
             table_dir,
             version,
             parent["files"] + new_files,
             stats=stats,
             meta={"batch_id": batch_id} if batch_id is not None else None,
+            schema=_schema_of(rows),
         )
     except FileExistsError:
         shutil.rmtree(staging, ignore_errors=True)  # orphaned staging dir
@@ -433,8 +491,11 @@ def optimize_compact(
     with no shuffle at all (each bucket's fragments are read and
     rewritten in place — the repartition below is by ``_b``, a
     co-partitioning no-op semantically)."""
+    from pyspark.sql import types as T
+
     parent = _read_manifest_doc(table_dir, parent_version)
     parent_stats = parent.get("stats", {})
+    parent_schema = parent.get("schema")
     by_bucket: dict[int, list[str]] = {}
     for p in parent["files"]:
         b = int(p.split("_b=")[1].split(os.sep)[0])
@@ -442,8 +503,16 @@ def optimize_compact(
     reused = [ps[0] for ps in by_bucket.values() if len(ps) == 1]
     frag = {b: ps for b, ps in by_bucket.items() if len(ps) > 1}
     if frag:
+        # fragments may predate a schema evolution — read them under the
+        # parent MANIFEST schema so compaction normalizes old files to
+        # the current shape (missing columns materialize as null).
+        rd = (
+            spark.read.schema(T.StructType.fromJson(parent_schema))
+            if parent_schema
+            else spark.read
+        )
         parts = [
-            spark.read.parquet(*ps).withColumn("_b", F.lit(b))
+            rd.parquet(*ps).withColumn("_b", F.lit(b))
             for b, ps in frag.items()
         ]
         merged = parts[0]
@@ -458,7 +527,11 @@ def optimize_compact(
     stats = {p: parent_stats[p] for p in reused if p in parent_stats}
     stats.update(_file_key_stats(new_files, key))
     commit_snapshot(
-        table_dir, parent_version + 1, reused + new_files, stats=stats
+        table_dir,
+        parent_version + 1,
+        reused + new_files,
+        stats=stats,
+        schema=parent_schema,
     )
     return reused + new_files
 
@@ -963,4 +1036,136 @@ def q_lake_stream_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_versions long, n_attempts long, n_skipped_replay long,"
         " n_rows long, sum_cents long",
+    )
+
+
+@register(
+    "q_lake_merge_delete_evolve",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders
+), base AS (SELECT * FROM src WHERE k % 5 <> 0),
+upd AS (
+    SELECT k, 2 * cents AS cents, 'X' AS st
+    FROM src WHERE k % 97 = 0 AND k % 89 <> 0
+), delk AS (SELECT k FROM src WHERE k % 89 = 0),
+v2 AS (
+    SELECT * FROM base
+    WHERE k NOT IN (SELECT k FROM upd) AND k NOT IN (SELECT k FROM delk)
+    UNION ALL SELECT * FROM upd
+), app AS (
+    SELECT k, cents, st FROM src
+    WHERE k % 5 = 0 AND k % 101 = 3 AND k % 97 <> 0
+)
+SELECT (SELECT count(*) FROM v2) AS n_rows_v2,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM v2) AS sum_cents_v2,
+       (SELECT count(*) FROM v2 WHERE st = 'X') AS n_x_v2,
+       (SELECT count(*) FROM v2 WHERE k % 89 = 0) AS n_deleted_present,
+       (SELECT count(*) FROM v2) + (SELECT count(*) FROM app) AS n_rows_v3,
+       (SELECT count(*) FROM app) AS n_tier_set,
+       (SELECT count(*) FROM v2) AS n_tier_null,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM v2)
+           + (SELECT CAST(sum(cents) AS BIGINT) FROM app) AS sum_cents_v3
+""",
+)
+def q_lake_merge_delete_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with a DELETE clause + additive schema evolution (the last
+    r8-verdict missing item, #5): a mixed changeset (updates: keys ≡ 0
+    mod 97 doubled/flagged; deletes: keys ≡ 0 mod 89, flag column only)
+    CoW-merges into v2 — delete-marked keys vanish from their rewritten
+    buckets, deletes of absent keys are no-ops, and the flag column never
+    reaches the data files. Then an APPEND with a NEW ``tier`` column
+    widens the table schema to v3: the manifest carries the evolved
+    schema, and v2-era files — untouched on disk — read their missing
+    ``tier`` as null through the manifest-schema read path (the
+    Iceberg/Delta additive-evolution contract; no rewrite of 100 TB of
+    history to add a column).
+
+    The oracle recomputes v2 (anti-join over updates AND deletes, union
+    updates) and v3 (v2 + appended rows; tier null exactly on pre-
+    evolution rows) logically from orders — so one undead deleted row,
+    one lost update, or a misread evolved column hash-fails. The
+    n_deleted_present column proves deletion through the ACTUAL manifest
+    read, not bookkeeping."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_orders_mde")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    base = src.filter(F.col("k") % 5 != 0)
+    snapshot_write(base, table_dir, key="k", version=1)
+    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
+        "k",
+        (F.col("cents") * 2).alias("cents"),
+        F.lit("X").alias("st"),
+        F.lit(False).alias("_del"),
+    )
+    dels = src.filter(F.col("k") % 89 == 0).select(
+        "k",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("string").alias("st"),
+        F.lit(True).alias("_del"),
+    )
+    merge_upsert(
+        spark, table_dir, 1, upd.unionByName(dels), key="k", delete_col="_del"
+    )
+    app = src.filter(
+        (F.col("k") % 5 == 0)
+        & (F.col("k") % 101 == 3)
+        & (F.col("k") % 97 != 0)
+    ).withColumn("tier", F.lit("T"))
+    append_snapshot(table_dir, 2, app, key="k")
+    a2 = (
+        snapshot_read(
+            spark, table_dir, 2, empty_schema="k long, cents long, st string"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.when(F.col("st") == "X", 1).otherwise(0))
+            .cast("long")
+            .alias("nx"),
+            F.sum(F.when(F.col("k") % 89 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("ndel"),
+        )
+        .collect()[0]
+    )
+    a3 = (
+        snapshot_read(
+            spark,
+            table_dir,
+            3,
+            empty_schema="k long, cents long, st string, tier string",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("tier").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nset"),
+            F.sum(F.when(F.col("tier").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nnull"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                a2["n"], a2["s"], a2["nx"], a2["ndel"],
+                a3["n"], a3["nset"], a3["nnull"], a3["s"],
+            )
+        ],
+        "n_rows_v2 long, sum_cents_v2 long, n_x_v2 long,"
+        " n_deleted_present long, n_rows_v3 long, n_tier_set long,"
+        " n_tier_null long, sum_cents_v3 long",
     )

@@ -232,3 +232,66 @@ def test_merge_preserves_stats_for_reused_files(spark, tmp_path):
             s["min"] is not None and s["min"] <= s["max"]
             for s in doc["stats"].values()
         )
+
+
+def test_merge_delete_clause_semantics(spark, tmp_path):
+    """MERGE deletes remove exactly the flagged existing keys, deletes of
+    absent keys are no-ops, the flag column never reaches data files, and
+    untouched buckets are still physically reused."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    v1_files = set(lh.read_manifest(table_dir, 1))
+    # deletes: k ≡ 7 mod 300 (buckets {3,7,11,15} — 12 buckets untouched);
+    # includes k%5==0 keys that are NOT in base (absent-key no-ops)
+    ch = o.filter(F.col("k") % 300 == 7).select(
+        "k",
+        F.lit(None).cast("string").alias("st"),
+        F.lit(True).alias("_del"),
+    )
+    lh.merge_upsert(spark, table_dir, 1, ch, key="k", delete_col="_del")
+    v2 = lh.snapshot_read(spark, table_dir, 2)
+    assert "_del" not in v2.columns
+    assert v2.filter(F.col("k") % 300 == 7).count() == 0
+    want = base.filter(F.col("k") % 300 != 7).count()
+    assert v2.count() == want
+    # CoW reuse still holds with a delete-only changeset
+    shared = v1_files & set(lh.read_manifest(table_dir, 2))
+    assert shared == {
+        p
+        for p in v1_files
+        if int(p.split("_b=")[1].split(os.sep)[0]) not in {3, 7, 11, 15}
+    }
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """An append with a new column widens the manifest schema; parent-era
+    files (untouched on disk) read the new column as null, appended rows
+    carry it, and time travel to the pre-evolution snapshot still returns
+    the ORIGINAL schema."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    app = o.filter(F.col("k") % 5 == 0).withColumn("tier", F.lit("T"))
+    lh.append_snapshot(table_dir, 1, app, key="k")
+    v2 = lh.snapshot_read(spark, table_dir, 2)
+    assert "tier" in v2.columns
+    n_base, n_app = base.count(), app.count()
+    assert v2.filter(F.col("tier").isNull()).count() == n_base
+    assert v2.filter(F.col("tier") == "T").count() == n_app
+    # pre-evolution snapshot keeps its own schema
+    v1 = lh.snapshot_read(spark, table_dir, 1)
+    assert "tier" not in v1.columns
+    # OPTIMIZE across the evolution normalizes fragments to the evolved
+    # schema without changing the logical state
+    before = sorted(
+        v2.select("k", "st", "tier").collect()
+    )
+    lh.optimize_compact(spark, table_dir, 2, key="k")
+    v3 = lh.snapshot_read(spark, table_dir, 3)
+    assert sorted(v3.select("k", "st", "tier").collect()) == before
+    buckets = [
+        int(p.split("_b=")[1].split(os.sep)[0])
+        for p in lh.read_manifest(table_dir, 3)
+    ]
+    assert len(buckets) == len(set(buckets))
