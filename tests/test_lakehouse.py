@@ -295,3 +295,97 @@ def test_schema_evolution_additive_append(spark, tmp_path):
         for p in lh.read_manifest(table_dir, 3)
     ]
     assert len(buckets) == len(set(buckets))
+
+
+def test_merge_delete_randomized_equivalence(spark, tmp_path):
+    """Randomized MERGE-with-deletes equivalence (the test_rewrite_
+    equivalence pattern): seeded random base/update/delete key sets →
+    the manifest read of v2 must equal the logical merge computed in
+    plain Python, and the v2 file count must equal the bucket
+    arithmetic, on every trial."""
+    import random
+
+    for trial in range(8):
+        rng = random.Random(1000 + trial)
+        base_keys = sorted(rng.sample(range(500), rng.randint(20, 200)))
+        upd_keys = sorted(rng.sample(range(500), rng.randint(1, 60)))
+        del_keys = sorted(
+            k for k in rng.sample(range(500), rng.randint(1, 60))
+            if k not in upd_keys  # a key is an update OR a delete
+        )
+        if not del_keys:
+            del_keys = [k for k in range(500) if k not in upd_keys][:3]
+        table_dir = str(tmp_path / f"t{trial}")
+        base = spark.createDataFrame(
+            [(k, k * 7) for k in base_keys], "k long, v long"
+        )
+        lh.snapshot_write(base, table_dir, key="k", version=1)
+        ch = spark.createDataFrame(
+            [(k, k * 100, False) for k in upd_keys]
+            + [(k, None, True) for k in del_keys],
+            "k long, v long, _del boolean",
+        )
+        lh.merge_upsert(spark, table_dir, 1, ch, key="k", delete_col="_del")
+        got = sorted(
+            (r["k"], r["v"])
+            for r in lh.snapshot_read(spark, table_dir, 2).collect()
+        )
+        want = sorted(
+            {
+                **{k: k * 7 for k in base_keys if k not in del_keys},
+                **{k: k * 100 for k in upd_keys},
+            }.items()
+        )
+        assert got == want, f"trial {trial}"
+        # file count = untouched base buckets + buckets occupied by the
+        # merged hot-bucket contents (a hot bucket emptied by deletes
+        # writes no file)
+        hot = {k % 16 for k in upd_keys} | {k % 16 for k in del_keys}
+        cold_files = {b % 16 for b in base_keys} - hot
+        hot_files = {k % 16 for k, _ in want if k % 16 in hot}
+        assert len(lh.read_manifest(table_dir, 2)) == len(
+            cold_files | hot_files
+        ), f"trial {trial}"
+
+
+def test_append_commit_race_single_winner(spark, tmp_path):
+    """Two writers racing DIFFERENT batches onto the same parent version:
+    exactly one commits, the loser gets FileExistsError (never a silent
+    double-commit, never both failing), and the table state reflects
+    exactly the winner — the property the exactly-once streaming sink
+    stands on under real concurrency, exercised through threads rather
+    than sequential calls."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    table_dir, o, _ = _table(spark, tmp_path)
+    rows_a = o.filter(F.col("k") % 10 == 0).select(
+        "k", F.lit("A").alias("st")
+    )
+    rows_b = o.filter(F.col("k") % 10 == 5).select(
+        "k", F.lit("B").alias("st")
+    )
+    results: dict[str, object] = {}
+
+    def attempt(tag, rows, batch_id):
+        try:
+            results[tag] = lh.append_snapshot(
+                table_dir, 1, rows, key="k", batch_id=batch_id
+            )
+        except FileExistsError:
+            results[tag] = "conflict"
+
+    ta = threading.Thread(target=attempt, args=("a", rows_a, 100))
+    tb = threading.Thread(target=attempt, args=("b", rows_b, 200))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    outcomes = sorted(str(v) for v in results.values())
+    assert outcomes.count("conflict") == 1, results
+    winner = next(k for k, v in results.items() if v != "conflict")
+    assert results[winner] == (2, True)
+    # v2 state = parent + exactly the winner's rows
+    v2 = lh.snapshot_read(spark, table_dir, 2)
+    tag = v2.filter(F.col("st").isin("A", "B")).select("st").distinct()
+    assert [r["st"] for r in tag.collect()] == [
+        "A" if winner == "a" else "B"
+    ]
