@@ -973,6 +973,41 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     scan_floor["md5_bucket_docs_duckdb"] = _time_best(
                         lambda: con_d.execute(md5_sql).fetchall(), 3
                     )
+                    # Gram-explode floor (r9): the contamination family's
+                    # denominator — build 3-token shingles, explode them,
+                    # hash every gram string — i.e. the probe side of
+                    # q_text_contamination minus the (tiny broadcast)
+                    # join and doc agg. Both engines touch every gram
+                    # string once; the remaining contamination ratio
+                    # above this pair is plan, below it is the string-
+                    # explode architecture floor.
+                    from cuny_courses_spark.operators.dedup import (
+                        _O_SHINGLES,
+                        _shingles,
+                    )
+
+                    gram_sql = (
+                        "SELECT sum(hash(g) % 1000000) FROM (SELECT "
+                        f"unnest({_O_SHINGLES}) AS g FROM documents)"
+                    )
+
+                    def _gram_probe(d):
+                        return (
+                            load(spark, d, "documents")
+                            .select(F.explode(_shingles()).alias("g"))
+                            .agg(
+                                F.sum(F.xxhash64("g") % 1000000).alias("a")
+                            )
+                        )
+
+                    _gram_probe(dd100).toPandas()  # warm
+                    scan_floor["contam_gram_hash_spark"] = _time_best(
+                        lambda: _gram_probe(dd100).toPandas(), 3
+                    )
+                    con_d.execute(gram_sql).fetchall()  # warm
+                    scan_floor["contam_gram_hash_duckdb"] = _time_best(
+                        lambda: con_d.execute(gram_sql).fetchall(), 3
+                    )
             except Exception as exc:
                 scan_floor["md5_bucket_docs"] = f"error: {type(exc).__name__}"
 
