@@ -1169,3 +1169,237 @@ def q_lake_merge_delete_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_deleted_present long, n_rows_v3 long, n_tier_set long,"
         " n_tier_null long, sum_cents_v3 long",
     )
+
+
+def incremental_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+) -> DataFrame:
+    """CDC / change-feed read between two snapshots: every row-level
+    change from ``v_from`` to ``v_to``, classified Delta-CDF-style as
+    ``insert`` / ``update_postimage`` / ``delete``, computed by reading
+    ONLY the files the two manifests do not share. CoW rewrites whole
+    buckets, so a rewritten-but-unchanged row appears on both sides of
+    the file diff — the full-outer key join below cancels it (identical
+    non-key values ⇒ not a change). Work is proportional to the CHANGED
+    buckets, never the table: at 100 TB a single-bucket merge yields a
+    CDC read of one old file + one new file, while downstream consumers
+    get exactly the logical delta (the incremental-consumption verb —
+    Delta CDF / Iceberg incremental reads — that batch re-diffs of full
+    snapshots cannot afford)."""
+    from pyspark.sql import types as T
+
+    old_doc = _read_manifest_doc(table_dir, v_from)
+    new_doc = _read_manifest_doc(table_dir, v_to)
+    only_old = sorted(set(old_doc["files"]) - set(new_doc["files"]))
+    only_new = sorted(set(new_doc["files"]) - set(old_doc["files"]))
+
+    def _read(files: list[str], doc: dict) -> DataFrame:
+        sch = doc.get("schema")
+        if not files:
+            if sch is None:
+                raise ValueError("empty side of a CDC diff needs a schema")
+            return spark.createDataFrame([], T.StructType.fromJson(sch))
+        if sch is not None:
+            return spark.read.schema(T.StructType.fromJson(sch)).parquet(
+                *files
+            )
+        return spark.read.parquet(*files)
+
+    old_rows = _read(only_old, old_doc)
+    new_rows = _read(only_new, new_doc)
+    # compare on the OLD snapshot's non-key columns: additive evolution
+    # may have widened v_to, and a column absent at v_from can't make a
+    # row "changed" retroactively.
+    val_cols = [c for c in old_rows.columns if c != key]
+    o = old_rows.select(
+        F.col(key).alias("_ko"),
+        *[F.col(c).alias(f"_o_{c}") for c in val_cols],
+    )
+    n = new_rows.select(
+        F.col(key).alias("_kn"),
+        *[F.col(c).alias(f"_n_{c}") for c in val_cols],
+    )
+    j = o.join(n, o["_ko"] == n["_kn"], "full_outer")
+    same = None
+    for c in val_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_ko").isNull(), F.lit("insert"))
+        .when(F.col("_kn").isNull(), F.lit("delete"))
+        .when(same, F.lit(None).cast("string"))  # rewritten, unchanged
+        .otherwise(F.lit("update_postimage"))
+    )
+    out_key = F.coalesce(F.col("_kn"), F.col("_ko")).alias(key)
+    out_vals = [
+        F.when(F.col("_kn").isNull(), F.col(f"_o_{c}"))
+        .otherwise(F.col(f"_n_{c}"))
+        .alias(c)
+        for c in val_cols
+    ]
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(out_key, *out_vals, "_change_type")
+    )
+
+
+@register(
+    "q_lake_cdc_read",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders
+), base AS (SELECT * FROM src WHERE k % 5 <> 0),
+upd AS (
+    SELECT k, 2 * cents AS cents, 'X' AS st
+    FROM src WHERE k % 97 = 0 AND k % 89 <> 0
+), delk AS (SELECT k FROM src WHERE k % 89 = 0),
+hot AS (
+    SELECT DISTINCT b FROM (
+        SELECT k % 16 AS b FROM upd
+        UNION ALL SELECT k % 16 FROM src WHERE k % 89 = 0
+    ) t
+), ins AS (SELECT * FROM upd WHERE k % 5 = 0),
+updx AS (SELECT * FROM upd WHERE k % 5 <> 0),
+delx AS (SELECT b.k, b.cents FROM base b
+         WHERE b.k IN (SELECT k FROM delk))
+SELECT (SELECT count(*) FROM ins) AS n_insert,
+       (SELECT count(*) FROM updx) AS n_update,
+       (SELECT count(*) FROM delx) AS n_delete,
+       (SELECT count(*) FROM base
+         WHERE k % 16 IN (SELECT b FROM hot)
+           AND k NOT IN (SELECT k FROM upd)
+           AND k NOT IN (SELECT k FROM delk))
+           AS n_unchanged_suppressed,
+       (SELECT CAST(sum(cents) AS BIGINT)
+          FROM (SELECT cents FROM ins UNION ALL SELECT cents FROM updx) t)
+           AS sum_cents_upserted,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM delx) AS sum_cents_deleted
+""",
+)
+def q_lake_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed read over the lakehouse format: build v1, apply one
+    CoW MERGE carrying updates (keys ≡ 0 mod 97: doubled cents, status
+    'X'), inserts (the subset of those absent from v1) and deletes
+    (keys ≡ 0 mod 89), then consume the v1→v2 delta via
+    ``incremental_diff`` — reading ONLY the files the two manifests
+    don't share — and emit per-change-type counts and checksums, plus
+    the count of rewritten-but-unchanged rows the CDC read must
+    SUPPRESS (CoW rewrites whole buckets; a correct change feed cancels
+    rows that moved files without changing values).
+
+    The oracle recomputes every column from the changeset arithmetic:
+    inserts/updates split by membership in v1, deletes only for keys
+    that existed (absent-key deletes are no-ops and must NOT appear in
+    the feed), suppressed-count from the hot-bucket arithmetic — so a
+    CDC read that leaks one unchanged row, misclassifies an insert, or
+    emits a no-op delete hash-fails. At 100 TB the file-diff read is
+    the point: a changeset touching 4 of 10⁶ files yields a CDC scan of
+    8 files, not a 100 TB snapshot re-diff (q_etl_snapshot_diff is that
+    full-scan fallback; this is the manifest-powered incremental verb)."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_orders_cdc")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    base = src.filter(F.col("k") % 5 != 0)
+    snapshot_write(base, table_dir, key="k", version=1)
+    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
+        "k",
+        (F.col("cents") * 2).alias("cents"),
+        F.lit("X").alias("st"),
+        F.lit(False).alias("_del"),
+    )
+    dels = src.filter(F.col("k") % 89 == 0).select(
+        "k",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("string").alias("st"),
+        F.lit(True).alias("_del"),
+    )
+    merge_upsert(
+        spark, table_dir, 1, upd.unionByName(dels), key="k", delete_col="_del"
+    )
+    cdc = incremental_diff(spark, table_dir, 1, 2, key="k").persist()
+    try:
+        # coalesce: sums over an EMPTY change feed are null, and the
+        # suppressed-count arithmetic below needs integers (empty-input
+        # gate; the oracle's count(*)/sum() agree at the driver's SFs)
+        def _c(col, alias):
+            return F.coalesce(col.cast("long"), F.lit(0)).alias(alias)
+
+        agg = cdc.agg(
+            _c(
+                F.sum(
+                    F.when(
+                        F.col("_change_type") == "insert", 1
+                    ).otherwise(0)
+                ),
+                "ni",
+            ),
+            _c(
+                F.sum(
+                    F.when(
+                        F.col("_change_type") == "update_postimage", 1
+                    ).otherwise(0)
+                ),
+                "nu",
+            ),
+            _c(
+                F.sum(
+                    F.when(
+                        F.col("_change_type") == "delete", 1
+                    ).otherwise(0)
+                ),
+                "nd",
+            ),
+            _c(
+                F.sum(
+                    F.when(
+                        F.col("_change_type") != "delete", F.col("cents")
+                    ).otherwise(0)
+                ),
+                "su",
+            ),
+            _c(
+                F.sum(
+                    F.when(
+                        F.col("_change_type") == "delete", F.col("cents")
+                    ).otherwise(0)
+                ),
+                "sd",
+            ),
+        ).collect()[0]
+        # suppressed = rewritten rows minus emitted changes: every v1 row
+        # in a rewritten (v1-only) file either changed or was suppressed
+        old_doc = _read_manifest_doc(table_dir, 1)
+        new_files = set(read_manifest(table_dir, 2))
+        only_old = sorted(set(old_doc["files"]) - new_files)
+        n_rewritten_old = (
+            spark.read.parquet(*only_old).count() if only_old else 0
+        )
+        n_suppressed = n_rewritten_old - agg["nu"] - agg["nd"]
+    finally:
+        cdc.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                agg["ni"], agg["nu"], agg["nd"], n_suppressed,
+                agg["su"], agg["sd"],
+            )
+        ],
+        "n_insert long, n_update long, n_delete long,"
+        " n_unchanged_suppressed long, sum_cents_upserted long,"
+        " sum_cents_deleted long",
+    )
