@@ -86,7 +86,14 @@ def _superstep_checkpoint(df: DataFrame) -> DataFrame:
       long-running iterative jobs at 100 TB, where the probability of
       losing SOME executor over N supersteps approaches 1.
 
-    The checkpoint dir is set once per SparkContext (idempotent)."""
+    The checkpoint dir is set once per SparkContext (idempotent).
+    CLEANUP: reliable checkpoints are only reclaimed by the
+    ContextCleaner when ``spark.cleaner.referenceTracking
+    .cleanCheckpoints=true`` (the engine session sets it at context
+    creation — session.get_session); superseded superstep checkpoints
+    are then deleted as their RDDs are GC'd instead of accumulating
+    N_ITER+1 dirs per call for the session's lifetime (r9 ADVICE). A
+    session built elsewhere must set that conf itself or GC the dir."""
     import os
 
     ckpt_dir = os.environ.get("SPARK_GRAFT_RELIABLE_CKPT_DIR")

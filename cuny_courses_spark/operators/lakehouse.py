@@ -298,6 +298,32 @@ def _schema_of(df: DataFrame) -> dict:
     return T.StructType(fields).jsonValue()
 
 
+def _merge_schemas(parent: dict | None, incoming: dict) -> dict:
+    """ADDITIVE-ONLY schema evolution, enforced (r9 ADVICE): the child
+    manifest schema is the union of the parent's fields (in parent order)
+    and any NEW incoming fields — a batch that merely OMITS a column the
+    parent files carry can never narrow the table's read schema and make
+    existing data invisible, and a batch that RETYPES a parent column is
+    rejected loudly (the Delta/Iceberg write contract)."""
+    if parent is None:
+        return incoming
+    by_name = {f["name"]: f for f in incoming["fields"]}
+    for pf in parent["fields"]:
+        nf = by_name.get(pf["name"])
+        if nf is not None and nf["type"] != pf["type"]:
+            raise ValueError(
+                f"schema evolution must be additive: column "
+                f"{pf['name']!r} is {pf['type']} in the parent snapshot "
+                f"but {nf['type']} in the incoming batch"
+            )
+    parent_names = {f["name"] for f in parent["fields"]}
+    merged = dict(parent)
+    merged["fields"] = list(parent["fields"]) + [
+        f for f in incoming["fields"] if f["name"] not in parent_names
+    ]
+    return merged
+
+
 def snapshot_write(
     df: DataFrame,
     table_dir: str,
@@ -353,9 +379,25 @@ def merge_upsert(
     changeset rows where that boolean column is true remove their key
     from the table (their buckets are rewritten WITHOUT the row; a
     delete of an absent key is a no-op, matching SQL MERGE). The flag
-    column itself never reaches the data files."""
+    column itself never reaches the data files.
+
+    Hot parent files are read under the PARENT MANIFEST SCHEMA (never
+    footer inference): after an additive evolution the hot set mixes
+    physical schemas, and letting Spark sample one footer would
+    nondeterministically drop the evolved column from the rewritten
+    buckets (r9 ADVICE, high). The child schema is the parent schema
+    widened by any new changeset columns (unionByName both ways), so a
+    narrow changeset can never shrink the table's read schema. Output is
+    staged under a per-attempt unique directory — a loser of the commit
+    race removes only its OWN staging, never the winner's published
+    files (the append_snapshot staging rule, extended here)."""
+    from pyspark.sql import types as T
+
     upd = updates.withColumn("_b", _bucket_of(key)).persist(
         StorageLevel.MEMORY_AND_DISK
+    )
+    staging = os.path.join(
+        table_dir, "data", f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}"
     )
     try:
         hot = sorted(
@@ -364,17 +406,19 @@ def merge_upsert(
         parent = _read_manifest_doc(table_dir, parent_version)
         parent_files = parent["files"]
         parent_stats = parent.get("stats", {})
+        parent_schema = parent.get("schema")
         reused = [
             p
             for p in parent_files
             if int(p.split("_b=")[1].split(os.sep)[0]) not in hot
         ]
         base_hot_files = [p for p in parent_files if p not in set(reused)]
-        base_hot = (
-            spark.read.parquet(*base_hot_files)
-            if base_hot_files
-            else None
+        rd = (
+            spark.read.schema(T.StructType.fromJson(parent_schema))
+            if parent_schema
+            else spark.read
         )
+        base_hot = rd.parquet(*base_hot_files) if base_hot_files else None
         upd_hot = upd.filter(F.col("_b").isin(hot)).drop("_b")
         # anti-join on ALL changeset keys (updates AND deletes) — both
         # displace the base row; only non-delete rows are re-inserted.
@@ -390,25 +434,33 @@ def merge_upsert(
                 F.col(key) == F.col("_uk"),
                 "left_anti",
             )
-            merged = keep.unionByName(inserts)
+            # allowMissingColumns both ways = additive evolution through
+            # MERGE: new changeset columns widen, absent ones fill null.
+            merged = keep.unionByName(inserts, allowMissingColumns=True)
         else:
             merged = inserts
         new_files = _write_buckets(
-            merged.withColumn("_b", _bucket_of(key)),
-            os.path.join(table_dir, "data", f"v{parent_version + 1}"),
+            merged.withColumn("_b", _bucket_of(key)), staging
         )
-        child_schema = _schema_of(merged)
+        # parent ∪ merged, not _schema_of(merged) alone: with zero hot
+        # parent files, merged is just the changeset, whose columns must
+        # still widen (never replace) the parent schema.
+        child_schema = _merge_schemas(parent_schema, _schema_of(merged))
     finally:
         upd.unpersist()
     stats = {p: parent_stats[p] for p in reused if p in parent_stats}
     stats.update(_file_key_stats(new_files, key))
-    commit_snapshot(
-        table_dir,
-        parent_version + 1,
-        reused + new_files,
-        stats=stats,
-        schema=child_schema,
-    )
+    try:
+        commit_snapshot(
+            table_dir,
+            parent_version + 1,
+            reused + new_files,
+            stats=stats,
+            schema=child_schema,
+        )
+    except FileExistsError:
+        shutil.rmtree(staging, ignore_errors=True)  # only OUR staging
+        raise
     return reused + new_files
 
 
@@ -455,19 +507,20 @@ def append_snapshot(
     stats = dict(parent.get("stats", {}))
     stats.update(_file_key_stats(new_files, key))
     try:
-        # The child manifest carries the APPENDED rows' schema — the
-        # additive-evolution point: appending with extra columns widens
-        # the table schema, and parent files (which lack them) read the
-        # new columns as null through the manifest-schema read path.
-        # Evolution must be additive (never drop/retype a column the
-        # parent files carry) — the same constraint Delta enforces.
+        # The child manifest carries the parent schema WIDENED by the
+        # appended rows' columns — the additive-evolution point: new
+        # columns widen the table schema, and parent files (which lack
+        # them) read them as null through the manifest-schema read path.
+        # _merge_schemas ENFORCES additivity (r9 ADVICE): a batch that
+        # omits a parent column can't narrow the read schema and hide
+        # existing data, and a retyped column raises — as Delta does.
         commit_snapshot(
             table_dir,
             version,
             parent["files"] + new_files,
             stats=stats,
             meta={"batch_id": batch_id} if batch_id is not None else None,
-            schema=_schema_of(rows),
+            schema=_merge_schemas(parent.get("schema"), _schema_of(rows)),
         )
     except FileExistsError:
         shutil.rmtree(staging, ignore_errors=True)  # orphaned staging dir
@@ -518,21 +571,32 @@ def optimize_compact(
         merged = parts[0]
         for d in parts[1:]:
             merged = merged.unionByName(d)
-        new_files = _write_buckets(
-            merged,
-            os.path.join(table_dir, "data", f"v{parent_version + 1}"),
+        # per-attempt unique staging (r9 ADVICE): a fixed v{N} dir with
+        # mode=overwrite would let a commit-race LOSER delete the
+        # winner's already-referenced files before failing at publish.
+        staging = os.path.join(
+            table_dir,
+            "data",
+            f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}",
         )
+        new_files = _write_buckets(merged, staging)
     else:
+        staging = None
         new_files = []
     stats = {p: parent_stats[p] for p in reused if p in parent_stats}
     stats.update(_file_key_stats(new_files, key))
-    commit_snapshot(
-        table_dir,
-        parent_version + 1,
-        reused + new_files,
-        stats=stats,
-        schema=parent_schema,
-    )
+    try:
+        commit_snapshot(
+            table_dir,
+            parent_version + 1,
+            reused + new_files,
+            stats=stats,
+            schema=parent_schema,
+        )
+    except FileExistsError:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+        raise
     return reused + new_files
 
 
@@ -1224,10 +1288,13 @@ def incremental_diff(
         *[F.col(c).alias(f"_n_{c}") for c in val_cols],
     )
     j = o.join(n, o["_ko"] == n["_kn"], "full_outer")
-    same = None
+    # lit(True) seed: a KEY-ONLY table (val_cols == []) degrades to pure
+    # insert/delete classification — a rewritten key present on both
+    # sides is vacuously "unchanged" (r9 ADVICE: a None seed made
+    # F.when(None, …) raise).
+    same = F.lit(True)
     for c in val_cols:
-        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
     change = (
         F.when(F.col("_ko").isNull(), F.lit("insert"))
         .when(F.col("_kn").isNull(), F.lit("delete"))

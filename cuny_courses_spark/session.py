@@ -359,6 +359,11 @@ def get_session(app_name: str = "cuny_courses_spark") -> SparkSession:
             os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
         )
         .config("spark.ui.enabled", "false")
+        # Reclaim RELIABLE checkpoint dirs (SPARK_GRAFT_RELIABLE_CKPT_DIR
+        # pagerank path) when their RDDs are GC'd — without this, each
+        # superstep's checkpoint leaks on disk for the life of a
+        # long-running session (r9 ADVICE). Context-creation-time only.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

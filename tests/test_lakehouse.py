@@ -443,3 +443,99 @@ def test_cdc_feed_randomized_equivalence(spark, tmp_path):
         )
         assert len(v1 - v2) <= len(hot)
         assert len(v2 - v1) <= len(hot)
+
+
+def test_merge_after_evolution_keeps_evolved_column(spark, tmp_path):
+    """r9 ADVICE (high): merge_upsert must read hot parent files under the
+    PARENT MANIFEST schema, not a sampled footer — after an additive
+    evolution the hot set mixes physical schemas and footer inference
+    nondeterministically drops the evolved column from rewritten buckets.
+    Pin: evolve via append, then merge; the evolved column survives with
+    its values on every untouched row."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    app = o.filter(F.col("k") % 5 == 0).withColumn("tier", F.lit("T"))
+    lh.append_snapshot(table_dir, 1, app, key="k")  # v2: mixed physical
+    upd = o.filter(F.col("k") % 97 == 0).select(
+        "k", F.lit("X").alias("st")
+    )  # changeset WITHOUT tier — must not narrow anything
+    lh.merge_upsert(spark, table_dir, 2, upd, key="k")
+    v3 = lh.snapshot_read(spark, table_dir, 3)
+    assert "tier" in v3.columns
+    # every appended key not displaced by the merge still carries tier=T
+    upd_keys = {r["k"] for r in upd.select("k").collect()}
+    want_t = app.filter(~F.col("k").isin(list(upd_keys))).count()
+    assert v3.filter(F.col("tier") == "T").count() == want_t
+    # update keys took the merge's st and (being tier-less) read null
+    assert (
+        v3.filter(F.col("k").isin(list(upd_keys)))
+        .filter((F.col("st") != "X") | F.col("tier").isNotNull())
+        .count()
+        == 0
+    )
+
+
+def test_append_cannot_narrow_schema(spark, tmp_path):
+    """r9 ADVICE (medium): an append whose frame omits a parent column
+    must not narrow the manifest read schema (existing data would turn
+    invisible); a retyped column must raise."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, _ = _table(spark, tmp_path)  # v1 schema: k, st
+    narrow = o.filter(F.col("k") % 5 == 0).select("k")  # no st
+    lh.append_snapshot(table_dir, 1, narrow, key="k")
+    v2 = lh.snapshot_read(spark, table_dir, 2)
+    assert set(v2.columns) == {"k", "st"}  # st survived the narrow batch
+    assert v2.filter(F.col("st").isNotNull()).count() > 0
+    retyped = o.filter(F.col("k") % 7 == 0).select(
+        "k", F.col("k").cast("long").alias("st")  # st was string
+    )
+    with pytest.raises(ValueError, match="additive"):
+        lh.append_snapshot(table_dir, 2, retyped, key="k")
+
+
+def test_losing_merge_never_touches_winner_files(spark, tmp_path):
+    """r9 ADVICE (medium): merge/optimize stage under per-attempt unique
+    dirs, so a commit-race loser deletes only its OWN staging — the
+    winner's published, manifest-referenced files survive."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, _ = _table(spark, tmp_path)
+    upd_w = o.filter(F.col("k") % 97 == 0).select(
+        "k", F.lit("W").alias("st")
+    )
+    lh.merge_upsert(spark, table_dir, 1, upd_w, key="k")  # winner → v2
+    v2_files = lh.read_manifest(table_dir, 2)
+    want = sorted(lh.snapshot_read(spark, table_dir, 2).collect())
+    upd_l = o.filter(F.col("k") % 89 == 0).select(
+        "k", F.lit("L").alias("st")
+    )
+    with pytest.raises(FileExistsError):
+        lh.merge_upsert(spark, table_dir, 1, upd_l, key="k")  # loser
+    for p in v2_files:
+        assert os.path.exists(p), f"winner file deleted by loser: {p}"
+    assert sorted(lh.snapshot_read(spark, table_dir, 2).collect()) == want
+    with pytest.raises(FileExistsError):
+        lh.optimize_compact(spark, table_dir, 1, key="k")  # also races v2
+    assert sorted(lh.snapshot_read(spark, table_dir, 2).collect()) == want
+
+
+def test_cdc_key_only_table(spark, tmp_path):
+    """r9 ADVICE (low): a key-only table (no value columns) degrades to
+    insert/delete classification instead of raising on a None seed."""
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_keys")
+    base = spark.range(0, 500).select(F.col("id").alias("k"))
+    lh.snapshot_write(base, table_dir, key="k", version=1)
+    ch = spark.createDataFrame(
+        [(1000, False), (7, True)], "k long, _del boolean"
+    )
+    lh.merge_upsert(spark, table_dir, 1, ch, key="k", delete_col="_del")
+    feed = {
+        (r["k"], r["_change_type"])
+        for r in lh.incremental_diff(spark, table_dir, 1, 2, key="k")
+        .collect()
+    }
+    assert feed == {(1000, "insert"), (7, "delete")}
