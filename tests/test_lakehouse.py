@@ -604,3 +604,66 @@ def test_head_pointer_lag_and_fallback(spark, tmp_path):
     assert os.path.exists(lh._head_path(table_dir))
     # snapshot_read with no version reads HEAD
     assert lh.snapshot_read(spark, table_dir).count() == 64
+
+
+def test_one_row_delete_writes_kb_dv_not_bucket_rewrite(spark, tmp_path):
+    """r9 verdict missing #2 done-criterion: a 1-row merge-on-read
+    delete must cost a KB-scale sidecar, not a bucket rewrite — file
+    list identical, exactly one DV file, small."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, _ = _table(spark, tmp_path)
+    v1_files = sorted(lh.read_manifest(table_dir, 1))
+    one = o.filter(F.col("k") % 5 != 0).limit(1)
+    k0 = one.collect()[0]["k"]
+    v, n_dv = lh.delete_merge_on_read(spark, table_dir, 1, one, key="k")
+    assert (v, n_dv) == (2, 1)
+    assert sorted(lh.read_manifest(table_dir, 2)) == v1_files  # no rewrite
+    doc = lh._read_manifest_doc(table_dir, 2)
+    (dv_path,) = [e["path"] for es in doc["dvs"].values() for e in es]
+    assert os.path.getsize(dv_path) < 64 * 1024  # KB-scale sidecar
+    v2 = lh.snapshot_read(spark, table_dir, 2)
+    assert v2.filter(F.col("k") == k0).count() == 0
+    assert v2.count() == lh.snapshot_read(spark, table_dir, 1).count() - 1
+
+
+def test_dv_interplay_append_merge_vacuum(spark, tmp_path):
+    """DVs survive appends (carried), fold into CoW merges (hot buckets
+    only), and their sidecars are vacuumed with their versions."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    dels = o.filter(F.col("k") % 89 == 0)  # some keys, several buckets
+    n_del_present = base.join(dels.select("k"), "k", "semi").count()
+    lh.delete_merge_on_read(spark, table_dir, 1, dels, key="k")
+    # append after the delete: deleted keys must STAY deleted at v3
+    app = o.filter(F.col("k") % 5 == 0)
+    lh.append_snapshot(table_dir, 2, app, key="k")
+    v3 = lh.snapshot_read(spark, table_dir, 3)
+    assert v3.join(dels.select("k"), "k", "semi").count() == app.join(
+        dels.select("k"), "k", "semi"
+    ).count()  # only appended rows may carry those keys (appended later)
+    assert v3.count() == base.count() - n_del_present + app.count()
+    # CoW merge on SOME buckets folds exactly those buckets' DVs
+    upd = o.filter(F.col("k") % 96 == 0).select(  # bucket 0-heavy set
+        "k", F.lit("M").alias("st")
+    )
+    lh.merge_upsert(spark, table_dir, 3, upd, key="k")
+    doc4 = lh._read_manifest_doc(table_dir, 4)
+    hot = {str(r["k"] % 16) for r in upd.select("k").collect()}
+    assert set(doc4.get("dvs", {})) & hot == set()  # hot DVs folded
+    # a deleted key inside a folded bucket stays deleted after the fold
+    v4 = lh.snapshot_read(spark, table_dir, 4)
+    gone = dels.join(app.select("k"), "k", "left_anti").join(
+        upd.select("k"), "k", "left_anti"
+    )
+    assert v4.join(gone.select("k"), "k", "semi").count() == 0
+    # vacuum v1..v3: the v2/v3 DV sidecars die only if no kept manifest
+    # references them — v4 still carries cold-bucket DVs, so those live
+    dv_files = {e["path"] for es in doc4.get("dvs", {}).values() for e in es}
+    expired, live = lh.expire_snapshots(table_dir, keep=[4])
+    for p in dv_files:
+        assert os.path.exists(p), "kept-version DV vacuumed"
+    assert sorted(v4.collect()) == sorted(
+        lh.snapshot_read(spark, table_dir, 4).collect()
+    )
