@@ -269,6 +269,55 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_band_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, t: shingle array) → (doc_id, band_idx, band_hash): the
+    MinHash-LSH index rows (32 hashes, 16 bands × 2 rows, seed 42).
+
+    Signatures as 32 codegen MIN aggregates over EXPLODED shingle-hash
+    rows — not array_min(transform(...)) per slot: higher-order lambdas
+    run interpreted (no whole-stage codegen), so 32 permutation passes
+    over every doc's hash array cost ~n_docs·|shingles|·32 interpreted
+    steps; the exploded groupBy form is one codegen hash-agg pass with
+    32 accumulators and identical values ((a·h+b) mod p over the same
+    signed xxhash64 % p inputs). Map-side partial aggregation keeps the
+    shuffle at |docs| rows of 32 longs at any scale. Band hash =
+    xxhash64 over the band's signature slots (r=2 per band).
+
+    Factored out (r10) so the PERSISTED-INDEX pipeline can band a new
+    micro-batch with the exact coefficients the stored corpus index was
+    built with — determinism across sessions is what makes an
+    incremental probe against yesterday's index sound."""
+    n_hashes, n_bands, rows_per_band = 32, 16, 2
+    coeffs = _minhash_coeffs(n_hashes)
+    h = d.select(
+        "doc_id", F.explode("t").alias("s")
+    ).select("doc_id", (F.xxhash64("s") % _MERSENNE).alias("h"))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"m{k * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at Jaccard ≥ 0.6, seed=42, implemented
     natively on DataFrame ops: shingle → xxhash64 (seed 42) → 32 universal
@@ -285,46 +334,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulators) — no Python, no interpreted lambdas in the hot path, no
     ml-lib explode-join overhead.
     """
-    n_hashes, n_bands, rows_per_band = 32, 16, 2
-    coeffs = _minhash_coeffs(n_hashes)
-
     d = _doc_shingles(spark, sf_dir)
-    # Signatures as 32 codegen MIN aggregates over EXPLODED shingle-hash
-    # rows — not array_min(transform(...)) per slot: higher-order lambdas
-    # run interpreted (no whole-stage codegen), so 32 permutation passes
-    # over every doc's hash array cost ~n_docs·|shingles|·32 interpreted
-    # steps; the exploded groupBy form is one codegen hash-agg pass with
-    # 32 accumulators and identical values ((a·h+b) mod p over the same
-    # signed xxhash64 % p inputs). Map-side partial aggregation keeps the
-    # shuffle at |docs| rows of 32 longs at any scale.
-    h = d.select(
-        "doc_id", F.explode("t").alias("s")
-    ).select("doc_id", (F.xxhash64("s") % _MERSENNE).alias("h"))
-    sig = h.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(
-                f"m{i}"
-            )
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-    # Band hash = xxhash64 over the band's signature slots (r=2 per band).
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col(f"m{k * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for k in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    bands = minhash_band_rows(d)
     cand = (
         bands.select(F.col("doc_id").alias("doc_id_a"), "band_idx", "band_hash")
         .join(

@@ -91,3 +91,180 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_id"),
         )
     )
+
+
+@register(
+    "q_pipeline_incremental_dedup",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS t
+    FROM documents
+), sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+corpus AS (SELECT * FROM sized WHERE doc_id % 10 <> 0),
+batch  AS (SELECT * FROM sized WHERE doc_id % 10 = 0),
+exact AS (
+    SELECT c.doc_id AS a, b.doc_id AS b
+    FROM corpus c, batch b
+    WHERE 5 * len(list_intersect(c.t, b.t))
+          >= 3 * (c.n + b.n - len(list_intersect(c.t, b.t)))
+      AND len(list_intersect(c.t, b.t)) > 0
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+       TRUE AS recall_floor_met,
+       TRUE AS precision_ok,
+       (SELECT 16 * count(*) FROM corpus WHERE n > 0) AS n_index_rows,
+       CAST(2 AS BIGINT) AS index_version,
+       TRUE AS replay_skipped
+""",
+)
+def q_pipeline_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSISTED-INDEX incremental dedup (r9 verdict missing #5 — the
+    composition nobody had wired): the corpus's MinHash band rows are
+    built ONCE and committed as a lakehouse table keyed on band_hash
+    (probe-bucket co-location); a new micro-batch is then deduped
+    against the corpus by banding ONLY the batch (same seed-42
+    coefficients — determinism across sessions is the soundness
+    condition) and equi-joining its band rows against the STORED index
+    read back via ``snapshot_read`` — zero corpus signature recompute.
+    Exact-Jaccard verification runs on the candidates only, fetching
+    shingles for just the docs the index probe surfaced. The batch's
+    own band rows are appended to the index through the exactly-once
+    streaming commit (batch_id-tagged), and the append is REPLAYED to
+    prove idempotence — the micro-batch cadence a 100 TB ingest
+    pipeline runs every minute, where re-signing the corpus per batch
+    (O(corpus) work per O(batch) input) is the thing that cannot ship.
+
+    Certificate columns (the q_dedup_minhash_lsh pattern): the oracle
+    recomputes the exact batch×corpus near-dup pair count quadratically
+    and pins recall ≥ 0.9 / precision ⊆ exact as constant-true flags;
+    n_index_rows (16 bands × signed corpus docs), index_version=2 and
+    replay_skipped=TRUE pin the commit protocol."""
+    from cuny_courses_spark.common import pair_set_certificate
+    from cuny_courses_spark.operators.dedup import (
+        _doc_shingles,
+        minhash_band_rows,
+    )
+    from cuny_courses_spark.operators.lakehouse import (
+        append_snapshot,
+        latest_version,
+        snapshot_read,
+        snapshot_write,
+    )
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    import os
+    import shutil
+
+    table_dir = _io_dir(sf_dir, "lake_minhash_index")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    d = _doc_shingles(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+
+    # ---- build phase (runs once per corpus, not per batch) ----
+    snapshot_write(
+        minhash_band_rows(corpus).select("doc_id", "band_idx", "band_hash"),
+        table_dir,
+        key="band_hash",
+        version=1,
+    )
+    n_index_rows = snapshot_read(spark, table_dir, 1).count()
+
+    # ---- incremental probe: band the BATCH only, join the stored index
+    index = snapshot_read(spark, table_dir, 1).select(
+        F.col("doc_id").alias("doc_id_a"), "band_idx", "band_hash"
+    )
+    probe = minhash_band_rows(batch).select(
+        F.col("doc_id").alias("doc_id_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        index.join(probe, ["band_idx", "band_hash"])
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    # exact verification fetches shingles for CANDIDATE docs only
+    lsh = (
+        cand.join(
+            d.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("t").alias("ta"),
+                F.col("n").alias("na"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("t").alias("tb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_id_b",
+        )
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
+        .filter((5 * F.col("i") >= 3 * F.col("u")) & (F.col("i") > 0))
+        .select("doc_id_a", "doc_id_b")
+    )
+    # exact referee: inverted-index cross-set Jaccard (work ∝ shared
+    # shingles, never |corpus|×|batch|)
+    ca = corpus.select(F.col("doc_id").alias("doc_id_a"), "t", "n")
+    cb = batch.select(F.col("doc_id").alias("doc_id_b"), "t", "n")
+    pa = ca.select(
+        "doc_id_a", F.col("n").alias("na"), F.explode("t").alias("s")
+    )
+    pb = cb.select(
+        "doc_id_b", F.col("n").alias("nb"), F.explode("t").alias("s")
+    )
+    exact = (
+        pa.join(pb, "s")
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(5 * F.col("i") >= 3 * (F.col("na") + F.col("nb") - F.col("i")))
+        .select("doc_id_a", "doc_id_b")
+    )
+    cert = pair_set_certificate(
+        exact, lsh, ["doc_id_a", "doc_id_b"], floor_num=9, floor_den=10
+    ).collect()[0]
+
+    # ---- grow the index: exactly-once append of the batch's band rows
+    v2, committed = append_snapshot(
+        table_dir,
+        1,
+        minhash_band_rows(batch).select("doc_id", "band_idx", "band_hash"),
+        key="band_hash",
+        batch_id=1,
+    )
+    _, replayed = append_snapshot(  # at-least-once redelivery
+        table_dir,
+        1,
+        minhash_band_rows(batch).select("doc_id", "band_idx", "band_hash"),
+        key="band_hash",
+        batch_id=1,
+    )
+    return spark.createDataFrame(
+        [
+            (
+                cert["n_exact_pairs"],
+                bool(cert["recall_floor_met"]),
+                bool(cert["precision_ok"]),
+                n_index_rows,
+                latest_version(table_dir),
+                bool(committed and not replayed),
+            )
+        ],
+        "n_exact_pairs long, recall_floor_met boolean,"
+        " precision_ok boolean, n_index_rows long, index_version long,"
+        " replay_skipped boolean",
+    )
