@@ -315,11 +315,19 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fact-join build side is broadcast below this row count (~100 MB as a
-# HashedRelation at ~48 B/row — a routine production broadcast size),
-# shuffle-hash joined above it. Decision input is a prepare-time count of
-# the already-filtered build side, not a guess from raw table bytes.
-_STAR_BCAST_ROWS = 2_000_000
+# Fact-join build side is broadcast below this row count (~400 MB as a
+# HashedRelation at ~48 B/row — large but routine: Spark clusters ship
+# broadcasts this size daily, and the alternative is exchanging the
+# ENTIRE fact), shuffle-hash joined above it. Decision input is a
+# prepare-time count of the already-filtered build side, not a guess
+# from raw table bytes. Raised 2 M → 8 M in r10: the ×500 sweep point
+# crossed the old gate and flipped star/topk to shuffle-hash, paying a
+# 300 M-row fact exchange — measured 10.6-17.6 s vs 7.5-8.6 s broadcast
+# (steady-state laps, ×500 corpus); every point ≤×100 already broadcast
+# under the old gate, so their recorded numbers are unaffected. At true
+# 100 TB the counted build sides exceed ANY driver-safe bound and the
+# shuffle-hash branch remains the path taken.
+_STAR_BCAST_ROWS = 8_000_000
 
 
 def _bounded_dim(
