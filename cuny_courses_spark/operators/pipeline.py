@@ -268,3 +268,174 @@ def q_pipeline_incremental_dedup(
         " precision_ok boolean, n_index_rows long, index_version long,"
         " replay_skipped boolean",
     )
+
+
+@register(
+    "q_pipeline_ann_index",
+    oracle="""
+WITH q AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+), c AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+)
+SELECT q.vec_id AS q_id,
+       round(max(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+             p -> p[1]::DOUBLE * p[2]::DOUBLE))), 4) AS top1_cos,
+       TRUE AS recall_floor_met,
+       CAST(2 AS BIGINT) AS index_version,
+       CAST(8 AS BIGINT) AS n_centroids
+FROM q, c
+GROUP BY q.vec_id
+""",
+)
+def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF VECTOR INDEX (the similarity half of r9 verdict
+    missing #5 — `q_pipeline_incremental_dedup` is the dedup half): the
+    coarse quantizer is trained ONCE (KMeans k=8, seed 42, on the
+    initial corpus — vec_id mod 10 in 1..7) and persisted as two
+    lakehouse tables — `centroids` (8 rows) and the cluster-keyed
+    inverted `lists` (bucketed on cluster id, so each probe is a
+    bucket-pruned read). A LATE corpus batch (mod 10 in {8, 9}) is then
+    assigned with the STORED centroids — no re-clustering, the O(batch)
+    incremental path — and appended to the lists exactly-once
+    (batch-id-tagged commit). Queries (mod 10 = 0) probe the stored
+    index: nprobe=7 nearest stored centroids per query (KMeans'
+    Euclidean affinity q·c − ‖c‖²/2), one equi-join against the lists'
+    HEAD snapshot, exact dot on probed candidates only, top-5 per
+    query. At 100 TB the index build is the one expensive pass; every
+    arriving batch and every query works against the stored tables —
+    recomputing centroids per query (what q_sim_ivf_topk's
+    self-contained form does) cannot ship at that scale.
+
+    Certificate (the `_topk_recall_certificate` pattern): exact
+    brute-force top-5 over queries × FULL corpus (initial + late) runs
+    in-query; the oracle recomputes each query's exact top-1 cosine
+    (hash-compared) with recall ≥ 0.8 as a constant-true flag;
+    index_version=2 pins build + exactly-one append, n_centroids=8
+    pins the stored quantizer the probe actually read."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from cuny_courses_spark.operators.lakehouse import (
+        append_snapshot,
+        latest_version,
+        snapshot_read,
+        snapshot_write,
+    )
+    from cuny_courses_spark.operators.scans import _io_dir
+    from cuny_courses_spark.operators.similarity import _dot
+
+    import os
+    import shutil
+
+    k, nprobe, topk = 8, 7, 5
+    cent_dir = _io_dir(sf_dir, "lake_ann_centroids")
+    lists_dir = _io_dir(sf_dir, "lake_ann_lists")
+    for d in (cent_dir, lists_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = e.filter((F.col("vec_id") % 10).isin(*range(1, 8)))
+    late = e.filter((F.col("vec_id") % 10).isin(8, 9))
+    queries = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
+    )
+
+    # ---- build phase: train once, persist quantizer + inverted lists
+    fit_in = init.withColumn(
+        "v", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=k, seed=42, featuresCol="v", predictionCol="cluster"
+    ).fit(fit_in)
+    cent_rows = [
+        (ci, [float(x) for x in c], float((c * c).sum()) / 2.0)
+        for ci, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cluster long, centroid array<double>, half_sq double"
+    )
+    snapshot_write(cent_df, cent_dir, key="cluster", version=1)
+    assigned = (
+        model.transform(fit_in)
+        .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
+                "embedding")
+    )
+    snapshot_write(assigned, lists_dir, key="cluster", version=1)
+
+    # ---- incremental phase: assign the late batch with the STORED
+    # centroids (argmax affinity — exactly KMeans' assignment rule),
+    # append exactly-once. No re-clustering happens anywhere below.
+    stored_cent = snapshot_read(spark, cent_dir)  # HEAD, 8 rows
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("affinity").desc(), F.col("cluster").asc()
+    )
+    late_assigned = (
+        late.crossJoin(F.broadcast(stored_cent))
+        .withColumn(
+            "affinity", _dot("embedding", "centroid") - F.col("half_sq")
+        )
+        .withColumn("arn", F.row_number().over(wc))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "cluster", "embedding")
+    )
+    append_snapshot(lists_dir, 1, late_assigned, key="cluster", batch_id=1)
+
+    # ---- probe phase: queries against the stored index only
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("affinity").desc(), F.col("cluster").asc()
+    )
+    probe_clusters = (
+        queries.crossJoin(F.broadcast(stored_cent))
+        .withColumn("affinity", _dot("eq", "centroid") - F.col("half_sq"))
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= nprobe)
+        .select("q_id", "eq", "cluster")
+    )
+    lists = snapshot_read(spark, lists_dir)  # HEAD = v2, init + late
+    wd = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    ivf5 = (
+        probe_clusters.join(lists, "cluster")
+        .withColumn("dot", _dot("eq", "embedding"))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", F.col("vec_id").alias("n_id"))
+    )
+
+    # ---- certificate: exact brute force over queries × full corpus
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    exact = (
+        queries.crossJoin(corpus)
+        .withColumn("dot", _dot("eq", "embedding"))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= topk)
+        .select("q_id", F.col("vec_id").alias("n_id"),
+                F.round("dot", 4).alias("cos"))
+    )
+    exact.persist()
+    try:
+        top1 = exact.groupBy("q_id").agg(F.max("cos").alias("top1_cos"))
+        n_exact = exact.count()
+        n_hit = exact.select("q_id", "n_id").join(
+            ivf5, ["q_id", "n_id"], "left_semi"
+        ).count()
+        out = top1.select(
+            "q_id",
+            "top1_cos",
+            F.lit(bool(5 * n_hit >= 4 * n_exact)).alias(
+                "recall_floor_met"
+            ),
+            F.lit(latest_version(lists_dir)).cast("long").alias(
+                "index_version"
+            ),
+            F.lit(
+                snapshot_read(spark, cent_dir).count()
+            ).cast("long").alias("n_centroids"),
+        )
+        out = out.persist()
+        out.count()  # materialize before unpersisting the input
+    finally:
+        exact.unpersist()
+    return out
