@@ -128,6 +128,7 @@ def commit_snapshot(
     schema: dict | None = None,
     dvs: dict[str, list[dict]] | None = None,
     added: dict[str, int] | None = None,
+    props: dict | None = None,
 ) -> None:
     """Atomically publish ``files`` as snapshot ``version``.
 
@@ -169,6 +170,8 @@ def commit_snapshot(
         }
     if added:
         doc["added"] = added
+    if props:  # table properties (e.g. stats_cols) — carried by writers
+        doc["props"] = props
     if schema is not None:
         doc["schema"] = schema
     with open(tmp, "w") as f:
@@ -583,7 +586,12 @@ def snapshot_write(
     layout (Morton-interleaved range buckets of two columns) bounds the
     file's range in BOTH dimensions at once. ``stats_cols`` harvests
     footer min/max for those extra columns into the manifest's ``cols``
-    stats, enabling ``col_range`` pruning on non-key predicates."""
+    stats, enabling ``col_range`` pruning on non-key predicates — and is
+    committed as a TABLE PROPERTY (``props.stats_cols``, Delta's
+    data-skipping-columns setting), so every later append / merge /
+    OPTIMIZE harvests the same columns for its new files and
+    multi-column pruning survives the table's whole write history, not
+    just the initial load."""
     b = _bucket_of(key) if bucket_col is None else bucket_col
     files = _write_buckets(
         df.withColumn("_b", b),
@@ -596,6 +604,7 @@ def snapshot_write(
         stats=_file_key_stats(files, key, extra_cols=stats_cols),
         schema=_schema_of(df),
         added={f: version for f in files},
+        props={"stats_cols": list(stats_cols)} if stats_cols else None,
     )
     return files
 
@@ -696,8 +705,9 @@ def merge_upsert(
         child_schema = _merge_schemas(parent_schema, _schema_of(merged))
     finally:
         upd.unpersist()
+    scols = parent.get("props", {}).get("stats_cols")
     stats = {p: parent_stats[p] for p in reused if p in parent_stats}
-    stats.update(_file_key_stats(new_files, key))
+    stats.update(_file_key_stats(new_files, key, extra_cols=scols))
     hot_set = {str(b) for b in hot}
     cold_dvs = {
         b: ps
@@ -716,6 +726,7 @@ def merge_upsert(
             schema=child_schema,
             dvs=cold_dvs,
             added=added,
+            props=parent.get("props"),
         )
     except FileExistsError:
         shutil.rmtree(staging, ignore_errors=True)  # only OUR staging
@@ -771,6 +782,7 @@ def delete_merge_on_read(
             schema=parent.get("schema"),
             dvs=dvs,
             added=parent.get("added"),
+            props=parent.get("props"),
         )
     except FileExistsError:
         shutil.rmtree(staging, ignore_errors=True)
@@ -819,7 +831,12 @@ def append_snapshot(
     new_files = _write_buckets(rows.withColumn("_b", _bucket_of(key)), staging)
     parent = _read_manifest_doc(table_dir, parent_version)
     stats = dict(parent.get("stats", {}))
-    stats.update(_file_key_stats(new_files, key))
+    stats.update(
+        _file_key_stats(
+            new_files, key,
+            extra_cols=parent.get("props", {}).get("stats_cols"),
+        )
+    )
     added = dict(parent.get("added", {}))
     added.update({p: version for p in new_files})
     try:
@@ -839,6 +856,7 @@ def append_snapshot(
             schema=_merge_schemas(parent.get("schema"), _schema_of(rows)),
             dvs=parent.get("dvs"),  # pending MoR deletes carry forward
             added=added,  # appended files post-date those DVs
+            props=parent.get("props"),
         )
     except FileExistsError:
         shutil.rmtree(staging, ignore_errors=True)  # orphaned staging dir
@@ -912,7 +930,12 @@ def optimize_compact(
         staging = None
         new_files = []
     stats = {p: parent_stats[p] for p in reused if p in parent_stats}
-    stats.update(_file_key_stats(new_files, key))
+    stats.update(
+        _file_key_stats(
+            new_files, key,
+            extra_cols=parent.get("props", {}).get("stats_cols"),
+        )
+    )
     parent_added = parent.get("added", {})
     added = {p: parent_added.get(p, 0) for p in reused}
     added.update({p: parent_version + 1 for p in new_files})
@@ -924,6 +947,7 @@ def optimize_compact(
             stats=stats,
             schema=parent_schema,
             added=added,  # every DV'd bucket was rewritten: no dvs carry
+            props=parent.get("props"),
         )
     except FileExistsError:
         if staging is not None:

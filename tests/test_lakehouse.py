@@ -707,3 +707,44 @@ def test_commit_with_retry_two_racing_merges_both_land(spark, tmp_path):
 
     with pytest.raises(FileExistsError, match="publish races"):
         lh.commit_with_retry(table_dir, always_lose, max_retries=2)
+
+
+def test_stats_cols_property_survives_append_and_optimize(spark, tmp_path):
+    """stats_cols is a TABLE PROPERTY: appends and OPTIMIZE harvest the
+    same extra columns for their new files, so multi-column (col_range)
+    pruning keeps working across the table's write history — not just
+    on the initial load's files."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources.loaders import load
+    from tests.conftest import SF_DIR
+
+    table_dir = str(tmp_path / "lake_props")
+    o = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+    )
+    base = o.filter(F.col("k") % 5 != 0)
+    lh.snapshot_write(base, table_dir, key="k", stats_cols=["c"])
+    lh.append_snapshot(table_dir, 1, o.filter(F.col("k") % 5 == 0), key="k")
+    doc2 = lh._read_manifest_doc(table_dir, 2)
+    assert doc2["props"] == {"stats_cols": ["c"]}
+    # every file — including the appended ones — carries c-stats
+    for p in doc2["files"]:
+        cs = doc2["stats"][p]["cols"]["c"]
+        assert cs["min"] is not None and cs["max"] is not None
+    lh.optimize_compact(spark, table_dir, 2, key="k")
+    doc3 = lh._read_manifest_doc(table_dir, 3)
+    assert doc3["props"] == {"stats_cols": ["c"]}
+    for p in doc3["files"]:
+        cs = doc3["stats"][p]["cols"]["c"]
+        assert cs["min"] is not None and cs["max"] is not None
+    # col_range pruning on the compacted table returns the right rows
+    cmax = o.agg(F.max("c")).collect()[0][0]
+    lo, hi = 1, max(1, cmax // 4)
+    got = (
+        lh.snapshot_read(spark, table_dir, 3, col_range=("c", lo, hi))
+        .filter(F.col("c").between(lo, hi))
+        .count()
+    )
+    assert got == o.filter(F.col("c").between(lo, hi)).count()
