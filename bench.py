@@ -1683,7 +1683,18 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
         if not any(isinstance(v, (int, float)) for v in entry.values()):
             continue
         for k, v in entry.items():
-            if k.endswith(("_duckdb", "_laps")) or k.startswith("_"):
+            # sidecar-only families (per-lap lists, pair counts, disk
+            # footprints, floor attributions) never enter the compact
+            # line — they'd stringify large and trip the size guard.
+            if k.endswith(
+                (
+                    "_duckdb",
+                    "_laps",
+                    "_pairs",
+                    "_shuffle_mb",
+                    "_floor_attr",
+                )
+            ) or k.startswith("_"):
                 continue
             tw = entry.get(f"{k}_duckdb")
             if isinstance(v, (int, float)) and isinstance(tw, (int, float)):
