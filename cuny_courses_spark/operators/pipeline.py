@@ -335,6 +335,12 @@ def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isdir(d):
             shutil.rmtree(d)
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e.isEmpty():  # KMeans cannot fit zero rows (ivf_topk's guard)
+        return spark.createDataFrame(
+            [],
+            "q_id long, top1_cos double, recall_floor_met boolean,"
+            " index_version long, n_centroids long",
+        )
     init = e.filter((F.col("vec_id") % 10).isin(*range(1, 8)))
     late = e.filter((F.col("vec_id") % 10).isin(8, 9))
     queries = e.filter(F.col("vec_id") % 10 == 0).select(
