@@ -2246,3 +2246,141 @@ def q_lake_commit_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "head_version long, n_a long, n_b long, n_rows long,"
         " sum_cents_touched long",
     )
+
+
+@register(
+    "q_lake_stream_source",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders
+), base AS (SELECT * FROM src WHERE k % 5 <> 0),
+app AS (SELECT * FROM src WHERE k % 5 = 0 AND k % 3 = 0),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+upd AS (
+    SELECT k, 2 * cents AS cents, 'X' AS st
+    FROM src WHERE k % 97 = 0 AND k % 89 <> 0
+), delk AS (SELECT k FROM src WHERE k % 89 = 0),
+v3 AS (
+    SELECT * FROM v2
+    WHERE k NOT IN (SELECT k FROM upd) AND k NOT IN (SELECT k FROM delk)
+    UNION ALL SELECT * FROM upd
+), v4 AS (SELECT * FROM v3 WHERE k % 101 <> 5)
+SELECT (SELECT count(*) FROM v4) AS n_rows_final,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM v4)
+           AS sum_cents_final,
+       (SELECT count(*) FROM v4 WHERE st = 'X') AS n_x_final,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       (SELECT count(*) FROM app)
+           + (SELECT count(*) FROM upd
+              WHERE k NOT IN (SELECT k FROM v2)) AS n_feed_inserts,
+       (SELECT count(*) FROM upd WHERE k IN (SELECT k FROM v2))
+           AS n_feed_updates,
+       (SELECT count(*) FROM delk WHERE k IN (SELECT k FROM v2))
+           + (SELECT count(*) FROM v3 WHERE k % 101 = 5)
+           AS n_feed_deletes,
+       CAST(3 AS BIGINT) AS n_batches
+""",
+)
+def q_lake_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING FROM the lakehouse — the consumption half of the
+    streaming story (`q_lake_stream_commit` is the sink half): a
+    downstream consumer takes the v1 snapshot as its initial load, then
+    drains the manifest log one version at a time — `latest_version`
+    for discovery, `incremental_diff` per (v−1, v) as the micro-batch —
+    applying each change feed to its keyed state (delete/update keys
+    displaced, insert/update postimages applied). The commit history
+    deliberately exercises every feed shape: an APPEND (inserts), a CoW
+    MERGE with updates AND deletes, and a MERGE-ON-READ delete (the
+    feed must surface DV-only changes — the file list never changed).
+    This is the Delta-streaming-source / Iceberg-incremental-scan verb:
+    at 100 TB the consumer reads O(changed files) per trigger, never
+    re-snapshots, and `n_mismatch` PROVES exactly-once end-to-end — the
+    reconstructed state equals the head snapshot row-for-row (emitted
+    from the RECONSTRUCTION, so a dropped or doubled batch hash-fails).
+
+    Oracle: final state + per-type feed totals recomputed logically
+    from orders; n_batches pins the drain protocol."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_stream_src")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
+    append_snapshot(
+        table_dir,
+        1,
+        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
+        key="k",
+        batch_id=1,
+    )
+    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
+        "k",
+        (F.col("cents") * 2).alias("cents"),
+        F.lit("X").alias("st"),
+        F.lit(False).alias("_del"),
+    )
+    dels = src.filter(F.col("k") % 89 == 0).select(
+        "k",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("string").alias("st"),
+        F.lit(True).alias("_del"),
+    )
+    merge_upsert(
+        spark, table_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
+    )
+    delete_merge_on_read(
+        spark, table_dir, 3, src.filter(F.col("k") % 101 == 5), key="k"
+    )
+
+    # ---- the consumer: initial snapshot + one change feed per version
+    head = latest_version(table_dir)
+    state = snapshot_read(spark, table_dir, 1)
+    n_ins = n_upd = n_del = 0
+    for v in range(2, head + 1):
+        feed = incremental_diff(spark, table_dir, v - 1, v, key="k")
+        feed = feed.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = feed.groupBy("_change_type").count().collect()
+        by = {r["_change_type"]: r["count"] for r in counts}
+        n_ins += by.get("insert", 0)
+        n_upd += by.get("update_postimage", 0)
+        n_del += by.get("delete", 0)
+        changed = feed.select("k")
+        survivors = feed.filter(
+            F.col("_change_type") != "delete"
+        ).drop("_change_type")
+        state = state.join(changed, "k", "left_anti").unionByName(survivors)
+    # one materialization of the reconstruction; lineage depth is
+    # 3 batches here and bounded by (versions drained) generally —
+    # a long-running consumer would checkpoint its state per trigger
+    state = state.persist(StorageLevel.MEMORY_AND_DISK)
+    agg = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents").cast("long"), F.lit(0)).alias("s"),
+        F.sum(F.when(F.col("st") == "X", 1).otherwise(0))
+        .cast("long")
+        .alias("nx"),
+    ).collect()[0]
+    head_state = snapshot_read(spark, table_dir, head)
+    n_mismatch = (
+        state.exceptAll(head_state).count()
+        + head_state.exceptAll(state).count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                agg["n"], agg["s"], agg["nx"], n_mismatch,
+                n_ins, n_upd, n_del, head - 1,
+            )
+        ],
+        "n_rows_final long, sum_cents_final long, n_x_final long,"
+        " n_mismatch long, n_feed_inserts long, n_feed_updates long,"
+        " n_feed_deletes long, n_batches long",
+    )
