@@ -355,6 +355,54 @@ def prune_files(
     return selected, doc["files"]
 
 
+def rebucket(
+    spark: SparkSession,
+    table_dir: str,
+    parent_version: int,
+    key: str,
+    n_buckets: int,
+) -> list[str]:
+    """BUCKET EVOLUTION (the Iceberg partition-evolution move, reduced
+    to this format's one layout knob): rewrite the table into
+    ``n_buckets`` hash buckets as a normal versioned commit. Old
+    snapshots stay readable forever — manifests are EXPLICIT file
+    lists, so a reader of v_N never consults the current bucket count —
+    while every writer after the rebucket picks up the new modulus from
+    the ``n_buckets`` table property (``_table_n_buckets``): merges
+    target hot buckets, appends lay out files, and deletion vectors
+    bucket their keys all under the new scheme. Pending DVs fold into
+    the rewrite (the read below is DV-aware), and per-file stats are
+    re-harvested. This is the knob that re-tunes rewrite amplification
+    as a table grows: at 100 TB, doubling the bucket count halves the
+    data a single-key merge rewrites — without rewriting history or
+    breaking time travel."""
+    parent = _read_manifest_doc(table_dir, parent_version)
+    df = snapshot_read(spark, table_dir, parent_version)
+    staging = os.path.join(
+        table_dir, "data", f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}"
+    )
+    files = _write_buckets(
+        df.withColumn("_b", _bucket_of(key, n_buckets)), staging, n_buckets
+    )
+    props = dict(parent.get("props", {}))
+    props["n_buckets"] = n_buckets
+    scols = props.get("stats_cols")
+    try:
+        commit_snapshot(
+            table_dir,
+            parent_version + 1,
+            files,
+            stats=_file_key_stats(files, key, extra_cols=scols),
+            schema=parent.get("schema"),
+            added={f: parent_version + 1 for f in files},
+            props=props,
+        )
+    except FileExistsError:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return files
+
+
 def commit_with_retry(table_dir: str, attempt, max_retries: int = 5):
     """The optimistic-concurrency retry loop, packaged (r9 verdict
     missing #4 — the protocol documented "loser retries at N+1" but made
@@ -440,7 +488,9 @@ def snapshot_read(
     return _read_snapshot_files(spark, doc, files)
 
 
-def _write_buckets(df: DataFrame, out_dir: str) -> list[str]:
+def _write_buckets(
+    df: DataFrame, out_dir: str, n_buckets: int = _N_BUCKETS
+) -> list[str]:
     """Write ``df`` bucket-partitioned, ONE file per occupied bucket;
     return the data file paths.
 
@@ -456,7 +506,7 @@ def _write_buckets(df: DataFrame, out_dir: str) -> list[str]:
     prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
     spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
     try:
-        df = df.repartition(_N_BUCKETS, "_b")
+        df = df.repartition(n_buckets, "_b")
         df.write.mode("overwrite").partitionBy("_b").parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
@@ -467,8 +517,16 @@ def _write_buckets(df: DataFrame, out_dir: str) -> list[str]:
     ]
 
 
-def _bucket_of(key: str):
-    return F.pmod(F.col(key), F.lit(_N_BUCKETS))
+def _bucket_of(key: str, n_buckets: int = _N_BUCKETS):
+    return F.pmod(F.col(key), F.lit(n_buckets))
+
+
+def _table_n_buckets(doc: dict) -> int:
+    """The table's bucket count — a TABLE PROPERTY (default 16): every
+    writer must bucket new rows and DVs with the SAME modulus the data
+    files were laid out with, or hot-bucket targeting and DV application
+    silently go wrong after a REBUCKET commit."""
+    return int(doc.get("props", {}).get("n_buckets", _N_BUCKETS))
 
 
 def _bucket_of_path(p: str) -> int:
@@ -576,8 +634,14 @@ def snapshot_write(
     version: int = 1,
     bucket_col=None,
     stats_cols: list[str] | None = None,
+    n_buckets: int = _N_BUCKETS,
 ) -> list[str]:
     """Create snapshot ``version`` from scratch (full write, no parent).
+
+    ``n_buckets`` is committed as a TABLE PROPERTY so every later writer
+    buckets new rows (and deletion vectors) with the same modulus —
+    changed later only through a REBUCKET commit (``rebucket``), never
+    in place.
 
     ``bucket_col`` overrides the default hash layout (``key % 16``) —
     e.g. a RANGE layout (``key DIV width``) makes per-file key stats
@@ -592,11 +656,17 @@ def snapshot_write(
     OPTIMIZE harvests the same columns for its new files and
     multi-column pruning survives the table's whole write history, not
     just the initial load."""
-    b = _bucket_of(key) if bucket_col is None else bucket_col
+    b = _bucket_of(key, n_buckets) if bucket_col is None else bucket_col
     files = _write_buckets(
         df.withColumn("_b", b),
         os.path.join(table_dir, "data", f"v{version}"),
+        n_buckets=n_buckets,
     )
+    props: dict = {}
+    if stats_cols:
+        props["stats_cols"] = list(stats_cols)
+    if n_buckets != _N_BUCKETS:
+        props["n_buckets"] = n_buckets
     commit_snapshot(
         table_dir,
         version,
@@ -604,7 +674,7 @@ def snapshot_write(
         stats=_file_key_stats(files, key, extra_cols=stats_cols),
         schema=_schema_of(df),
         added={f: version for f in files},
-        props={"stats_cols": list(stats_cols)} if stats_cols else None,
+        props=props or None,
     )
     return files
 
@@ -648,7 +718,9 @@ def merge_upsert(
     staged under a per-attempt unique directory — a loser of the commit
     race removes only its OWN staging, never the winner's published
     files (the append_snapshot staging rule, extended here)."""
-    upd = updates.withColumn("_b", _bucket_of(key)).persist(
+    parent = _read_manifest_doc(table_dir, parent_version)
+    nb = _table_n_buckets(parent)
+    upd = updates.withColumn("_b", _bucket_of(key, nb)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     staging = os.path.join(
@@ -657,8 +729,7 @@ def merge_upsert(
     try:
         hot = sorted(
             r["_b"] for r in upd.select("_b").distinct().collect()
-        )  # bounded by _N_BUCKETS — a constant, never data-sized
-        parent = _read_manifest_doc(table_dir, parent_version)
+        )  # bounded by the table's bucket count — never data-sized
         parent_files = parent["files"]
         parent_stats = parent.get("stats", {})
         parent_schema = parent.get("schema")
@@ -697,7 +768,7 @@ def merge_upsert(
         else:
             merged = inserts
         new_files = _write_buckets(
-            merged.withColumn("_b", _bucket_of(key)), staging
+            merged.withColumn("_b", _bucket_of(key, nb)), staging, nb
         )
         # parent ∪ merged, not _schema_of(merged) alone: with zero hot
         # parent files, merged is just the changeset, whose columns must
@@ -762,11 +833,14 @@ def delete_merge_on_read(
     only remove rows, so min/max stay sound for pruning and ``rows``
     becomes a documented upper bound until the next compaction."""
     parent = _read_manifest_doc(table_dir, parent_version)
+    nb = _table_n_buckets(parent)
     staging = os.path.join(
         table_dir, "dv", f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}"
     )
     dv_files = _write_buckets(
-        deletes.select(key).withColumn("_b", _bucket_of(key)), staging
+        deletes.select(key).withColumn("_b", _bucket_of(key, nb)),
+        staging,
+        nb,
     )
     dvs = {b: list(es) for b, es in parent.get("dvs", {}).items()}
     for p in dv_files:
@@ -828,8 +902,11 @@ def append_snapshot(
     staging = os.path.join(
         table_dir, "data", f"v{version}_{uuid.uuid4().hex[:8]}"
     )
-    new_files = _write_buckets(rows.withColumn("_b", _bucket_of(key)), staging)
     parent = _read_manifest_doc(table_dir, parent_version)
+    nb = _table_n_buckets(parent)
+    new_files = _write_buckets(
+        rows.withColumn("_b", _bucket_of(key, nb)), staging, nb
+    )
     stats = dict(parent.get("stats", {}))
     stats.update(
         _file_key_stats(
@@ -925,7 +1002,9 @@ def optimize_compact(
             "data",
             f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}",
         )
-        new_files = _write_buckets(merged, staging)
+        new_files = _write_buckets(
+            merged, staging, _table_n_buckets(parent)
+        )
     else:
         staging = None
         new_files = []
@@ -2383,4 +2462,96 @@ def q_lake_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_final long, sum_cents_final long, n_x_final long,"
         " n_mismatch long, n_feed_inserts long, n_feed_updates long,"
         " n_feed_deletes long, n_batches long",
+    )
+
+
+@register(
+    "q_lake_rebucket",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), v3s AS (SELECT * FROM src WHERE k % 89 <> 0),
+   upd AS (SELECT k, 3 * cents AS cents FROM src WHERE k % 997 = 0)
+SELECT (SELECT count(DISTINCT k % 16) FROM src) AS n_files_v1,
+       (SELECT count(DISTINCT k % 32) FROM v3s) AS n_files_v3,
+       (SELECT count(*) FROM src) AS n_rows_v1_tt,
+       (SELECT count(*) FROM v3s) AS n_rows_v3,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM v3s)
+           AS sum_cents_v3,
+       CAST(0 AS BIGINT) AS n_dv_v3,
+       (SELECT count(DISTINCT k % 32) FROM upd) AS n_files_rewritten_v4,
+       (SELECT count(*) FROM v3s WHERE k % 997 <> 0)
+           + (SELECT count(*) FROM upd) AS n_rows_v4,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM v3s
+        WHERE k % 997 <> 0)
+           + (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM upd)
+           AS sum_cents_v4
+""",
+)
+def q_lake_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET EVOLUTION: the table starts at 16 hash buckets, absorbs a
+    merge-on-read delete (DVs bucketed mod 16), then a REBUCKET commit
+    rewrites it into 32 buckets — folding the pending DVs, re-harvesting
+    stats, and recording the new modulus as the ``n_buckets`` table
+    property. Time travel to v1 still reads the 16-bucket files
+    (manifests are explicit file lists — old snapshots never consult
+    the current layout), and a post-rebucket MERGE proves every writer
+    picked up the new scheme: its rewrite set is exactly the
+    changeset's mod-32 buckets (n_files_rewritten_v4 — a writer still
+    bucketing mod 16 would rewrite a different file set and hash-fail).
+    At 100 TB this is how rewrite amplification is re-tuned as a table
+    grows — double the buckets, halve what a single-key merge rewrites
+    — without rewriting history or breaking time travel.
+
+    Oracle: file counts from bucket arithmetic at both moduli; every
+    version's state recomputed logically from orders."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_rebucket")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), fp("o_totalprice").alias("cents")
+    )
+    v1_files = snapshot_write(src, table_dir, key="k", version=1)
+    delete_merge_on_read(
+        spark, table_dir, 1, src.filter(F.col("k") % 89 == 0), key="k"
+    )
+    v3_files = rebucket(spark, table_dir, 2, key="k", n_buckets=32)
+    doc3 = _read_manifest_doc(table_dir, 3)
+    n_dv_v3 = sum(len(es) for es in doc3.get("dvs", {}).values())
+    a3 = (
+        snapshot_read(spark, table_dir, 3)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents").cast("long"), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
+    )
+    n_v1_tt = snapshot_read(spark, table_dir, 1).count()  # time travel
+    upd = src.filter(F.col("k") % 997 == 0).select(
+        "k", (F.col("cents") * 3).alias("cents")
+    )
+    v4_files = merge_upsert(spark, table_dir, 3, upd, key="k")
+    rewritten = len(set(v4_files) - set(v3_files))
+    a4 = (
+        snapshot_read(spark, table_dir, 4)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents").cast("long"), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(v1_files), len(v3_files), n_v1_tt, a3["n"], a3["s"],
+                n_dv_v3, rewritten, a4["n"], a4["s"],
+            )
+        ],
+        "n_files_v1 long, n_files_v3 long, n_rows_v1_tt long,"
+        " n_rows_v3 long, sum_cents_v3 long, n_dv_v3 long,"
+        " n_files_rewritten_v4 long, n_rows_v4 long, sum_cents_v4 long",
     )
