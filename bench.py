@@ -517,16 +517,33 @@ def _drain_storage(spark, timeout_sec: float = 15.0) -> None:
         time.sleep(0.2)
 
 
-def _shuffle_dir_mb() -> int:
+def _session_shuffle_dirs(spark) -> list:
+    """THIS session's block-manager local dirs, resolved from the live
+    SparkEnv (r10 advice: a bare /tmp glob also counted leftover dirs
+    from other/previous Spark sessions and could misattribute lap drift
+    to backlog that isn't this JVM's)."""
+    try:
+        jdirs = (
+            spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+            .blockManager()
+            .diskBlockManager()
+            .localDirs()
+        )
+        return [str(jdirs[i].getAbsolutePath()) for i in range(len(jdirs))]
+    except Exception:
+        return []
+
+
+def _shuffle_dir_mb(spark) -> int:
     """Total MB under this JVM's shuffle/block-manager temp dirs — the
     per-lap accumulation probe for the heavy-sweep sidecar (r10):
     attributes any future lap drift to disk backlog (or exonerates it)
-    from the artifact alone."""
-    import glob
+    from the artifact alone. Scoped to the dirs the running SparkEnv
+    actually owns, never a /tmp-wide glob."""
     import subprocess
 
     tot = 0
-    for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
+    for d in _session_shuffle_dirs(spark):
         try:
             r = subprocess.run(
                 ["du", "-sm", d], capture_output=True, text=True, timeout=20
@@ -1298,7 +1315,7 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         # OUTSIDE the timed region (extended-sweep-only;
                         # the ms-scale headline laps are untouched).
                         lap_times = [warm_sec]
-                        lap_disk = [_shuffle_dir_mb()]
+                        lap_disk = [_shuffle_dir_mb(spark)]
                         # Adaptive convergence for the GC/JIT-lottery set
                         # (r9): fixed best-of-3 only SOMETIMES lands the
                         # steady state — one r9 run lapped near_jaccard
@@ -1336,7 +1353,7 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                             t0 = time.perf_counter()
                             fn(spark, d).toPandas()
                             lap_times.append(time.perf_counter() - t0)
-                            lap_disk.append(_shuffle_dir_mb())
+                            lap_disk.append(_shuffle_dir_mb(spark))
                             done_laps += 1
                             if done_laps >= op_laps:
                                 if not heavy:

@@ -100,6 +100,14 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, "manifest", f"v{version}.json")
 
 
+# Metadata READS go through this module-level indirection so that
+# instrumentation (q_lake_latest_read counts cold-resolution opens) can
+# swap in a counting wrapper scoped to THIS module — never a process-wide
+# builtins.open patch, which would race any concurrent driver-side thread
+# (py4j callbacks, logging) and could leak a patched open on error.
+_meta_open = open
+
+
 def _publish_manifest(tmp: str, final: str) -> None:
     """Publish a fully-written manifest at its final name, atomically and
     exclusively — the ONLY storage-specific step in the commit protocol.
@@ -186,7 +194,7 @@ def commit_snapshot(
 
 
 def _read_manifest_doc(table_dir: str, version: int) -> dict:
-    with open(_manifest_path(table_dir, version)) as f:
+    with _meta_open(_manifest_path(table_dir, version)) as f:
         return json.load(f)
 
 
@@ -248,7 +256,7 @@ def latest_version(table_dir: str) -> int:
     2 metadata ops and half a million LISTs a year."""
     v = 0
     try:
-        with open(_head_path(table_dir)) as f:
+        with _meta_open(_head_path(table_dir)) as f:
             hint = json.load(f).get("version", 0)
         if hint > 0 and os.path.exists(_manifest_path(table_dir, hint)):
             v = hint
@@ -474,7 +482,8 @@ def snapshot_read(
         by_col, _ = prune_files(
             table_dir, version, col_range[1], col_range[2], col=col_range[0]
         )
-        files = [p for p in files if p in set(by_col)]
+        sel = set(by_col)  # hoisted: O(n) intersect, not O(n^2) rebuilds
+        files = [p for p in files if p in sel]
     sch = doc.get("schema")
     if not files:
         if sch is not None:
@@ -1176,6 +1185,18 @@ def expire_snapshots(
             out.update(e["path"] for e in es)
         return out
 
+    # Advance the HEAD hint to the highest KEPT version BEFORE deleting
+    # any manifest: an arbitrary keep list can leave version GAPS, and a
+    # stale hint at a kept version below a gap would otherwise terminate
+    # latest_version's forward probe early — and self-heal the pointer to
+    # that stale value, making the wrong answer sticky. Writing first
+    # (monotonic-guarded, so a hint above max(keep) — a version this call
+    # is about to delete — is left alone and readers fall back to the
+    # directory listing) closes the window even if this process crashes
+    # mid-deletion.
+    kept_existing = [v for v in versions if v in keep]
+    if kept_existing:
+        _advance_head(table_dir, max(kept_existing))
     candidates: set[str] = set()
     for v in versions:
         if v in keep:
@@ -1957,8 +1978,6 @@ def q_lake_latest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPTIMIZE — a wrong pointer or a missed commit shifts it), and v1
     time-travel row count proves explicit versions still work alongside
     pointer reads."""
-    import builtins
-
     from cuny_courses_spark.operators.scans import _io_dir
 
     table_dir = _io_dir(sf_dir, "lake_latest")
@@ -1981,24 +2000,26 @@ def q_lake_latest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # count manifest-dir file OPENS during a cold HEAD resolution (the
     # os.path.exists forward probes are stat()s, not opens — the object-
-    # store analogue is HEAD-not-GET, which is the cheap class of op)
+    # store analogue is HEAD-not-GET, which is the cheap class of op).
+    # The spy swaps THIS MODULE's _meta_open indirection — every metadata
+    # read funnels through it — never builtins.open, so concurrent
+    # driver-side threads are untouched and an exception can't leak a
+    # process-wide patched open.
+    global _meta_open
     opened: list[str] = []
-    real_open = builtins.open
+    real_open = _meta_open
 
     def _spy(path, *a, **kw):
-        if os.sep + "manifest" + os.sep in str(path) and (
-            not a or "r" in str(a[0])
-        ):
-            opened.append(str(path))
+        opened.append(str(path))
         return real_open(path, *a, **kw)
 
-    builtins.open = _spy
+    _meta_open = _spy
     try:
         head = latest_version(table_dir)
         head_df = snapshot_read(spark, table_dir)  # no version argument
         n_meta = len(set(opened))
     finally:
-        builtins.open = real_open
+        _meta_open = real_open
 
     agg = head_df.agg(
         F.count(F.lit(1)).alias("n"),
