@@ -349,12 +349,12 @@ def test_merge_delete_randomized_equivalence(spark, tmp_path):
 
 
 def test_append_commit_race_single_winner(spark, tmp_path):
-    """Two writers racing DIFFERENT batches onto the same parent version:
-    exactly one commits, the loser gets FileExistsError (never a silent
-    double-commit, never both failing), and the table state reflects
-    exactly the winner — the property the exactly-once streaming sink
-    stands on under real concurrency, exercised through threads rather
-    than sequential calls."""
+    """Two writers racing DIFFERENT batches onto the same parent version,
+    touching DISJOINT bucket sets (even vs odd buckets): the loser of the
+    atomic publish no longer re-stages or fails — conflict detection sees
+    the interloper's ``touched`` set is disjoint and REBASES the staged
+    commit at head+1. BOTH batches land, exactly once each, and the final
+    state carries both writers' rows (r10 verdict missing #2)."""
     import threading
 
     from pyspark.sql import functions as F
@@ -362,10 +362,56 @@ def test_append_commit_race_single_winner(spark, tmp_path):
     table_dir, o, _ = _table(spark, tmp_path)
     rows_a = o.filter(F.col("k") % 10 == 0).select(
         "k", F.lit("A").alias("st")
-    )
+    )  # buckets: even residues mod 16
     rows_b = o.filter(F.col("k") % 10 == 5).select(
         "k", F.lit("B").alias("st")
+    )  # buckets: odd residues mod 16 — disjoint from A's
+    results: dict[str, object] = {}
+
+    def attempt(tag, rows, batch_id):
+        try:
+            results[tag] = lh.append_snapshot(
+                table_dir, 1, rows, key="k", batch_id=batch_id
+            )
+        except FileExistsError:
+            results[tag] = "conflict"
+
+    ta = threading.Thread(target=attempt, args=("a", rows_a, 100))
+    tb = threading.Thread(target=attempt, args=("b", rows_b, 200))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert "conflict" not in results.values(), results
+    versions = sorted(v for v, _ in results.values())
+    assert versions == [2, 3], results
+    assert all(committed for _, committed in results.values())
+    # head state = parent + BOTH writers' rows, exactly once each
+    head = lh.snapshot_read(spark, table_dir)
+    na = head.filter(F.col("st") == "A").count()
+    nb = head.filter(F.col("st") == "B").count()
+    assert na == rows_a.count() and nb == rows_b.count()
+    # and each replay is recognized across the rebased history
+    for tag, rows, bid in (("a", rows_a, 100), ("b", rows_b, 200)):
+        v, committed = lh.append_snapshot(
+            table_dir, 1, rows, key="k", batch_id=bid
+        )
+        assert not committed and v == results[tag][0]
+
+
+def test_append_race_overlapping_buckets_is_true_conflict(spark, tmp_path):
+    """When racing appends touch an OVERLAPPING bucket set, the rebase
+    path must refuse: exactly one commits, the loser raises
+    FileExistsError for the caller's re-stage loop — rebasing would
+    silently drop one writer's group for the shared bucket."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    table_dir, o, _ = _table(spark, tmp_path)
+    rows_a = o.filter(F.col("k") % 16 == 0).select(
+        "k", F.lit("A").alias("st")
     )
+    rows_b = o.filter((F.col("k") % 16).isin(0, 1)).select(
+        "k", F.lit("B").alias("st")
+    )  # shares bucket 0 with A
     results: dict[str, object] = {}
 
     def attempt(tag, rows, batch_id):
@@ -383,12 +429,6 @@ def test_append_commit_race_single_winner(spark, tmp_path):
     assert outcomes.count("conflict") == 1, results
     winner = next(k for k, v in results.items() if v != "conflict")
     assert results[winner] == (2, True)
-    # v2 state = parent + exactly the winner's rows
-    v2 = lh.snapshot_read(spark, table_dir, 2)
-    tag = v2.filter(F.col("st").isin("A", "B")).select("st").distinct()
-    assert [r["st"] for r in tag.collect()] == [
-        "A" if winner == "a" else "B"
-    ]
 
 
 def test_cdc_feed_randomized_equivalence(spark, tmp_path):
@@ -516,8 +556,13 @@ def test_losing_merge_never_touches_winner_files(spark, tmp_path):
     for p in v2_files:
         assert os.path.exists(p), f"winner file deleted by loser: {p}"
     assert sorted(lh.snapshot_read(spark, table_dir, 2).collect()) == want
-    with pytest.raises(FileExistsError):
-        lh.optimize_compact(spark, table_dir, 1, key="k")  # also races v2
+    # a STALE no-op OPTIMIZE (v1's buckets are already single-file, so it
+    # touches zero buckets) commutes with anything: conflict detection
+    # rebases it onto the merge as a state-identical v3 instead of
+    # failing — and the winner's v2 remains byte-identical.
+    lh.optimize_compact(spark, table_dir, 1, key="k")
+    assert lh.latest_version(table_dir) == 3
+    assert sorted(lh.snapshot_read(spark, table_dir, 3).collect()) == want
     assert sorted(lh.snapshot_read(spark, table_dir, 2).collect()) == want
 
 
