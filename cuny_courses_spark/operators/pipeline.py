@@ -445,3 +445,239 @@ def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         exact.unpersist()
     return out
+
+
+def _within_cluster_pairs(
+    assigned: DataFrame, threshold: float, n_blocks: int = 4
+) -> DataFrame:
+    """Cosine pairs ≥ ``threshold`` WITHIN each cluster only — the
+    SemDeDup kernel. Same block-partitioned exact pair grid as
+    ``neardup_cosine_pairs`` (sequential-in-dimension fold, decimal
+    HALF-UP rounding — bit-identical to the DuckDB twin), but the
+    grouping key is (cluster, block-pair): work is Σ|cluster|²·dim
+    instead of |corpus|²·dim, and rows moved are n·B. At 100 TB the
+    cluster count (not 8) is sized so clusters fit a task; the block
+    grid further splits any hot cluster."""
+    import numpy as np
+    import pandas as pd
+
+    from cuny_courses_spark.operators.similarity import _round4_np
+
+    spark = assigned.sparkSession
+    a2 = assigned.withColumn(
+        "blk", F.pmod("vec_id", F.lit(n_blocks)).cast("int")
+    )
+    pair_tbl = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "bi int, bj int",
+    )
+    side_a = a2.join(pair_tbl, a2.blk == pair_tbl.bi).select(
+        "cluster", "bi", "bj", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    side_b = a2.join(pair_tbl, a2.blk == pair_tbl.bj).select(
+        "cluster", "bi", "bj", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
+
+    def block(key, pdf):
+        _, bi, bj = key
+        a = pdf[pdf["side"] == 0].sort_values("vec_id")
+        b = pdf[pdf["side"] == 1].sort_values("vec_id")
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        ma = np.vstack(a["embedding"].to_numpy()).astype(np.float64)
+        mb = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+        acc = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
+        for k in range(ma.shape[1]):
+            acc += np.multiply.outer(ma[:, k], mb[:, k])
+        cos = _round4_np(acc)
+        grid_a = np.broadcast_to(ids_a[:, None], cos.shape)
+        grid_b = np.broadcast_to(ids_b[None, :], cos.shape)
+        if bi == bj:
+            keep = (cos >= threshold) & (grid_a < grid_b)
+        else:
+            keep = cos >= threshold
+        ka, kb = grid_a[keep], grid_b[keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ka, kb),
+                "id_b": np.maximum(ka, kb),
+                "cos": cos[keep],
+            }
+        )
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("cluster", "bi", "bj")
+        .applyInPandas(block, "id_a long, id_b long, cos double")
+    )
+
+
+@register(
+    "q_pipeline_semantic_dedup",
+    oracle="""
+WITH work AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding, x -> 0.97 * x::DOUBLE)
+    FROM embeddings WHERE vec_id % 50 = 7
+), exact AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM work a JOIN work b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> p[1]::DOUBLE * p[2]::DOUBLE)), 4) >= 0.95
+), removed AS (SELECT DISTINCT id_b FROM exact)
+SELECT (SELECT count(*) FROM work) AS n_total,
+       (SELECT count(*) FROM exact) AS n_exact_pairs,
+       (SELECT count(*) FROM removed) AS n_removed,
+       (SELECT count(*) FROM work)
+           - (SELECT count(*) FROM removed) AS n_kept,
+       (SELECT COALESCE(CAST(sum(vec_id) AS BIGINT), 0) FROM work)
+           - (SELECT COALESCE(CAST(sum(id_b) AS BIGINT), 0) FROM removed)
+           AS kept_id_sum,
+       TRUE AS recall_floor_met,
+       TRUE AS precision_ok,
+       CAST(8 AS BIGINT) AS n_centroids,
+       CAST(1 AS BIGINT) AS index_version
+""",
+)
+def q_pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP, SemDeDup-shape (r10 verdict missing #3): cluster
+    the embedding space with a PERSISTED coarse quantizer, then do exact
+    cosine dedup WITHIN clusters only — never all-pairs across the
+    corpus. This is the third dedup leg next to lexical
+    (minhash/simhash) and threshold-pair (neardup_cosine): it removes
+    meaning-level duplicates whose surface text differs.
+
+    Protocol (composes the two persisted-index primitives that already
+    exist): KMeans k=8 seed 42 is trained ONCE on the working corpus and
+    committed to a lakehouse `centroids` table; every document is
+    assigned by argmax affinity against the STORED centroids (the
+    q_pipeline_ann_index assignment rule — at 100 TB assignment is the
+    only per-document work and is a linear scan against an 8-row
+    broadcast); within-cluster pairs ≥ 0.95 come from a block-
+    partitioned exact pair grid GROUPED BY CLUSTER (work Σ|cluster|²,
+    the SemDeDup economics); the dedup rule keeps the smallest vec_id
+    of every pair relation (deterministic canonical winner).
+
+    Non-vacuous by construction: the corpus has no pairs above ≈0.6, so
+    the query injects SQL-expressible semantic replicas — vec_id%50==7
+    docs re-embedded at 0.97× scale (dot = 0.97 ≥ τ, direction
+    identical ⇒ same cluster) under vec_id+1e6. The oracle rebuilds the
+    same corpus and computes the exact quadratic pair set, the removed
+    set (greater id of every pair), and the KEPT ID CHECKSUM — so a
+    clustering split, a missed pair, or a wrong canonical choice shifts
+    a hashed value. recall (within-cluster ⊇ 9/10 of exact) and
+    precision (within ⊆ exact) are certificate flags; n_centroids and
+    index_version pin the stored quantizer."""
+    import os
+    import shutil
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from cuny_courses_spark.common import pair_set_certificate
+    from cuny_courses_spark.operators.lakehouse import (
+        latest_version,
+        snapshot_read,
+        snapshot_write,
+    )
+    from cuny_courses_spark.operators.scans import _io_dir
+    from cuny_courses_spark.operators.similarity import (
+        _dot,
+        neardup_cosine_pairs,
+    )
+
+    k, tau = 8, 0.95
+    out_schema = (
+        "n_total long, n_exact_pairs long, n_removed long, n_kept long,"
+        " kept_id_sum long, recall_floor_met boolean, precision_ok boolean,"
+        " n_centroids long, index_version long"
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    if e.isEmpty():  # KMeans cannot fit zero rows (the ann_index guard)
+        return spark.createDataFrame(
+            [(0, 0, 0, 0, 0, True, True, 8, 1)], out_schema
+        )
+    reps = e.filter(F.col("vec_id") % 50 == 7).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.97)).alias(
+            "embedding"
+        ),
+    )
+    work = e.unionByName(reps)
+
+    # ---- build phase: train once, persist the quantizer
+    cent_dir = _io_dir(sf_dir, "lake_semdedup_centroids")
+    if os.path.isdir(cent_dir):
+        shutil.rmtree(cent_dir)
+    fit_in = work.withColumn("v", array_to_vector("embedding"))
+    model = KMeans(
+        k=k, seed=42, featuresCol="v", predictionCol="cluster"
+    ).fit(fit_in)
+    cent_rows = [
+        (ci, [float(x) for x in c], float((c * c).sum()) / 2.0)
+        for ci, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cluster long, centroid array<double>, half_sq double"
+    )
+    snapshot_write(cent_df, cent_dir, key="cluster", version=1)
+    stored = snapshot_read(spark, cent_dir)  # HEAD — the persisted index
+
+    # ---- assign EVERY doc with the stored centroids (argmax affinity)
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("affinity").desc(), F.col("cluster").asc()
+    )
+    assigned = (
+        work.crossJoin(F.broadcast(stored))
+        .withColumn(
+            "affinity", _dot("embedding", "centroid") - F.col("half_sq")
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "embedding")
+    )
+
+    # ---- within-cluster exact dedup + cross-corpus exact referee
+    within = _within_cluster_pairs(assigned, tau)
+    within.persist()
+    try:
+        cert = pair_set_certificate(
+            neardup_cosine_pairs(work, threshold=tau),
+            within,
+            ["id_a", "id_b"],
+            floor_num=9,
+            floor_den=10,
+        ).collect()[0]
+        removed = within.select(F.col("id_b").alias("vec_id")).distinct()
+        kept = work.join(removed, "vec_id", "left_anti")
+        ka = kept.agg(
+            F.count(F.lit(1)).alias("nk"),
+            F.coalesce(F.sum("vec_id").cast("long"), F.lit(0)).alias("ks"),
+        ).collect()[0]
+        n_total = work.count()
+        n_removed = removed.count()
+    finally:
+        within.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                cert["n_exact_pairs"],
+                n_removed,
+                ka["nk"],
+                ka["ks"],
+                bool(cert["recall_floor_met"]),
+                bool(cert["precision_ok"]),
+                stored.count(),
+                latest_version(cent_dir),
+            )
+        ],
+        out_schema,
+    )
