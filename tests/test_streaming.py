@@ -343,3 +343,56 @@ def test_stream_topk_windowed_equals_batch(spark, replay_dir):
     got = counts[counts["rk"] <= 3].reset_index(drop=True)
     want = _QS["q_stream_topk_windowed"](spark, SF_DIR).toPandas()
     assert _frames_equal(got, want)
+
+
+def test_stream_stream_outer_join_nulls_and_matches(spark):
+    """The left-outer interval join (q_stream_stream_outer) emits (1)
+    exactly the batch interval join's matches and (2) a NON-EMPTY set of
+    watermark-released null rows equal to the replay expectation:
+    unmatched clicks whose horizon (c_ts + 1 h) closed under the final
+    join watermark min(max click, max purchase) − 2 h. Non-vacuousness
+    matters: a job that never releases null rows would pass a
+    matches-only check."""
+    got = runner.run_stream_stream_outer_join(spark, SF_DIR).toPandas()
+
+    from cuny_courses_spark.sources.loaders import load
+
+    e = load(spark, SF_DIR, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (c.user_id == p.p_user)
+        & (p.p_ts >= c.c_ts)
+        & (p.p_ts < c.c_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    matched = c.join(p, cond).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    wm = c.agg(F.max("c_ts").alias("mc")).crossJoin(
+        p.agg(F.max("p_ts").alias("mp"))
+    ).select(
+        (F.least("mc", "mp") - F.expr("INTERVAL 2 HOURS")).alias("w")
+    ).collect()[0]["w"]
+    unmatched = (
+        c.join(p, cond, "left_anti")
+        .filter(F.col("c_ts") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+        .select(
+            "user_id",
+            "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(None).cast("long").alias("lag_us"),
+        )
+    )
+    want = matched.unionByName(unmatched).toPandas()
+    n_nulls = int(got["purchase_id"].isna().sum())
+    assert n_nulls > 0, "no watermark-released null rows — vacuous outer join"
+    assert _frames_equal(got, want)
