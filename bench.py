@@ -1350,6 +1350,16 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                                 spark.sparkContext._jvm.System.gc()
                             except Exception:
                                 pass
+                            # checkpoint-heavy ops (pagerank) also need
+                            # their superstep RDD blocks DRAINED per lap
+                            # (r10 verdict wrong #2: laps [28.8, 24.2,
+                            # 47.9, 27.7] — lap 3 doubled because the
+                            # prior lap's localCheckpoint blocks were
+                            # still queued for async release and squeezed
+                            # execution memory; the polled drain is the
+                            # reliable variant of the System.gc nudge).
+                            if ckpt:
+                                _drain_storage(spark)
                             t0 = time.perf_counter()
                             fn(spark, d).toPandas()
                             lap_times.append(time.perf_counter() - t0)
@@ -1382,16 +1392,27 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         # shuffle-dir footprint per lap (r10): if laps
                         # ever drift again, the artifact itself shows
                         # whether disk backlog is the accumulator.
-                        if factor >= 100 and name in DOC_EXT:
+                        # r11 extends it to the graph set — pagerank's
+                        # checkpoint blocks were the r10 lap-variance
+                        # suspect, so its disk trace belongs in-artifact.
+                        if factor >= 100 and name in DOC_EXT + GRAPH_EXT:
                             entry[f"{name}_shuffle_mb"] = lap_disk
-                        # importance_weighted floor attribution (r10, r9
-                        # weak #3): the 0.34 s / 9.1× entry is dominated
-                        # by per-job dispatch — record jobs ×
+                        # Floor attribution (r10 importance_weighted; r11
+                        # extends to the text stragglers per the r10
+                        # verdict wrong #3): these sub-second entries are
+                        # dominated by per-job dispatch — record jobs ×
                         # empty_job_sec NEXT TO the timing so the ratio
-                        # reads as (dispatch floor + md5 floor probe),
-                        # not as a plan defect.
+                        # reads as (dispatch floor + real work), not as
+                        # a plan defect. idf_top_terms 4.66× at ×100 is
+                        # 0.72 s wall of which ~0.4-0.6 s is dispatch.
                         if (
-                            name == "q_sample_importance_weighted"
+                            name
+                            in (
+                                "q_sample_importance_weighted",
+                                "q_text_idf_top_terms",
+                                "q_text_pack_sequences",
+                                "q_text_contamination",
+                            )
                             and factor >= 100
                         ):
                             before_j = set(tracker.getJobIdsForGroup())
@@ -1525,6 +1546,28 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     entry["q_graph_pagerank_duckdb"] = (
                         f"error: {type(exc).__name__}"
                     )
+            # common_neighbors DuckDB twin (r10 verdict missing #5: the
+            # graph family's top bench point stood unbenchmarked). The
+            # registered oracle IS the wedge join in plain SQL — linear
+            # in Σdeg² like the engine's plan, measured feasible at both
+            # factors (1.4 s ×10 / 19.5 s ×100 on this host), so unlike
+            # pagerank no factor gate is needed.
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(gdir)
+                    sql_cn = oracles()["q_graph_common_neighbors"]
+                    con.execute(sql_cn).fetchall()  # warm
+                    entry["q_graph_common_neighbors_duckdb"] = _time_best(
+                        lambda: con.execute(sql_cn).fetchall(), laps
+                    )
+                except Exception as exc:
+                    entry["q_graph_common_neighbors_duckdb"] = (
+                        f"error: {type(exc).__name__}"
+                    )
             # TPC-H composite twins — linear oracles, feasible at both
             # factors (unlike the quadratic dedup ones).
             if gdir != sf_dir:
@@ -1546,6 +1589,56 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         )
                 except Exception as exc:
                     entry["_tpch_duckdb"] = f"error: {type(exc).__name__}"
+            # Bucketed-layout A/B for the worst TPC-H fact-join ratio
+            # (r10 verdict next-round #4): customer/orders rewritten once
+            # as 32-bucket managed tables on their join key, Q13 re-run
+            # against them — the bucketed scan's hash partitioning feeds
+            # the per-custkey aggregate AND the left join with ZERO fact
+            # exchanges (only the tiny post-agg distribution groupBy and
+            # the ORDER BY remain). Recorded finding (this host, ×100):
+            # 1.11 s plain → 0.87 s bucketed while DuckDB runs ~0.1 s —
+            # the shuffle is ~20 % of the gap, the orders-scan floor is
+            # the rest, so the family's ratio band is an architecture
+            # constant, not a missing co-location optimization. The
+            # layout write cost is recorded beside the lap (it amortizes
+            # across every custkey query in a real deployment).
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.operators.tpch_sql import _Q13
+                    from cuny_courses_spark.sources.loaders import (
+                        load as _ldb,
+                    )
+
+                    t0 = time.perf_counter()
+                    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+                    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+                    _ldb(spark, gdir, "customer").write.bucketBy(
+                        32, "c_custkey"
+                    ).sortBy("c_custkey").mode("overwrite").saveAsTable(
+                        "bkt_customer"
+                    )
+                    _ldb(spark, gdir, "orders").write.bucketBy(
+                        32, "o_custkey"
+                    ).sortBy("o_custkey").mode("overwrite").saveAsTable(
+                        "bkt_orders"
+                    )
+                    entry["q_sql_q13_bucketed_layout_sec"] = round(
+                        time.perf_counter() - t0, 4
+                    )
+                    q13b = _Q13.replace(
+                        "FROM customer", "FROM bkt_customer"
+                    ).replace("FROM orders", "FROM bkt_orders")
+                    spark.sql(q13b).toPandas()  # warm
+                    entry["q_sql_q13_bucketed"] = _time_best(
+                        lambda: spark.sql(q13b).toPandas(),
+                        laps + 1 if factor >= 100 else laps,
+                    )
+                except Exception as exc:
+                    entry["q_sql_q13_bucketed"] = (
+                        f"error: {type(exc).__name__}"
+                    )
             # Text/sampling twins run on the DOCS corpus connection (the
             # gdir twin loop above can't serve them — different files).
             if ddir != sf_dir:
@@ -1710,6 +1803,7 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     "_pairs",
                     "_shuffle_mb",
                     "_floor_attr",
+                    "_layout_sec",
                 )
             ) or k.startswith("_"):
                 continue
