@@ -1612,8 +1612,22 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     )
 
                     t0 = time.perf_counter()
-                    spark.sql("DROP TABLE IF EXISTS bkt_customer")
-                    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+                    # a fresh in-memory catalog doesn't know about a
+                    # previous session's managed-table dirs — DROP is a
+                    # no-op then, and saveAsTable refuses the existing
+                    # path; clear both.
+                    import shutil as _sh
+                    from urllib.parse import urlparse as _up
+
+                    wh = _up(
+                        spark.conf.get("spark.sql.warehouse.dir", "")
+                    ).path
+                    for tname in ("bkt_customer", "bkt_orders"):
+                        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+                        if wh:
+                            _sh.rmtree(
+                                os.path.join(wh, tname), ignore_errors=True
+                            )
                     _ldb(spark, gdir, "customer").write.bucketBy(
                         32, "c_custkey"
                     ).sortBy("c_custkey").mode("overwrite").saveAsTable(

@@ -193,8 +193,19 @@ def commit_snapshot(
     added: dict[str, int] | None = None,
     props: dict | None = None,
     rebase_from: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Atomically publish ``files`` as snapshot ``version``.
+
+    ``branch`` (r11, the Iceberg WAP verb): when set, the manifest list
+    is written to the mutable branch ref ``b-<branch>.json`` instead of
+    claiming a main-line version — the staged snapshot shares the same
+    content-addressed group files but is INVISIBLE to main readers
+    (``latest_version``'s forward probe only sees ``v{N}.json`` names),
+    which is exactly the write-audit-publish isolation: audit jobs read
+    the branch, and ``publish_branch`` later promotes the audited list
+    to the next main version with one metadata link. Branch refs are
+    last-writer-wins (os.replace), like Iceberg branch heads.
 
     Write-temp + ``_publish_manifest``: the publish is atomic and FAILS
     if the target exists, so two writers racing to commit the same
@@ -315,6 +326,24 @@ def commit_snapshot(
         doc["props"] = props
     if schema is not None:
         doc["schema"] = schema
+    if branch is not None:
+        # branch ref: mutable, never claims a main version, never moves
+        # the head pointer — main readers cannot see it (WAP isolation).
+        doc["branch"] = branch
+        ref = _branch_path(table_dir, branch)
+        with open(tmp, "w") as f:
+            json.dump(doc, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ref)  # last-writer-wins branch head
+        return {
+            "version": version,
+            "groups_total": len(groups),
+            "groups_written": groups_written,
+            "meta_files_written": groups_written + 1,
+            "rebased": False,
+            "branch": branch,
+        }
     with open(tmp, "w") as f:
         json.dump(doc, f, sort_keys=True)
         f.flush()
@@ -453,6 +482,75 @@ def _read_list_doc(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _branch_path(table_dir: str, branch: str) -> str:
+    return os.path.join(table_dir, "manifest", f"b-{branch}.json")
+
+
+def _read_branch_doc(table_dir: str, branch: str) -> dict:
+    """The raw manifest list at a branch ref (``b-<branch>.json``)."""
+    with _meta_open(_branch_path(table_dir, branch)) as f:
+        return json.load(f)
+
+
+def read_branch(spark: SparkSession, table_dir: str, branch: str) -> DataFrame:
+    """Read the snapshot a branch ref points at — the AUDIT read of the
+    write-audit-publish flow: sees the staged data (via the shared
+    group files), while main readers resolving ``latest_version`` never
+    do. An empty staged snapshot reads back as an empty frame of the
+    branch's manifest schema (the snapshot_read contract)."""
+    from pyspark.sql import types as T
+
+    doc = _resolve_list_doc(table_dir, _read_branch_doc(table_dir, branch))
+    if not doc["files"]:
+        sch = doc.get("schema")
+        if sch is None:
+            raise ValueError(
+                f"branch {branch!r} of {table_dir} is empty and carries "
+                "no schema"
+            )
+        return spark.createDataFrame([], T.StructType.fromJson(sch))
+    return _read_snapshot_files(spark, doc, doc["files"])
+
+
+def publish_branch(table_dir: str, branch: str, version: int) -> dict:
+    """PUBLISH an audited branch: promote its manifest list to main
+    version ``version`` through the same atomic first-committer-wins
+    claim every commit uses, then advance the head pointer. The
+    published list references the branch's existing group files — the
+    promotion writes exactly ONE metadata file and moves zero data
+    (Iceberg's fast-forward / cherry-pick of a WAP-staged snapshot).
+    Raises FileExistsError if main moved since the audit (the branch
+    must be re-staged or rebased against the new head — publishing an
+    audited-but-stale snapshot would silently drop the interloper)."""
+    doc = _read_branch_doc(table_dir, branch)
+    doc = {k: v for k, v in doc.items() if k != "branch"}
+    doc["version"] = version
+    mdir = os.path.join(table_dir, "manifest")
+    tmp = os.path.join(
+        mdir, f".v{version}.json.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(doc, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        _publish_manifest(tmp, _manifest_path(table_dir, version))
+    finally:
+        os.unlink(tmp)
+    _advance_head(table_dir, version)
+    return {"version": version, "meta_files_written": 1}
+
+
+def drop_branch(table_dir: str, branch: str) -> None:
+    """Delete a branch ref (e.g. after a FAILED audit). The staged data
+    and group files become unreachable and are reclaimed by VACUUM —
+    main was never touched."""
+    try:
+        os.unlink(_branch_path(table_dir, branch))
+    except FileNotFoundError:
+        pass
+
+
 def _read_manifest_doc(table_dir: str, version: int) -> dict:
     """Resolve snapshot ``version`` to the FLAT manifest shape every
     reader consumes (files / stats / added / dvs / schema / props).
@@ -464,7 +562,10 @@ def _read_manifest_doc(table_dir: str, version: int) -> dict:
     resolved doc carries the group map under ``_groups`` (internal,
     never persisted) so callers that can skip identical buckets — e.g.
     a CDC diff — see the sharing structure."""
-    doc = _read_list_doc(table_dir, version)
+    return _resolve_list_doc(table_dir, _read_list_doc(table_dir, version))
+
+
+def _resolve_list_doc(table_dir: str, doc: dict) -> dict:
     if "groups" not in doc:
         return doc
     mdir = os.path.join(table_dir, "manifest")
@@ -1176,6 +1277,7 @@ def append_snapshot(
     rows: DataFrame,
     key: str,
     batch_id: int | None = None,
+    branch: str | None = None,
 ) -> tuple[int, bool]:
     """INSERT-ONLY commit (the streaming-ingest fast path): write only the
     new rows' files and re-reference EVERY parent file — no CoW rewrite,
@@ -1202,8 +1304,9 @@ def append_snapshot(
     # conflict-aware REBASING a batch that lost a disjoint race landed
     # at a LATER version than parent+1, and a replay of it must still
     # be recognized (exactly-once survives rebased histories). Raw list
-    # reads only — O(interloping commits), each a KB.
-    if batch_id is not None and os.path.exists(
+    # reads only — O(interloping commits), each a KB. Branch stages
+    # (WAP) skip it: a branch ref never claims a main version.
+    if branch is None and batch_id is not None and os.path.exists(
         _manifest_path(table_dir, version)
     ):
         for v in range(version, latest_version(table_dir) + 1):
@@ -1245,6 +1348,7 @@ def append_snapshot(
             added=added,  # appended files post-date those DVs
             props=parent.get("props"),
             rebase_from=parent_version,  # appends touch only new buckets
+            branch=branch,  # WAP: stage on a branch ref, not a version
         )
     except FileExistsError:
         shutil.rmtree(staging, ignore_errors=True)  # orphaned staging dir
@@ -1509,13 +1613,21 @@ def expire_snapshots(
         os.unlink(_manifest_path(table_dir, v))  # manifest first
         candidates.update(files)
     # live = union over ALL manifests that remain visible right now
-    # (keep list + any concurrent commit that landed before this point)
+    # (keep list + any concurrent commit that landed before this point).
+    # Branch refs (b-*.json — WAP-staged snapshots awaiting audit) are
+    # GC ROOTS too: their staged data must survive a vacuum, exactly as
+    # Iceberg retains branch-reachable snapshots.
     live: set[str] = set()
     for f in os.listdir(mdir):
         if f.startswith("v") and f.endswith(".json"):
             live.update(
                 _referenced(_read_manifest_doc(table_dir, int(f[1:-5])))
             )
+        elif f.startswith("b-") and f.endswith(".json"):
+            bdoc = _resolve_list_doc(
+                table_dir, _read_branch_doc(table_dir, f[2:-5])
+            )
+            live.update(_referenced(bdoc))
     expired = candidates - live
     for p in sorted(expired):
         os.unlink(p)
@@ -1533,9 +1645,35 @@ def expire_snapshots(
                 .get("groups", {})
                 .values()
             )
+        elif f.startswith("b-") and f.endswith(".json"):
+            live_groups.update(
+                _read_branch_doc(table_dir, f[2:-5]).get("groups", {}).values()
+            )
     for f in os.listdir(mdir):
         if f.startswith("mg-") and f not in live_groups:
             os.unlink(os.path.join(mdir, f))
+    # ORPHAN sweep (Iceberg's remove_orphan_files, folded into VACUUM):
+    # data/DV files reachable from NO surviving manifest or branch ref —
+    # dropped WAP branches' staged data, lost commit races' durable
+    # staging, zero-byte part files. They are deleted but NOT reported
+    # in ``expired`` (that list is defined as manifest-referenced files
+    # whose snapshots expired — the registered query pins its counts).
+    # This widens the documented single-writer-during-vacuum caveat to
+    # in-flight STAGING too: a commit staging concurrently with vacuum
+    # would see its unpublished files swept (Iceberg guards the same
+    # race with an age threshold).
+    for sub in ("data", "dv"):
+        droot = os.path.join(table_dir, sub)
+        if not os.path.isdir(droot):
+            continue
+        for p in glob.glob(
+            os.path.join(droot, "**", "*.parquet"), recursive=True
+        ):
+            if p not in live:
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
     return sorted(expired), sorted(live)
 
 
@@ -3102,4 +3240,112 @@ def q_lake_concurrent_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "head_version long, n_attempts_b long, n_rows long, n_a long,"
         " n_b long, sum_cents_touched long, shared_groups_v3_v2 long",
+    )
+
+
+@register(
+    "q_lake_wap",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), base AS (SELECT * FROM src WHERE k % 3 <> 0),
+bad AS (SELECT k FROM src WHERE k % 97 = 0 AND k % 3 <> 0)
+SELECT CAST(2 AS BIGINT) AS head_version,
+       (SELECT count(*) FROM src) AS n_rows_main,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM src) AS sum_cents,
+       (SELECT count(*) FROM base) AS n_rows_during_audit,
+       TRUE AS audit_good_pass,
+       FALSE AS audit_bad_pass,
+       (SELECT count(*) FROM bad) AS n_dup_keys_bad,
+       CAST(1 AS BIGINT) AS meta_files_published
+""",
+)
+def q_lake_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH via branch refs (the Iceberg WAP / Delta
+    shadow-table pattern, r11 — the governance verb the manifest tree
+    makes one-link cheap): a batch is STAGED on a branch (same
+    content-addressed group files, invisible to main readers — the
+    branch ref never claims a main version, so ``latest_version``'s
+    probe cannot see it), AUDITED by reading the branch, and only then
+    PUBLISHED by promoting the audited manifest list to the next main
+    version — exactly one metadata file written, zero data moved.
+
+    Two staged batches exercise both audit outcomes:
+    · the GOOD batch (new keys ≡ 0 mod 3) passes the audit (non-empty,
+      no null keys, key-unique vs main) and is published as v2;
+      ``n_rows_during_audit`` proves main still served v1 while the
+      staged rows were already readable on the branch.
+    · the BAD batch replays EXISTING keys (k ≡ 0 mod 97 of main): the
+      audit counts its duplicate keys (pinned by the oracle from the
+      same arithmetic), fails, and the branch is DROPPED — main's head
+      and state are untouched (the final read re-verifies both).
+    At 100 TB this is how bad data is kept out of consumer-visible
+    state without pausing ingestion: audits run on staged snapshots at
+    full scale, and publish/abandon are O(1) metadata decisions."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_wap")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), fp("o_totalprice").alias("cents")
+    )
+    base = src.filter(F.col("k") % 3 != 0)
+    snapshot_write(base, table_dir, key="k", version=1)
+
+    def _audit(df: DataFrame, n_min: int) -> tuple[bool, int]:
+        a = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k").alias("nd"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("nn"),
+        ).collect()[0]
+        dups = a["n"] - a["nd"]
+        ok = dups == 0 and (a["nn"] or 0) == 0 and a["n"] > n_min
+        return ok, dups
+
+    n_base = base.count()
+    # --- good batch: stage on a branch, audit, publish ---
+    append_snapshot(
+        table_dir, 1, src.filter(F.col("k") % 3 == 0), key="k",
+        branch="wap_good",
+    )
+    n_during_audit = snapshot_read(spark, table_dir).count()  # main = v1
+    good_ok, _ = _audit(read_branch(spark, table_dir, "wap_good"), n_base)
+    meta_published = 0
+    if good_ok:
+        rep = publish_branch(table_dir, "wap_good", 2)
+        meta_published = rep["meta_files_written"]
+        drop_branch(table_dir, "wap_good")
+    # --- bad batch: replayed existing keys must fail the audit ---
+    head_before_bad = latest_version(table_dir)
+    append_snapshot(
+        table_dir,
+        head_before_bad,
+        src.filter((F.col("k") % 97 == 0) & (F.col("k") % 3 != 0)),
+        key="k",
+        branch="wap_bad",
+    )
+    bad_ok, n_dups = _audit(
+        read_branch(spark, table_dir, "wap_bad"), n_base
+    )
+    if not bad_ok:
+        drop_branch(table_dir, "wap_bad")  # staged data GC'd by VACUUM
+    head = latest_version(table_dir)
+    agg = snapshot_read(spark, table_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents").cast("long"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                head, agg["n"], agg["s"], n_during_audit,
+                bool(good_ok), bool(bad_ok), n_dups, meta_published,
+            )
+        ],
+        "head_version long, n_rows_main long, sum_cents long,"
+        " n_rows_during_audit long, audit_good_pass boolean,"
+        " audit_bad_pass boolean, n_dup_keys_bad long,"
+        " meta_files_published long",
     )

@@ -851,3 +851,53 @@ def test_stats_cols_property_survives_append_and_optimize(spark, tmp_path):
         .count()
     )
     assert got == o.filter(F.col("c").between(lo, hi)).count()
+
+
+def test_wap_branch_isolation_and_vacuum_root(spark, tmp_path):
+    """WAP branch refs: staged snapshots are invisible to main readers,
+    survive VACUUM while the ref exists (GC root), and are reclaimed —
+    data files and exclusive groups — once the branch is dropped."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    staged = o.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit("S").alias("st")
+    )
+    lh.append_snapshot(table_dir, 1, staged, key="k", branch="audit")
+    # invisible to main: HEAD is still v1 and reads only base rows
+    assert lh.latest_version(table_dir) == 1
+    assert lh.snapshot_read(spark, table_dir).count() == base.count()
+    # visible on the branch: base + staged
+    br = lh.read_branch(spark, table_dir, "audit")
+    assert br.count() == base.count() + staged.count()
+    staged_files = set(
+        lh._resolve_list_doc(table_dir, lh._read_branch_doc(table_dir, "audit"))["files"]
+    ) - set(lh.read_manifest(table_dir, 1))
+    assert staged_files
+    # VACUUM with only v1 kept: branch-referenced staged files survive
+    lh.expire_snapshots(table_dir, keep=[1])
+    for p in staged_files:
+        assert os.path.exists(p), f"vacuum deleted branch-staged file {p}"
+    # publish, then re-audit main
+    lh.publish_branch(table_dir, "audit", 2)
+    assert lh.latest_version(table_dir) == 2
+    assert (
+        lh.snapshot_read(spark, table_dir).count()
+        == base.count() + staged.count()
+    )
+    # a dropped branch's exclusive staged data is reclaimed by VACUUM
+    lh.append_snapshot(
+        table_dir, 2,
+        o.filter(F.col("k") % 5 == 0).select(
+            (F.col("k") + 10_000_000).alias("k"), F.lit("T").alias("st")
+        ),
+        key="k", branch="doomed",
+    )
+    doomed_files = set(
+        lh._resolve_list_doc(table_dir, lh._read_branch_doc(table_dir, "doomed"))["files"]
+    ) - set(lh.read_manifest(table_dir, 2))
+    lh.drop_branch(table_dir, "doomed")
+    lh.expire_snapshots(table_dir, keep=[2])
+    for p in doomed_files:
+        assert not os.path.exists(p), f"vacuum kept dropped-branch file {p}"
+    assert lh.snapshot_read(spark, table_dir).count() == base.count() + staged.count()
