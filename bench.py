@@ -1517,55 +1517,13 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     entry["q_sim_neardup_lsh_prod_duckdb_pairs"] = len(
                         rows
                     )
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
                 except Exception as exc:
                     entry["q_sim_neardup_lsh_prod_duckdb"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # DuckDB pagerank twin only at ×10: at ×100 its 5 unrolled
-            # CTE rounds spilled >60 GB of temp to disk (r5: filled the
-            # device and wedged the run) — record the omission, don't
-            # risk the artifact.
-            if factor > 10:
-                entry["q_graph_pagerank_duckdb"] = (
-                    "skipped: duckdb spills >60GB at this factor"
-                )
-            elif (
-                gdir != sf_dir
-                and time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.oracle import duck_con
-
-                    con = duck_con(gdir)
-                    sql_pr = oracles()["q_graph_pagerank"]
-                    con.execute(sql_pr).fetchall()  # warm
-                    entry["q_graph_pagerank_duckdb"] = _time_best(
-                        lambda: con.execute(sql_pr).fetchall(), laps
-                    )
-                except Exception as exc:
-                    entry["q_graph_pagerank_duckdb"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # common_neighbors DuckDB twin (r10 verdict missing #5: the
-            # graph family's top bench point stood unbenchmarked). The
-            # registered oracle IS the wedge join in plain SQL — linear
-            # in Σdeg² like the engine's plan, measured feasible at both
-            # factors (1.4 s ×10 / 19.5 s ×100 on this host), so unlike
-            # pagerank no factor gate is needed.
-            if gdir != sf_dir and (
-                time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.oracle import duck_con
-
-                    con = duck_con(gdir)
-                    sql_cn = oracles()["q_graph_common_neighbors"]
-                    con.execute(sql_cn).fetchall()  # warm
-                    entry["q_graph_common_neighbors_duckdb"] = _time_best(
-                        lambda: con.execute(sql_cn).fetchall(), laps
-                    )
-                except Exception as exc:
-                    entry["q_graph_common_neighbors_duckdb"] = (
                         f"error: {type(exc).__name__}"
                     )
             # TPC-H composite twins — linear oracles, feasible at both
@@ -1699,6 +1657,11 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         ).fetchall(),
                         laps,
                     )
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
                 except Exception as exc:
                     entry["q_dedup_containment_duckdb"] = (
                         f"error: {type(exc).__name__}"
@@ -1725,6 +1688,11 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         laps,
                     )
                     entry["q_dedup_near_jaccard_duckdb_pairs"] = len(rows)
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
                     if factor <= 10:
                         entry["q_dedup_near_jaccard_engine_pairs"] = (
                             ext_fns["q_dedup_near_jaccard"](spark, ddir)
@@ -1750,8 +1718,77 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     entry["q_dedup_minhash_lsh_duckdb"] = _time_best(
                         lambda: con.execute(sql_mh).fetchall(), laps
                     )
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
                 except Exception as exc:
                     entry["q_dedup_minhash_lsh_duckdb"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # Graph twins LAST among the DuckDB comparators (r11):
+            # the common_neighbors wedge join holds GBs of buffer
+            # in its in-process connection, and an un-GC'd heavy
+            # connection squeezes every later duck twin on the same
+            # point (measured: q13's duck lap 0.13 s -> 0.97 s at
+            # x100 when it ran right after this block). Same
+            # precise-before-heavy rule the Spark side uses.
+            # DuckDB pagerank twin only at ×10: at ×100 its 5 unrolled
+            # CTE rounds spilled >60 GB of temp to disk (r5: filled the
+            # device and wedged the run) — record the omission, don't
+            # risk the artifact.
+            if factor > 10:
+                entry["q_graph_pagerank_duckdb"] = (
+                    "skipped: duckdb spills >60GB at this factor"
+                )
+            elif (
+                gdir != sf_dir
+                and time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(gdir)
+                    sql_pr = oracles()["q_graph_pagerank"]
+                    con.execute(sql_pr).fetchall()  # warm
+                    entry["q_graph_pagerank_duckdb"] = _time_best(
+                        lambda: con.execute(sql_pr).fetchall(), laps
+                    )
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
+                except Exception as exc:
+                    entry["q_graph_pagerank_duckdb"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # common_neighbors DuckDB twin (r10 verdict missing #5: the
+            # graph family's top bench point stood unbenchmarked). The
+            # registered oracle IS the wedge join in plain SQL — linear
+            # in Σdeg² like the engine's plan, measured feasible at both
+            # factors (1.4 s ×10 / 19.5 s ×100 on this host), so unlike
+            # pagerank no factor gate is needed.
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(gdir)
+                    sql_cn = oracles()["q_graph_common_neighbors"]
+                    con.execute(sql_cn).fetchall()  # warm
+                    entry["q_graph_common_neighbors_duckdb"] = _time_best(
+                        lambda: con.execute(sql_cn).fetchall(), laps
+                    )
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
+                except Exception as exc:
+                    entry["q_graph_common_neighbors_duckdb"] = (
                         f"error: {type(exc).__name__}"
                     )
         except Exception as exc:

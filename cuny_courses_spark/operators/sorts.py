@@ -115,9 +115,17 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # orders against customer at the amplified points instead of
         # broadcasting the ~600 k filtered keys; the counts amortize
         # through the plan cache (once per corpus).
+        # Footer-stats seed (r11): the unfiltered customer footer count
+        # upper-bounds the segment filter — under the gate it proves
+        # broadcast-safety without the count() job (safe direction only;
+        # see joins._footer_rows).
+        from cuny_courses_spark.operators.joins import _footer_rows
+
+        _cfr = _footer_rows(sf_dir, "customer")
         cf = (
             F.broadcast(cf)
-            if cf.count() <= _STAR_BCAST_ROWS
+            if (_cfr is not None and _cfr <= _STAR_BCAST_ROWS)
+            or cf.count() <= _STAR_BCAST_ROWS
             else cf.hint("shuffle_hash")
         )
     co = (
