@@ -524,3 +524,19 @@ def test_df_capped_neardup_hot_path_exact_values(spark, tmp_path):
         .collect()[0][0]
     )
     assert max_df > cap, (max_df, cap)
+
+
+def test_footer_rows_seed_matches_actual_and_safe_on_missing():
+    """The footer-stats planner seed (r11): the parquet-footer row count
+    must equal the table's true cardinality (it feeds a broadcast-gate
+    decision), and unreadable/missing storage must return None so the
+    caller falls back to the exact prepare-time count — never a silent
+    wrong gate input."""
+    import pyarrow.parquet as pq
+
+    from cuny_courses_spark.operators.joins import _footer_rows
+
+    n = _footer_rows(SF_DIR, "customer")
+    assert n == pq.read_table(f"{SF_DIR}/customer.parquet").num_rows
+    assert _footer_rows(SF_DIR, "no_such_table") is None
+    assert _footer_rows("/nonexistent/dir", "customer") is None

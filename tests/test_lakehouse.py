@@ -901,3 +901,83 @@ def test_wap_branch_isolation_and_vacuum_root(spark, tmp_path):
     for p in doomed_files:
         assert not os.path.exists(p), f"vacuum kept dropped-branch file {p}"
     assert lh.snapshot_read(spark, table_dir).count() == base.count() + staged.count()
+
+
+def test_randomized_op_sequence_matches_model(spark, tmp_path):
+    """Model-based randomized check over the whole write surface (r11 —
+    regression armor for the manifest tree + deletion vectors + rebase
+    plumbing): a seeded random sequence of append / CoW-merge /
+    MoR-delete / OPTIMIZE commits is applied both to a lakehouse table
+    and to a plain dict model; after EVERY commit the HEAD read must
+    equal the model, and at the end every recorded version must
+    time-travel back to its model snapshot byte-for-byte."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rng = random.Random(1107)
+    table_dir = str(tmp_path / "lake_model")
+    keys0 = rng.sample(range(0, 400), 120)
+    model = {k: k * 3 for k in keys0}
+    lh.snapshot_write(
+        spark.createDataFrame(sorted(model.items()), "k long, v long"),
+        table_dir,
+        key="k",
+    )
+    history = {1: dict(model)}
+    v = 1
+    free_append = [k for k in range(400, 1000)]
+    free_insert = [k for k in range(1000, 1400)]
+    for step in range(7):
+        op = rng.choice(["append", "merge", "delete_mor", "optimize"])
+        if op == "append":
+            new = [free_append.pop() for _ in range(25)]
+            rows = [(k, k * 7) for k in new]
+            model.update(rows)
+            v, committed = lh.append_snapshot(
+                table_dir,
+                v,
+                spark.createDataFrame(rows, "k long, v long"),
+                key="k",
+                batch_id=100 + step,
+            )
+            assert committed
+        elif op == "merge":
+            upd = rng.sample(sorted(model), min(20, len(model)))
+            ins = [free_insert.pop() for _ in range(5)]
+            rows = [(k, k + 11) for k in upd + ins]
+            model.update(rows)
+            lh.merge_upsert(
+                spark,
+                table_dir,
+                v,
+                spark.createDataFrame(rows, "k long, v long"),
+                key="k",
+            )
+            v += 1
+        elif op == "delete_mor":
+            dels = rng.sample(sorted(model), min(10, len(model)))
+            for k in dels:
+                model.pop(k)
+            v, _ = lh.delete_merge_on_read(
+                spark,
+                table_dir,
+                v,
+                spark.createDataFrame([(k,) for k in dels], "k long"),
+                key="k",
+            )
+        else:
+            lh.optimize_compact(spark, table_dir, v, key="k")
+            v += 1
+        history[v] = dict(model)
+        got = {
+            r["k"]: r["v"]
+            for r in lh.snapshot_read(spark, table_dir).collect()
+        }
+        assert got == model, f"step {step} op {op} diverged at v{v}"
+    for ver, m in sorted(history.items()):
+        got = {
+            r["k"]: r["v"]
+            for r in lh.snapshot_read(spark, table_dir, ver).collect()
+        }
+        assert got == m, f"time travel to v{ver} diverged"
