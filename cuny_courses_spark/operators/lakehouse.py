@@ -317,7 +317,14 @@ def commit_snapshot(
                 )
         except (OSError, ValueError):
             pass
-    doc = {"version": version, "groups": groups}
+    import time as _time
+
+    # commit wall-clock (Delta's commit timestamp / Iceberg's
+    # snapshot timestamp-ms): what AS-OF-timestamp time travel resolves
+    # against. Informational for everything else — never part of
+    # content addressing (group files carry no ts, so sharing is
+    # unaffected).
+    doc = {"version": version, "groups": groups, "ts": _time.time()}
     if touched is not None:
         doc["touched"] = touched
     if meta is not None:
@@ -439,10 +446,13 @@ def _rebase_publish(
                 new_groups[b] = groups[b]
             else:
                 new_groups.pop(b, None)
+        import time as _time
+
         doc: dict = {
             "version": h + 1,
             "groups": new_groups,
             "touched": sorted(touched),
+            "ts": _time.time(),
         }
         if meta is not None:
             doc["meta"] = meta
@@ -523,8 +533,11 @@ def publish_branch(table_dir: str, branch: str, version: int) -> dict:
     must be re-staged or rebased against the new head — publishing an
     audited-but-stale snapshot would silently drop the interloper)."""
     doc = _read_branch_doc(table_dir, branch)
+    import time as _time
+
     doc = {k: v for k, v in doc.items() if k != "branch"}
     doc["version"] = version
+    doc["ts"] = _time.time()  # promotion time IS the commit time
     mdir = os.path.join(table_dir, "manifest")
     tmp = os.path.join(
         mdir, f".v{version}.json.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
@@ -672,6 +685,29 @@ def latest_version(table_dir: str) -> int:
         v += 1
     _advance_head(table_dir, v)  # self-heal lag so the next read is O(1)
     return v
+
+
+def resolve_as_of(table_dir: str, ts: float) -> int:
+    """AS-OF-TIMESTAMP time travel (Delta ``TIMESTAMP AS OF`` /
+    Iceberg ``snapshot-at``): the latest version whose commit
+    timestamp is ≤ ``ts``. Linear scan of the raw manifest lists —
+    O(versions) KB-reads, the cost every log-structured format pays
+    for timestamp resolution (Delta walks its log the same way); the
+    scan takes MAX over all satisfying versions rather than stopping
+    at the first miss, so a wall-clock regression between commits
+    (NTP step) can mask at most itself, never a later commit."""
+    best = None
+    for v in range(1, latest_version(table_dir) + 1):
+        try:
+            if _read_list_doc(table_dir, v).get("ts", 0.0) <= ts:
+                best = v
+        except (OSError, ValueError):
+            continue  # vacuumed gap in the version history
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {table_dir} exists at or before ts={ts}"
+        )
+    return best
 
 
 def _file_key_stats(
@@ -1040,8 +1076,15 @@ def snapshot_write(
     bucket_col=None,
     stats_cols: list[str] | None = None,
     n_buckets: int = _N_BUCKETS,
+    bucket_expr: str | None = None,
 ) -> list[str]:
     """Create snapshot ``version`` from scratch (full write, no parent).
+
+    ``bucket_expr`` is ``bucket_col`` as SQL TEXT — preferred for
+    non-default layouts because it is also recorded as the
+    ``bucket_expr`` table property, letting later bucket-rewriting
+    writers reproduce the physical layout (a Column object cannot be
+    persisted).
 
     ``n_buckets`` is committed as a TABLE PROPERTY so every later writer
     buckets new rows (and deletion vectors) with the same modulus —
@@ -1061,6 +1104,8 @@ def snapshot_write(
     OPTIMIZE harvests the same columns for its new files and
     multi-column pruning survives the table's whole write history, not
     just the initial load."""
+    if bucket_expr is not None:
+        bucket_col = F.expr(bucket_expr)
     b = _bucket_of(key, n_buckets) if bucket_col is None else bucket_col
     files = _write_buckets(
         df.withColumn("_b", b),
@@ -1072,6 +1117,11 @@ def snapshot_write(
         props["stats_cols"] = list(stats_cols)
     if n_buckets != _N_BUCKETS:
         props["n_buckets"] = n_buckets
+    if bucket_expr is not None:
+        # non-default PHYSICAL layout as a TABLE PROPERTY (SQL text):
+        # later bucket-rewriting writers (merge_full_sync) reproduce it
+        # instead of silently re-hashing rows into the wrong files.
+        props["bucket_expr"] = bucket_expr
     commit_snapshot(
         table_dir,
         version,
@@ -1209,6 +1259,130 @@ def merge_upsert(
         shutil.rmtree(staging, ignore_errors=True)  # only OUR staging
         raise
     return reused + new_files
+
+
+def merge_full_sync(
+    spark: SparkSession,
+    table_dir: str,
+    parent_version: int,
+    source: DataFrame,
+    key: str,
+    scope,
+) -> list[str]:
+    """MERGE … WHEN NOT MATCHED BY SOURCE THEN DELETE (the Delta 2.4
+    full-sync clause): within the predicate ``scope`` (a Column over
+    the table's schema), the table is made EXACTLY equal to ``source``
+    — matched rows replaced, unmatched source rows inserted, and
+    in-scope table rows ABSENT from the source deleted. Rows outside
+    the scope are untouched. This is the mirror-a-feed verb (sync
+    today's partition to today's extract) that plain upsert cannot
+    express: upsert never learns a row disappeared upstream.
+
+    CoW at bucket granularity like ``merge_upsert``: the rewrite set is
+    the buckets holding in-scope rows ∪ the source's buckets; every
+    other parent file is re-referenced. With a RANGE bucket layout a
+    key-range scope rewrites only its own buckets — the oracle-pinned
+    reuse evidence; with a hash layout a broad scope touches all
+    buckets, which is the honest cost of full-sync semantics there.
+    The source is persisted before the hot-bucket collect for the same
+    nondeterministic-lineage reason as merge_upsert (r8 ADVICE)."""
+    parent = _read_manifest_doc(table_dir, parent_version)
+    nb = _table_n_buckets(parent)
+    layout_b = _layout_bucket_exprs(parent)
+    src = source.withColumn(
+        "_b", layout_b(source) if layout_b else _bucket_of(key, nb)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    staging = os.path.join(
+        table_dir, "data", f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        if parent["files"]:
+            target_all = _read_snapshot_files(spark, parent, parent["files"])
+            scoped_buckets = sorted(
+                r["_b"]
+                for r in target_all.filter(scope)
+                .withColumn(
+                    "_b",
+                    layout_b(target_all) if layout_b else _bucket_of(key, nb),
+                )
+                .select("_b")
+                .distinct()
+                .collect()
+            )  # bounded by the table's bucket count — never data-sized
+        else:
+            scoped_buckets = []  # empty parent: nothing in scope to sync
+        hot = sorted(
+            set(scoped_buckets)
+            | {r["_b"] for r in src.select("_b").distinct().collect()}
+        )
+        parent_files = parent["files"]
+        parent_stats = parent.get("stats", {})
+        reused = [p for p in parent_files if _bucket_of_path(p) not in hot]
+        hot_files = [p for p in parent_files if p not in set(reused)]
+        base_hot = (
+            _read_snapshot_files(spark, parent, hot_files)
+            if hot_files
+            else None
+        )
+        inserts = src.drop("_b")
+        if base_hot is not None:
+            # keep: out-of-scope rows only — every in-scope row is
+            # either replaced by its source row or (absent upstream)
+            # deleted, which IS the not-matched-by-source clause.
+            keep = base_hot.filter(~scope)
+            merged = keep.unionByName(inserts, allowMissingColumns=True)
+        else:
+            merged = inserts
+        new_files = _write_buckets(
+            merged.withColumn(
+                "_b", layout_b(merged) if layout_b else _bucket_of(key, nb)
+            ),
+            staging,
+            nb,
+        )
+        child_schema = _merge_schemas(parent.get("schema"), _schema_of(merged))
+    finally:
+        src.unpersist()
+    scols = parent.get("props", {}).get("stats_cols")
+    stats = {p: parent_stats[p] for p in reused if p in parent_stats}
+    stats.update(_file_key_stats(new_files, key, extra_cols=scols))
+    hot_set = {str(b) for b in hot}
+    cold_dvs = {
+        b: ps
+        for b, ps in parent.get("dvs", {}).items()
+        if b not in hot_set
+    }
+    parent_added = parent.get("added", {})
+    added = {p: parent_added.get(p, 0) for p in reused}
+    added.update({p: parent_version + 1 for p in new_files})
+    try:
+        commit_snapshot(
+            table_dir,
+            parent_version + 1,
+            reused + new_files,
+            stats=stats,
+            schema=child_schema,
+            dvs=cold_dvs,
+            added=added,
+            props=parent.get("props"),
+            rebase_from=parent_version,
+        )
+    except FileExistsError:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return reused + new_files
+
+
+def _layout_bucket_exprs(parent: dict):
+    """The table's PHYSICAL bucket expression when it is not the default
+    hash layout — recorded as the ``bucket_expr`` table property by
+    range/Z-order writers; None means ``key % n_buckets``. Writers that
+    rewrite buckets must reproduce the layout or file-bucket targeting
+    silently breaks."""
+    expr = parent.get("props", {}).get("bucket_expr")
+    if not expr:
+        return None
+    return lambda df: F.expr(expr)
 
 
 def delete_merge_on_read(
@@ -3348,4 +3522,189 @@ def q_lake_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_rows_during_audit long, audit_good_pass boolean,"
         " audit_bad_pass boolean, n_dup_keys_bad long,"
         " meta_files_published long",
+    )
+
+
+@register(
+    "q_lake_asof_timestamp",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), t2k AS (
+    SELECT k FROM src WHERE k % 5 <> 0 OR k % 2 = 0
+), v3 AS (
+    SELECT k, CASE WHEN k % 97 = 0 THEN 2 * cents ELSE cents END AS cents
+    FROM src
+    WHERE k IN (SELECT k FROM t2k) OR k % 97 = 0
+), v4 AS (SELECT * FROM v3 WHERE k % 89 <> 0)
+SELECT CAST(1 AS BIGINT) AS v_at_t1, CAST(2 AS BIGINT) AS v_at_t2,
+       CAST(3 AS BIGINT) AS v_at_t3, CAST(4 AS BIGINT) AS v_at_t4,
+       (SELECT count(*) FROM src WHERE k % 5 <> 0) AS n_t1,
+       (SELECT count(*) FROM t2k) AS n_t2,
+       (SELECT count(*) FROM v3) AS n_t3,
+       (SELECT count(*) FROM v4) AS n_t4,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM v4)
+           AS sum_cents_t4,
+       TRUE AS pre_epoch_raises
+""",
+)
+def q_lake_asof_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL BY TIMESTAMP (Delta ``TIMESTAMP AS OF`` / Iceberg
+    snapshot-at, r11): every commit stamps its wall-clock into the
+    manifest list; ``resolve_as_of`` maps an arbitrary timestamp to the
+    latest commit at-or-before it. The query lands four commits — full
+    write, append, CoW merge (updates + inserts), merge-on-read delete
+    — capturing a timestamp AFTER each, then proves each captured
+    instant resolves to exactly its version and reads back exactly that
+    version's state (row counts at all four instants, cents checksum at
+    the last — all recomputed logically by the oracle). A timestamp
+    before the first commit must raise, pinned as a flag. This is the
+    debugging/repro verb ("what did the table look like at 14:05?")
+    that version numbers alone don't give an operator paging through an
+    incident."""
+    import time as _time
+
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_asof")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), fp("o_totalprice").alias("cents")
+    )
+    t0 = _time.time()
+    snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
+    t1 = _time.time()
+    append_snapshot(
+        table_dir,
+        1,
+        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 2 == 0)),
+        key="k",
+        batch_id=0,
+    )
+    t2 = _time.time()
+    merge_upsert(
+        spark,
+        table_dir,
+        2,
+        src.filter(F.col("k") % 97 == 0).select(
+            "k", (F.col("cents") * 2).alias("cents")
+        ),
+        key="k",
+    )
+    t3 = _time.time()
+    delete_merge_on_read(
+        spark, table_dir, 3, src.filter(F.col("k") % 89 == 0).select("k"),
+        key="k",
+    )
+    t4 = _time.time()
+
+    versions = [resolve_as_of(table_dir, t) for t in (t1, t2, t3, t4)]
+    counts = [
+        snapshot_read(spark, table_dir, v).count() for v in versions
+    ]
+    s4 = (
+        snapshot_read(spark, table_dir, versions[3])
+        .agg(F.coalesce(F.sum("cents").cast("long"), F.lit(0)))
+        .collect()[0][0]
+    )
+    try:
+        resolve_as_of(table_dir, t0)
+        pre_raises = False
+    except ValueError:
+        pre_raises = True
+    return spark.createDataFrame(
+        [tuple(versions) + tuple(counts) + (s4, pre_raises)],
+        "v_at_t1 long, v_at_t2 long, v_at_t3 long, v_at_t4 long,"
+        " n_t1 long, n_t2 long, n_t3 long, n_t4 long,"
+        " sum_cents_t4 long, pre_epoch_raises boolean",
+    )
+
+
+@register(
+    "q_lake_merge_full_sync",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), w AS (
+    SELECT COALESCE((SELECT max(k) FROM src), 0) // 16 + 1 AS w
+), scoped AS (
+    SELECT s.* FROM src s, w WHERE s.k >= 3 * w.w AND s.k < 6 * w.w
+), feed AS (
+    SELECT k, 2 * cents AS cents FROM scoped WHERE k % 11 <> 0
+), final AS (
+    SELECT s.k, s.cents FROM src s, w
+    WHERE s.k < 3 * w.w OR s.k >= 6 * w.w
+    UNION ALL SELECT * FROM feed
+)
+SELECT CAST(2 AS BIGINT) AS head_version,
+       (SELECT count(*) FROM final) AS n_rows_final,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM final)
+           AS sum_cents_final,
+       (SELECT count(*) FROM scoped WHERE k % 11 = 0) AS n_deleted,
+       (SELECT count(DISTINCT k // (SELECT w FROM w)) FROM src
+         WHERE k // (SELECT w FROM w) NOT IN (3, 4, 5)) AS n_files_reused,
+       (SELECT count(DISTINCT k // (SELECT w FROM w)) FROM feed)
+           AS n_files_rewritten
+""",
+)
+def q_lake_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE … WHEN NOT MATCHED BY SOURCE THEN DELETE (Delta 2.4's
+    full-sync clause, r11): mirror an upstream feed into a key-range
+    SCOPE of the table — matched rows replaced, in-scope rows ABSENT
+    from the feed deleted, out-of-scope rows untouched. Plain upsert
+    cannot express this: it never learns a row disappeared upstream,
+    which is exactly what syncing today's partition to today's extract
+    needs.
+
+    The table uses a RANGE layout (``k DIV width``, recorded as the
+    ``bucket_expr`` table property so the sync writer reproduces it),
+    and the scope is bucket-aligned (keys in [3w, 6w)): the CoW rewrite
+    set is exactly the 3 scope buckets while the other 13 occupied
+    buckets' files are re-referenced verbatim — both counts pinned by
+    the oracle from the same integer DIV arithmetic. The feed doubles
+    cents for keys ≢0 mod 11 and omits the rest; the oracle recomputes
+    the final state (row count, cents checksum, deleted count)
+    logically. At 100 TB this is partition-scoped work: the feed's
+    buckets bound the rewrite, never the table."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_fullsync")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), fp("o_totalprice").alias("cents")
+    )
+    mx = src.agg(F.max("k")).collect()[0][0] or 0
+    w = mx // 16 + 1
+    snapshot_write(
+        src, table_dir, key="k", version=1,
+        bucket_expr=f"CAST(k DIV {w} AS INT)",
+    )
+    v1_files = set(read_manifest(table_dir, 1))
+    scope = (F.col("k") >= 3 * w) & (F.col("k") < 6 * w)
+    feed = src.filter(scope & (F.col("k") % 11 != 0)).select(
+        "k", (F.col("cents") * 2).alias("cents")
+    )
+    v2_files = merge_full_sync(spark, table_dir, 1, feed, key="k", scope=scope)
+    n_reused = len(v1_files & set(v2_files))
+    n_rewritten = len(set(v2_files) - v1_files)
+    head = latest_version(table_dir)
+    agg = snapshot_read(spark, table_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents").cast("long"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    n_deleted = (
+        snapshot_read(spark, table_dir, 1)
+        .filter(scope & (F.col("k") % 11 == 0))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(head, agg["n"], agg["s"], n_deleted, n_reused, n_rewritten)],
+        "head_version long, n_rows_final long, sum_cents_final long,"
+        " n_deleted long, n_files_reused long, n_files_rewritten long",
     )
