@@ -687,6 +687,41 @@ def latest_version(table_dir: str) -> int:
     return v
 
 
+class ConstraintViolation(ValueError):
+    """A write batch violated a table CHECK constraint — the commit is
+    refused before any metadata is published."""
+
+
+def _validate_constraints(rows: DataFrame, props: dict | None) -> None:
+    """Enforce the table's CHECK constraints (Delta's invariants /
+    ``ALTER TABLE ADD CONSTRAINT``) on a write batch: the
+    ``constraints`` TABLE PROPERTY is a list of SQL boolean exprs every
+    row must satisfy; a batch with any violating row is rejected LOUDLY
+    with per-constraint counts, before staging publishes anything.
+    Violation is ``NOT (expr) IS TRUE`` — a NULL predicate result
+    counts as a violation, matching SQL CHECK semantics where the
+    engine cannot prove the row satisfies the constraint is the
+    Delta/Spark enforcement direction for invariants. Cost: one
+    aggregate over the BATCH (the small side of every write) computing
+    all constraints in a single pass — never a table scan."""
+    cs = (props or {}).get("constraints") or []
+    if not cs:
+        return
+    aggs = [
+        F.sum(
+            F.when(~F.expr(c) | F.expr(c).isNull(), 1).otherwise(0)
+        ).alias(f"_c{i}")
+        for i, c in enumerate(cs)
+    ]
+    row = rows.agg(*aggs).collect()[0]
+    bad = {c: int(row[f"_c{i}"] or 0) for i, c in enumerate(cs)}
+    bad = {c: n for c, n in bad.items() if n}
+    if bad:
+        raise ConstraintViolation(
+            f"write batch violates table constraints: {bad}"
+        )
+
+
 def resolve_as_of(table_dir: str, ts: float) -> int:
     """AS-OF-TIMESTAMP time travel (Delta ``TIMESTAMP AS OF`` /
     Iceberg ``snapshot-at``): the latest version whose commit
@@ -1077,6 +1112,7 @@ def snapshot_write(
     stats_cols: list[str] | None = None,
     n_buckets: int = _N_BUCKETS,
     bucket_expr: str | None = None,
+    constraints: list[str] | None = None,
 ) -> list[str]:
     """Create snapshot ``version`` from scratch (full write, no parent).
 
@@ -1104,6 +1140,8 @@ def snapshot_write(
     OPTIMIZE harvests the same columns for its new files and
     multi-column pruning survives the table's whole write history, not
     just the initial load."""
+    if constraints:
+        _validate_constraints(df, {"constraints": list(constraints)})
     if bucket_expr is not None:
         bucket_col = F.expr(bucket_expr)
     b = _bucket_of(key, n_buckets) if bucket_col is None else bucket_col
@@ -1122,6 +1160,11 @@ def snapshot_write(
         # later bucket-rewriting writers (merge_full_sync) reproduce it
         # instead of silently re-hashing rows into the wrong files.
         props["bucket_expr"] = bucket_expr
+    if constraints:
+        # CHECK constraints as a TABLE PROPERTY (Delta invariants):
+        # carried by every writer via props, so appends/merges validate
+        # their batches against them forever after.
+        props["constraints"] = list(constraints)
     commit_snapshot(
         table_dir,
         version,
@@ -1211,6 +1254,7 @@ def merge_upsert(
             if delete_col is not None
             else upd_hot
         )
+        _validate_constraints(inserts, parent.get("props"))
         if base_hot is not None:
             keep = base_hot.join(
                 changeset_keys,
@@ -1325,6 +1369,7 @@ def merge_full_sync(
             else None
         )
         inserts = src.drop("_b")
+        _validate_constraints(inserts, parent.get("props"))
         if base_hot is not None:
             # keep: out-of-scope rows only — every in-scope row is
             # either replaced by its source row or (absent upstream)
@@ -1491,6 +1536,7 @@ def append_snapshot(
     )
     parent = _read_manifest_doc(table_dir, parent_version)
     nb = _table_n_buckets(parent)
+    _validate_constraints(rows, parent.get("props"))  # CHECK before staging
     new_files = _write_buckets(
         rows.withColumn("_b", _bucket_of(key, nb)), staging, nb
     )
@@ -3707,4 +3753,86 @@ def q_lake_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(head, agg["n"], agg["s"], n_deleted, n_reused, n_rewritten)],
         "head_version long, n_rows_final long, sum_cents_final long,"
         " n_deleted long, n_files_reused long, n_files_rewritten long",
+    )
+
+
+@register(
+    "q_lake_constraints",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT CAST(2 AS BIGINT) AS head_version,
+       (SELECT count(*) FROM src) AS n_rows,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM src) AS sum_cents,
+       TRUE AS append_rejected,
+       TRUE AS merge_rejected,
+       (SELECT count(*) FROM src WHERE k % 50 = 0) AS n_bad_rows
+""",
+)
+def q_lake_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-CONSTRAINT ENFORCEMENT at commit (Delta invariants /
+    ``ADD CONSTRAINT``, r11): the table carries ``cents >= 0`` and
+    ``k IS NOT NULL`` as a TABLE PROPERTY; every writer validates its
+    batch in one aggregate BEFORE staging publishes anything. A clean
+    append lands (v2); an append of negative-cents rows and a merge
+    driving existing rows negative are both REFUSED with per-constraint
+    violation counts — and the refusals leave no trace: head stays at
+    v2 and the final state checksum equals the clean history exactly
+    (the oracle recomputes it). The property travels through the
+    append, so the merge is validated against CARRIED constraints, not
+    the originals — the part that rots first in real deployments. At
+    100 TB validation cost is one pass over each write batch, never a
+    table scan; bad data is kept out at the commit boundary instead of
+    being discovered by a consumer."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_constraints")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), fp("o_totalprice").alias("cents")
+    )
+    snapshot_write(
+        src.filter(F.col("k") % 4 != 1),
+        table_dir,
+        key="k",
+        constraints=["cents >= 0", "k IS NOT NULL"],
+    )
+    append_snapshot(
+        table_dir, 1, src.filter(F.col("k") % 4 == 1), key="k", batch_id=0
+    )
+    bad_batch = src.filter(F.col("k") % 50 == 0).select(
+        (F.col("k") + 5_000_000).alias("k"), (-F.col("cents")).alias("cents")
+    )
+    n_bad = bad_batch.count()
+    append_rejected = False
+    try:
+        append_snapshot(table_dir, 2, bad_batch, key="k", batch_id=1)
+    except ConstraintViolation:
+        append_rejected = True
+    merge_rejected = False
+    try:
+        merge_upsert(
+            spark,
+            table_dir,
+            2,
+            src.filter(F.col("k") % 97 == 0).select(
+                "k", (-F.col("cents")).alias("cents")
+            ),
+            key="k",
+        )
+    except ConstraintViolation:
+        merge_rejected = True
+    head = latest_version(table_dir)
+    agg = snapshot_read(spark, table_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents").cast("long"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(head, agg["n"], agg["s"], append_rejected, merge_rejected, n_bad)],
+        "head_version long, n_rows long, sum_cents long,"
+        " append_rejected boolean, merge_rejected boolean, n_bad_rows long",
     )
