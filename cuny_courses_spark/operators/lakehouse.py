@@ -1462,8 +1462,14 @@ def delete_merge_on_read(
     staging = os.path.join(
         table_dir, "dv", f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}"
     )
+    # DV sidecars must be bucketed with the TABLE'S physical layout
+    # (bucket_expr property when present): _applicable_dvs matches a
+    # DV's bucket against the DATA FILES' path buckets, so hash-bucketed
+    # DVs on a range-layout table would silently miss their rows.
+    lb = _layout_bucket_exprs(parent)
+    dsel = deletes.select(key)
     dv_files = _write_buckets(
-        deletes.select(key).withColumn("_b", _bucket_of(key, nb)),
+        dsel.withColumn("_b", lb(dsel) if lb else _bucket_of(key, nb)),
         staging,
         nb,
     )
@@ -1537,8 +1543,11 @@ def append_snapshot(
     parent = _read_manifest_doc(table_dir, parent_version)
     nb = _table_n_buckets(parent)
     _validate_constraints(rows, parent.get("props"))  # CHECK before staging
+    lb = _layout_bucket_exprs(parent)  # honor a recorded non-hash layout
     new_files = _write_buckets(
-        rows.withColumn("_b", _bucket_of(key, nb)), staging, nb
+        rows.withColumn("_b", lb(rows) if lb else _bucket_of(key, nb)),
+        staging,
+        nb,
     )
     stats = dict(parent.get("stats", {}))
     stats.update(

@@ -981,3 +981,36 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
             for r in lh.snapshot_read(spark, table_dir, ver).collect()
         }
         assert got == m, f"time travel to v{ver} diverged"
+
+
+def test_mor_delete_on_range_layout_uses_table_bucket_expr(spark, tmp_path):
+    """Deletion vectors on a NON-HASH layout (r11): the DV writer must
+    bucket keys with the table's recorded ``bucket_expr`` (range here),
+    because DV application matches the DV's bucket against the data
+    files' PATH buckets — hash-bucketed DVs on a range table silently
+    miss their rows. Append must honor the layout too."""
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_range_dv")
+    base = spark.range(0, 320).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    w = 320 // 16 + 1
+    lh.snapshot_write(
+        base.filter(F.col("k") < 300), table_dir, key="k",
+        bucket_expr=f"CAST(k DIV {w} AS INT)",
+    )
+    # append honors the range layout: new keys land in their range files
+    v, _ = lh.append_snapshot(
+        table_dir, 1, base.filter(F.col("k") >= 300), key="k", batch_id=0
+    )
+    # MoR-delete keys spread across several range buckets
+    dels = base.filter(F.col("k") % 37 == 0).select("k")
+    v, n_dv = lh.delete_merge_on_read(spark, table_dir, v, dels, key="k")
+    got = sorted(
+        r["k"] for r in lh.snapshot_read(spark, table_dir, v).collect()
+    )
+    want = sorted(
+        r["k"] for r in base.filter(F.col("k") % 37 != 0).collect()
+    )
+    assert got == want  # every delete applied, nothing extra
