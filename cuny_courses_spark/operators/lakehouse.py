@@ -554,6 +554,61 @@ def publish_branch(table_dir: str, branch: str, version: int) -> dict:
     return {"version": version, "meta_files_written": 1}
 
 
+def _tag_path(table_dir: str, tag: str) -> str:
+    return os.path.join(table_dir, "manifest", f"t-{tag}.json")
+
+
+def tag_snapshot(table_dir: str, tag: str, version: int) -> None:
+    """Create an IMMUTABLE named ref to ``version`` (Iceberg tags / git
+    tags): ``t-<tag>.json`` is published with the same fail-if-exists
+    claim as a commit, so a tag can never be silently repointed —
+    retagging requires an explicit ``drop_tag`` first. Tagged versions
+    are VACUUM-PROTECTED: ``expire_snapshots`` unions them into its
+    keep set, so 'the audited March release' survives any retention
+    policy until someone deletes the tag itself."""
+    if not os.path.exists(_manifest_path(table_dir, version)):
+        raise FileNotFoundError(
+            f"cannot tag: v{version} of {table_dir} does not exist"
+        )
+    mdir = os.path.join(table_dir, "manifest")
+    tmp = os.path.join(
+        mdir, f".t-{tag}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    )
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "tag": tag}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        _publish_manifest(tmp, _tag_path(table_dir, tag))
+    finally:
+        os.unlink(tmp)
+
+
+def resolve_tag(table_dir: str, tag: str) -> int:
+    with _meta_open(_tag_path(table_dir, tag)) as f:
+        return int(json.load(f)["version"])
+
+
+def drop_tag(table_dir: str, tag: str) -> None:
+    try:
+        os.unlink(_tag_path(table_dir, tag))
+    except FileNotFoundError:
+        pass
+
+
+def _tagged_versions(table_dir: str) -> set[int]:
+    mdir = os.path.join(table_dir, "manifest")
+    out: set[int] = set()
+    for f in os.listdir(mdir):
+        if f.startswith("t-") and f.endswith(".json"):
+            try:
+                with _meta_open(os.path.join(mdir, f)) as fh:
+                    out.add(int(json.load(fh)["version"]))
+            except (OSError, ValueError, KeyError):
+                continue
+    return out
+
+
 def drop_branch(table_dir: str, branch: str) -> None:
     """Delete a branch ref (e.g. after a FAILED audit). The staged data
     and group files become unreachable and are reclaimed by VACUUM —
@@ -1831,6 +1886,9 @@ def expire_snapshots(
     # is about to delete — is left alone and readers fall back to the
     # directory listing) closes the window even if this process crashes
     # mid-deletion.
+    # TAGGED versions are vacuum-protected (Iceberg tag retention):
+    # the caller's retention policy can never expire a named release.
+    keep = sorted(set(keep) | _tagged_versions(table_dir))
     kept_existing = [v for v in versions if v in keep]
     if kept_existing:
         _advance_head(table_dir, max(kept_existing))
@@ -3844,4 +3902,111 @@ def q_lake_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(head, agg["n"], agg["s"], append_rejected, merge_rejected, n_bad)],
         "head_version long, n_rows long, sum_cents long,"
         " append_rejected boolean, merge_rejected boolean, n_bad_rows long",
+    )
+
+
+@register(
+    "q_lake_snapshot_tag",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), v2 AS (
+    SELECT k, CASE WHEN k % 97 = 0 THEN 2 * cents ELSE cents END AS cents
+    FROM src
+), v3 AS (
+    SELECT k, CASE WHEN k % 89 = 0 THEN 3 * cents ELSE cents END AS cents
+    FROM v2
+)
+SELECT CAST(2 AS BIGINT) AS tag_version,
+       (SELECT count(*) FROM src) AS n_rows_tagged,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM v2)
+           AS sum_cents_tagged,
+       TRUE AS retag_blocked,
+       TRUE AS survived_vacuum,
+       TRUE AS expired_after_drop,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM v3)
+           AS sum_cents_head
+""",
+)
+def q_lake_snapshot_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT TAGS (Iceberg tags / git-tag semantics, r11): a named
+    IMMUTABLE ref pins a version against every retention policy. Three
+    commits land; v2 is tagged "release"; a VACUUM keeping only v3 must
+    expire v1 yet leave the TAGGED v2 fully readable (its state is
+    hash-checked against the oracle's logical recomputation AFTER the
+    vacuum). Re-tagging the same name is refused through the same
+    fail-if-exists publish every commit uses (tags can never be
+    silently repointed), and only after an explicit ``drop_tag`` does
+    the next vacuum reclaim v2 — proven by the read then failing. The
+    head state is re-verified at the end: tag bookkeeping never touches
+    data. At 100 TB this is how 'the audited March release' stays
+    reproducible for a year while minute-cadence retention mows
+    everything else."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_tag")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), fp("o_totalprice").alias("cents")
+    )
+    snapshot_write(src, table_dir, key="k", version=1)
+    merge_upsert(
+        spark, table_dir, 1,
+        src.filter(F.col("k") % 97 == 0).select(
+            "k", (F.col("cents") * 2).alias("cents")
+        ),
+        key="k",
+    )
+    tag_snapshot(table_dir, "release", 2)
+    merge_upsert(
+        spark, table_dir, 2,
+        src.filter(F.col("k") % 89 == 0).select(
+            "k",
+            (
+                F.col("cents")
+                * F.when(F.col("k") % 97 == 0, 2).otherwise(1)
+                * 3
+            ).alias("cents"),
+        ),
+        key="k",
+    )
+    retag_blocked = False
+    try:
+        tag_snapshot(table_dir, "release", 3)
+    except FileExistsError:
+        retag_blocked = True
+    expire_snapshots(table_dir, keep=[3])  # tag must protect v2
+    tagv = resolve_tag(table_dir, "release")
+    t2 = snapshot_read(spark, table_dir, tagv)
+    a2 = t2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents").cast("long"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    survived = bool(a2["n"] > 0 or src.isEmpty())
+    drop_tag(table_dir, "release")
+    expire_snapshots(table_dir, keep=[3])  # now v2 is reclaimable
+    try:
+        snapshot_read(spark, table_dir, 2).count()
+        expired_after_drop = False
+    except Exception:
+        expired_after_drop = True
+    sh = (
+        snapshot_read(spark, table_dir)
+        .agg(F.coalesce(F.sum("cents").cast("long"), F.lit(0)))
+        .collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                tagv,  # resolved through the tag ref, pre-drop
+                a2["n"], a2["s"], retag_blocked, survived,
+                expired_after_drop, sh,
+            )
+        ],
+        "tag_version long, n_rows_tagged long, sum_cents_tagged long,"
+        " retag_blocked boolean, survived_vacuum boolean,"
+        " expired_after_drop boolean, sum_cents_head long",
     )
