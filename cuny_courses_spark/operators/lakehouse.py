@@ -518,7 +518,10 @@ def read_branch(spark: SparkSession, table_dir: str, branch: str) -> DataFrame:
                 f"branch {branch!r} of {table_dir} is empty and carries "
                 "no schema"
             )
-        return spark.createDataFrame([], T.StructType.fromJson(sch))
+        return _to_logical(
+            spark.createDataFrame([], T.StructType.fromJson(sch)),
+            _colmap(doc),
+        )
     return _read_snapshot_files(spark, doc, doc["files"])
 
 
@@ -907,12 +910,14 @@ def rebucket(
     data a single-key merge rewrites — without rewriting history or
     breaking time travel."""
     parent = _read_manifest_doc(table_dir, parent_version)
-    df = snapshot_read(spark, table_dir, parent_version)
+    cm = _colmap(parent)
+    pk = _physical_key(key, cm)
+    df = _to_physical(snapshot_read(spark, table_dir, parent_version), cm)
     staging = os.path.join(
         table_dir, "data", f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}"
     )
     files = _write_buckets(
-        df.withColumn("_b", _bucket_of(key, n_buckets)), staging, n_buckets
+        df.withColumn("_b", _bucket_of(pk, n_buckets)), staging, n_buckets
     )
     props = dict(parent.get("props", {}))
     props["n_buckets"] = n_buckets
@@ -922,7 +927,7 @@ def rebucket(
             table_dir,
             parent_version + 1,
             files,
-            stats=_file_key_stats(files, key, extra_cols=scols),
+            stats=_file_key_stats(files, pk, extra_cols=scols),
             schema=parent.get("schema"),
             added={f: parent_version + 1 for f in files},
             props=props,
@@ -931,6 +936,50 @@ def rebucket(
         shutil.rmtree(staging, ignore_errors=True)
         raise
     return files
+
+
+def rename_column(
+    table_dir: str, parent_version: int, old: str, new: str
+) -> dict:
+    """COLUMN RENAME as a METADATA-ONLY commit (Delta column-mapping
+    mode=name, reduced): the physical parquet column names never change
+    — the new version carries an updated ``colmap`` table property
+    ({logical: physical}) and re-references every group file verbatim,
+    so renaming a column on a 100 TB table writes exactly ONE metadata
+    file and zero data. Readers alias physical→logical on the way out;
+    writers map logical→physical on the way in and keep writing the
+    ORIGINAL physical name forever (so files from before and after the
+    rename stay schema-identical). Naming is SNAPSHOT-SCOPED: time
+    travel to a pre-rename version shows the old name — the name that
+    was true then. Renaming onto an existing logical name is refused."""
+    parent = _read_manifest_doc(table_dir, parent_version)
+    cm = _colmap(parent)
+    physical = cm.get(old, old)
+    sch = parent.get("schema")
+    phys_names = (
+        {f["name"] for f in sch["fields"]} if sch else set()
+    )
+    inv = {p: l for l, p in cm.items()}
+    logical_names = {inv.get(p, p) for p in phys_names} or set(cm)
+    if old not in logical_names and old not in phys_names:
+        raise ValueError(f"no column {old!r} to rename in {table_dir}")
+    if new in logical_names:
+        raise ValueError(f"column {new!r} already exists in {table_dir}")
+    cm.pop(old, None)
+    cm[new] = physical
+    props = dict(parent.get("props", {}))
+    props["colmap"] = cm
+    return commit_snapshot(
+        table_dir,
+        parent_version + 1,
+        parent["files"],
+        stats=parent.get("stats"),
+        schema=sch,
+        dvs=parent.get("dvs"),
+        added=parent.get("added"),
+        props=props,
+        rebase_from=parent_version,
+    )
 
 
 def commit_with_retry(table_dir: str, attempt, max_retries: int = 5):
@@ -1009,7 +1058,10 @@ def snapshot_read(
     sch = doc.get("schema")
     if not files:
         if sch is not None:
-            return spark.createDataFrame([], T.StructType.fromJson(sch))
+            return _to_logical(
+                spark.createDataFrame([], T.StructType.fromJson(sch)),
+                _colmap(doc),
+            )
         if empty_schema is None:
             raise ValueError(
                 f"snapshot v{version} of {table_dir} is empty and no "
@@ -1087,6 +1139,35 @@ def _applicable_dvs(doc: dict, f: str) -> tuple[str, ...]:
     )
 
 
+def _colmap(doc_or_props: dict | None) -> dict:
+    """The snapshot's COLUMN MAPPING {logical: physical} — Delta
+    column-mapping mode=name, reduced: physical parquet column names
+    NEVER change after a rename; the logical name is list-level
+    metadata. Empty for tables that were never renamed."""
+    if not doc_or_props:
+        return {}
+    props = doc_or_props.get("props", doc_or_props)
+    return dict(props.get("colmap", {}))
+
+
+def _to_logical(df: DataFrame, cm: dict) -> DataFrame:
+    for logical, physical in cm.items():
+        if physical in df.columns:
+            df = df.withColumnRenamed(physical, logical)
+    return df
+
+
+def _to_physical(df: DataFrame, cm: dict) -> DataFrame:
+    for logical, physical in cm.items():
+        if logical in df.columns:
+            df = df.withColumnRenamed(logical, physical)
+    return df
+
+
+def _physical_key(key: str, cm: dict) -> str:
+    return cm.get(key, key)
+
+
 def _read_snapshot_files(
     spark: SparkSession, doc: dict, files: list[str]
 ) -> DataFrame:
@@ -1097,7 +1178,12 @@ def _read_snapshot_files(
     broadcast anti-join, groups union back. DVs are KB-scale by design
     — a delete writes |deleted keys in bucket| longs and OPTIMIZE folds
     the ledger into clean files — so the broadcast side is bounded by
-    the un-compacted delete backlog, never by table size."""
+    the un-compacted delete backlog, never by table size.
+
+    Returns the snapshot's LOGICAL columns: physical file columns are
+    aliased through the snapshot's column mapping (a no-op for tables
+    never renamed). DV subtraction happens BEFORE the aliasing — DV
+    sidecars store the physical key column."""
     from pyspark.sql import types as T
 
     sch = doc.get("schema")
@@ -1120,7 +1206,7 @@ def _read_snapshot_files(
     out = parts[0]
     for d in parts[1:]:
         out = out.unionByName(d)
-    return out
+    return _to_logical(out, _colmap(doc))
 
 
 def _schema_of(df: DataFrame) -> dict:
@@ -1273,6 +1359,11 @@ def merge_upsert(
     files (the append_snapshot staging rule, extended here)."""
     parent = _read_manifest_doc(table_dir, parent_version)
     nb = _table_n_buckets(parent)
+    cm = _colmap(parent)
+    pk = _physical_key(key, cm)
+    # the merge runs in LOGICAL column space (updates arrive logical,
+    # hot parent files read back logical); conversion to the PHYSICAL
+    # names files actually store happens once, just before the write.
     upd = updates.withColumn("_b", _bucket_of(key, nb)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -1309,7 +1400,9 @@ def merge_upsert(
             if delete_col is not None
             else upd_hot
         )
-        _validate_constraints(inserts, parent.get("props"))
+        _validate_constraints(
+            _to_physical(inserts, cm), parent.get("props")
+        )  # constraint exprs use the table's PHYSICAL names
         if base_hot is not None:
             keep = base_hot.join(
                 changeset_keys,
@@ -1321,18 +1414,20 @@ def merge_upsert(
             merged = keep.unionByName(inserts, allowMissingColumns=True)
         else:
             merged = inserts
+        merged_p = _to_physical(merged, cm)
         new_files = _write_buckets(
-            merged.withColumn("_b", _bucket_of(key, nb)), staging, nb
+            merged_p.withColumn("_b", _bucket_of(pk, nb)), staging, nb
         )
         # parent ∪ merged, not _schema_of(merged) alone: with zero hot
         # parent files, merged is just the changeset, whose columns must
-        # still widen (never replace) the parent schema.
-        child_schema = _merge_schemas(parent_schema, _schema_of(merged))
+        # still widen (never replace) the parent schema. The union runs
+        # on the PHYSICAL form — the names the parent schema records.
+        child_schema = _merge_schemas(parent_schema, _schema_of(merged_p))
     finally:
         upd.unpersist()
     scols = parent.get("props", {}).get("stats_cols")
     stats = {p: parent_stats[p] for p in reused if p in parent_stats}
-    stats.update(_file_key_stats(new_files, key, extra_cols=scols))
+    stats.update(_file_key_stats(new_files, pk, extra_cols=scols))
     hot_set = {str(b) for b in hot}
     cold_dvs = {
         b: ps
@@ -1388,8 +1483,13 @@ def merge_full_sync(
     parent = _read_manifest_doc(table_dir, parent_version)
     nb = _table_n_buckets(parent)
     layout_b = _layout_bucket_exprs(parent)
-    src = source.withColumn(
-        "_b", layout_b(source) if layout_b else _bucket_of(key, nb)
+    cm = _colmap(parent)
+    pk = _physical_key(key, cm)
+    # buckets are computed on the PHYSICAL form (bucket_expr is SQL over
+    # physical names); the merge itself runs in logical space.
+    src_p = _to_physical(source, cm)
+    src = src_p.withColumn(
+        "_b", layout_b(src_p) if layout_b else _bucket_of(pk, nb)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     staging = os.path.join(
         table_dir, "data", f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}"
@@ -1397,12 +1497,12 @@ def merge_full_sync(
     try:
         if parent["files"]:
             target_all = _read_snapshot_files(spark, parent, parent["files"])
+            scoped_p = _to_physical(target_all.filter(scope), cm)
             scoped_buckets = sorted(
                 r["_b"]
-                for r in target_all.filter(scope)
-                .withColumn(
+                for r in scoped_p.withColumn(
                     "_b",
-                    layout_b(target_all) if layout_b else _bucket_of(key, nb),
+                    layout_b(scoped_p) if layout_b else _bucket_of(pk, nb),
                 )
                 .select("_b")
                 .distinct()
@@ -1423,19 +1523,19 @@ def merge_full_sync(
             if hot_files
             else None
         )
-        inserts = src.drop("_b")
+        inserts = src.drop("_b")  # physical form already
         _validate_constraints(inserts, parent.get("props"))
         if base_hot is not None:
             # keep: out-of-scope rows only — every in-scope row is
             # either replaced by its source row or (absent upstream)
             # deleted, which IS the not-matched-by-source clause.
-            keep = base_hot.filter(~scope)
+            keep = _to_physical(base_hot.filter(~scope), cm)
             merged = keep.unionByName(inserts, allowMissingColumns=True)
         else:
             merged = inserts
         new_files = _write_buckets(
             merged.withColumn(
-                "_b", layout_b(merged) if layout_b else _bucket_of(key, nb)
+                "_b", layout_b(merged) if layout_b else _bucket_of(pk, nb)
             ),
             staging,
             nb,
@@ -1445,7 +1545,7 @@ def merge_full_sync(
         src.unpersist()
     scols = parent.get("props", {}).get("stats_cols")
     stats = {p: parent_stats[p] for p in reused if p in parent_stats}
-    stats.update(_file_key_stats(new_files, key, extra_cols=scols))
+    stats.update(_file_key_stats(new_files, pk, extra_cols=scols))
     hot_set = {str(b) for b in hot}
     cold_dvs = {
         b: ps
@@ -1522,9 +1622,13 @@ def delete_merge_on_read(
     # DV's bucket against the DATA FILES' path buckets, so hash-bucketed
     # DVs on a range-layout table would silently miss their rows.
     lb = _layout_bucket_exprs(parent)
-    dsel = deletes.select(key)
+    cm = _colmap(parent)
+    pk = _physical_key(key, cm)
+    # DV sidecars store the PHYSICAL key column: they are anti-joined
+    # against raw file reads BEFORE logical aliasing.
+    dsel = _to_physical(deletes.select(key), cm)
     dv_files = _write_buckets(
-        dsel.withColumn("_b", lb(dsel) if lb else _bucket_of(key, nb)),
+        dsel.withColumn("_b", lb(dsel) if lb else _bucket_of(pk, nb)),
         staging,
         nb,
     )
@@ -1597,17 +1701,20 @@ def append_snapshot(
     )
     parent = _read_manifest_doc(table_dir, parent_version)
     nb = _table_n_buckets(parent)
+    cm = _colmap(parent)
+    rows = _to_physical(rows, cm)  # writers store PHYSICAL column names
+    pk = _physical_key(key, cm)
     _validate_constraints(rows, parent.get("props"))  # CHECK before staging
     lb = _layout_bucket_exprs(parent)  # honor a recorded non-hash layout
     new_files = _write_buckets(
-        rows.withColumn("_b", lb(rows) if lb else _bucket_of(key, nb)),
+        rows.withColumn("_b", lb(rows) if lb else _bucket_of(pk, nb)),
         staging,
         nb,
     )
     stats = dict(parent.get("stats", {}))
     stats.update(
         _file_key_stats(
-            new_files, key,
+            new_files, pk,
             extra_cols=parent.get("props", {}).get("stats_cols"),
         )
     )
@@ -1703,7 +1810,9 @@ def optimize_compact(
             f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}",
         )
         new_files = _write_buckets(
-            merged, staging, _table_n_buckets(parent)
+            _to_physical(merged, _colmap(parent)),  # files store physical
+            staging,
+            _table_n_buckets(parent),
         )
     else:
         staging = None
@@ -1711,7 +1820,7 @@ def optimize_compact(
     stats = {p: parent_stats[p] for p in reused if p in parent_stats}
     stats.update(
         _file_key_stats(
-            new_files, key,
+            new_files, _physical_key(key, _colmap(parent)),
             extra_cols=parent.get("props", {}).get("stats_cols"),
         )
     )
@@ -2471,6 +2580,15 @@ def incremental_diff(
 
     old_doc = _read_manifest_doc(table_dir, v_from)
     new_doc = _read_manifest_doc(table_dir, v_to)
+    if _colmap(old_doc) != _colmap(new_doc):
+        # A RENAME between the endpoints changes column identity mid-
+        # diff; diff up to the rename commit and from it separately
+        # (the rename itself is metadata-only — zero row changes).
+        raise ValueError(
+            f"CDC diff v{v_from}..v{v_to} of {table_dir} crosses a "
+            "column-rename boundary — split the read at the rename "
+            "commit"
+        )
 
     # a file's EFFECTIVE content is (path, its applicable deletion
     # vectors): a merge-on-read delete changes table state while the
@@ -4009,4 +4127,115 @@ def q_lake_snapshot_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tag_version long, n_rows_tagged long, sum_cents_tagged long,"
         " retag_blocked boolean, survived_vacuum boolean,"
         " expired_after_drop boolean, sum_cents_head long",
+    )
+
+
+@register(
+    "q_lake_rename_column",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), base AS (SELECT * FROM src WHERE k % 4 <> 2),
+late AS (SELECT * FROM src WHERE k % 4 = 2),
+final AS (
+    SELECT k, CASE WHEN k % 97 = 0 THEN 2 * cents ELSE cents END AS amount
+    FROM src
+)
+SELECT CAST(4 AS BIGINT) AS head_version,
+       CAST(1 AS BIGINT) AS rename_meta_files,
+       TRUE AS head_has_amount,
+       TRUE AS v1_has_cents,
+       TRUE AS physical_name_unchanged,
+       (SELECT count(*) FROM final) AS n_rows,
+       (SELECT COALESCE(CAST(sum(amount) AS BIGINT), 0) FROM final)
+           AS sum_amount,
+       (SELECT count(*) FROM base) AS n_rows_v1
+""",
+)
+def q_lake_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN RENAME via column mapping (Delta column-mapping
+    mode=name, r11 — the non-additive half of schema evolution):
+    ``cents`` is renamed to ``amount`` as a METADATA-ONLY commit — the
+    oracle pins ``rename_meta_files = 1`` (one manifest list; every
+    group file re-referenced by hash name, zero data moved: renaming a
+    100 TB table costs one KB write). The proof obligations after the
+    rename:
+    · an APPEND arrives with the NEW logical name and a MERGE updates
+      through it — both land, because writers map logical→physical and
+      keep writing the ORIGINAL physical column name forever;
+    · ``physical_name_unchanged`` — read straight from a post-rename
+      data file's parquet FOOTER: its column is still ``cents``, the
+      bit-level evidence that no rewrite happened and files from before
+      and after the rename stay schema-identical;
+    · the HEAD read exposes ``amount``; TIME TRAVEL to v1 still shows
+      ``cents`` (naming is snapshot-scoped — the name that was true
+      then);
+    · full state (count + amount checksum) hash-matches the oracle's
+      logical recomputation."""
+    import pyarrow.parquet as pq
+
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_rename")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), fp("o_totalprice").alias("cents")
+    )
+    snapshot_write(src.filter(F.col("k") % 4 != 2), table_dir, key="k")
+    mdir = os.path.join(table_dir, "manifest")
+    before = set(os.listdir(mdir))
+    rename_column(table_dir, 1, "cents", "amount")
+    rename_meta = len(set(os.listdir(mdir)) - before)
+    # append under the NEW logical name
+    append_snapshot(
+        table_dir,
+        2,
+        src.filter(F.col("k") % 4 == 2).select(
+            "k", F.col("cents").alias("amount")
+        ),
+        key="k",
+        batch_id=0,
+    )
+    # merge through the new name too
+    merge_upsert(
+        spark,
+        table_dir,
+        3,
+        src.filter(F.col("k") % 97 == 0).select(
+            "k", (F.col("cents") * 2).alias("amount")
+        ),
+        key="k",
+    )
+    head = latest_version(table_dir)
+    hd = snapshot_read(spark, table_dir)
+    has_amount = "amount" in hd.columns and "cents" not in hd.columns
+    v1 = snapshot_read(spark, table_dir, 1)
+    v1_cents = "cents" in v1.columns and "amount" not in v1.columns
+    # bit-level proof: the post-rename APPEND's file still stores the
+    # ORIGINAL physical column name
+    v2_files = set(read_manifest(table_dir, 2))
+    appended = sorted(set(read_manifest(table_dir, 3)) - v2_files)
+    if appended:
+        phys_cols = set(pq.ParquetFile(appended[0]).schema_arrow.names)
+        phys_ok = "cents" in phys_cols and "amount" not in phys_cols
+    else:  # empty corpus: the append wrote no files — vacuously true
+        phys_ok = True
+    agg = hd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("amount").cast("long"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    n_v1 = v1.count()
+    return spark.createDataFrame(
+        [
+            (
+                head, rename_meta, has_amount, v1_cents, phys_ok,
+                agg["n"], agg["s"], n_v1,
+            )
+        ],
+        "head_version long, rename_meta_files long, head_has_amount"
+        " boolean, v1_has_cents boolean, physical_name_unchanged boolean,"
+        " n_rows long, sum_amount long, n_rows_v1 long",
     )

@@ -1014,3 +1014,70 @@ def test_mor_delete_on_range_layout_uses_table_bucket_expr(spark, tmp_path):
         r["k"] for r in base.filter(F.col("k") % 37 != 0).collect()
     )
     assert got == want  # every delete applied, nothing extra
+
+
+def test_rename_column_full_write_surface(spark, tmp_path):
+    """Column mapping (r11): after cents→amount, EVERY writer keeps
+    functioning through the logical name — append, CoW merge, MoR
+    delete, OPTIMIZE (which folds the DVs and must write the PHYSICAL
+    name back), and rebucket — and reads stay logical throughout.
+    Renaming onto an existing name and renaming a missing column both
+    refuse."""
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_ren")
+    base = spark.range(0, 320).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("cents")
+    )
+    lh.snapshot_write(base.filter(F.col("k") < 200), table_dir, key="k")
+    lh.rename_column(table_dir, 1, "cents", "amount")
+    with pytest.raises(ValueError):
+        lh.rename_column(table_dir, 2, "nope", "x")
+    with pytest.raises(ValueError):
+        lh.rename_column(table_dir, 2, "k", "amount")
+    v, _ = lh.append_snapshot(
+        table_dir, 2,
+        base.filter(F.col("k") >= 200).select(
+            "k", F.col("cents").alias("amount")
+        ),
+        key="k", batch_id=0,
+    )
+    lh.merge_upsert(
+        spark, table_dir, v,
+        base.filter(F.col("k") % 50 == 7).select(
+            "k", (F.col("cents") * 10).alias("amount")
+        ),
+        key="k",
+    )
+    v = lh.latest_version(table_dir)
+    v, _ = lh.delete_merge_on_read(
+        spark, table_dir, v,
+        base.filter(F.col("k") % 37 == 0).select("k"), key="k",
+    )
+    lh.optimize_compact(spark, table_dir, v, key="k")
+    v = lh.latest_version(table_dir)
+    got = {
+        r["k"]: r["amount"]
+        for r in lh.snapshot_read(spark, table_dir, v).collect()
+    }
+    want = {
+        r["k"]: r["cents"] * (10 if r["k"] % 50 == 7 else 1)
+        for r in base.collect()
+        if r["k"] % 37 != 0
+    }
+    assert got == want
+    # physical files never carry the logical name
+    import pyarrow.parquet as pq
+
+    for p in lh.read_manifest(table_dir, v):
+        assert "amount" not in set(pq.ParquetFile(p).schema_arrow.names), p
+    # rebucket under the rename keeps working and stays logical
+    lh.rebucket(spark, table_dir, v, key="k", n_buckets=32)
+    got2 = {
+        r["k"]: r["amount"]
+        for r in lh.snapshot_read(spark, table_dir).collect()
+    }
+    assert got2 == want
+    # CDC across the rename boundary refuses loudly; within one side works
+    with pytest.raises(ValueError):
+        lh.incremental_diff(spark, table_dir, 1, 3, key="k")
