@@ -921,6 +921,11 @@ def rebucket(
     )
     props = dict(parent.get("props", {}))
     props["n_buckets"] = n_buckets
+    # the rewrite above is the DEFAULT hash layout; carrying a parent
+    # bucket_expr forward would make every later append/DV/full-sync
+    # bucket new rows with the old expression over hash-laid files —
+    # stale file reuse and DV targeting (r11 ADVICE, medium).
+    props.pop("bucket_expr", None)
     scols = props.get("stats_cols")
     try:
         commit_snapshot(
@@ -1359,14 +1364,24 @@ def merge_upsert(
     files (the append_snapshot staging rule, extended here)."""
     parent = _read_manifest_doc(table_dir, parent_version)
     nb = _table_n_buckets(parent)
+    lb = _layout_bucket_exprs(parent)
     cm = _colmap(parent)
     pk = _physical_key(key, cm)
     # the merge runs in LOGICAL column space (updates arrive logical,
     # hot parent files read back logical); conversion to the PHYSICAL
     # names files actually store happens once, just before the write.
-    upd = updates.withColumn("_b", _bucket_of(key, nb)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # The bucket column, though, must follow the table's PHYSICAL layout
+    # (bucket_expr property, e.g. a range layout): hashing the key on a
+    # range-bucketed table would re-reference the file actually holding
+    # a matched key unchanged and write its replacement into a different
+    # bucket — silent duplicate keys after MERGE (r11 ADVICE, high). The
+    # expr is SQL over physical names, so attach _b on the physical form
+    # and alias back.
+    _upd_p = _to_physical(updates, cm)
+    upd = _to_logical(
+        _upd_p.withColumn("_b", lb(_upd_p) if lb else _bucket_of(pk, nb)),
+        cm,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     staging = os.path.join(
         table_dir, "data", f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}"
     )
@@ -1416,7 +1431,11 @@ def merge_upsert(
             merged = inserts
         merged_p = _to_physical(merged, cm)
         new_files = _write_buckets(
-            merged_p.withColumn("_b", _bucket_of(pk, nb)), staging, nb
+            merged_p.withColumn(
+                "_b", lb(merged_p) if lb else _bucket_of(pk, nb)
+            ),
+            staging,
+            nb,
         )
         # parent ∪ merged, not _schema_of(merged) alone: with zero hot
         # parent files, merged is just the changeset, whose columns must
@@ -1495,9 +1514,15 @@ def merge_full_sync(
         table_dir, "data", f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}"
     )
     try:
+        # NULL scope = out of scope (SQL MERGE treats a NULL condition
+        # as not-matched → keep): evaluate a three-valued-safe TRUE test
+        # once and use it for BOTH the scoped-bucket set and the keep
+        # filter, so a NULL-scope row's fate never depends on which
+        # physical bucket it lives in (r11 ADVICE, medium).
+        scope_t = F.coalesce(scope, F.lit(False))
         if parent["files"]:
             target_all = _read_snapshot_files(spark, parent, parent["files"])
-            scoped_p = _to_physical(target_all.filter(scope), cm)
+            scoped_p = _to_physical(target_all.filter(scope_t), cm)
             scoped_buckets = sorted(
                 r["_b"]
                 for r in scoped_p.withColumn(
@@ -1526,10 +1551,11 @@ def merge_full_sync(
         inserts = src.drop("_b")  # physical form already
         _validate_constraints(inserts, parent.get("props"))
         if base_hot is not None:
-            # keep: out-of-scope rows only — every in-scope row is
-            # either replaced by its source row or (absent upstream)
-            # deleted, which IS the not-matched-by-source clause.
-            keep = _to_physical(base_hot.filter(~scope), cm)
+            # keep: every row whose scope is NOT TRUE (false or NULL) —
+            # every in-scope row is either replaced by its source row or
+            # (absent upstream) deleted, which IS the
+            # not-matched-by-source clause.
+            keep = _to_physical(base_hot.filter(~scope_t), cm)
             merged = keep.unionByName(inserts, allowMissingColumns=True)
         else:
             merged = inserts
@@ -1694,7 +1720,14 @@ def append_snapshot(
         _manifest_path(table_dir, version)
     ):
         for v in range(version, latest_version(table_dir) + 1):
-            if _already(_read_list_doc(table_dir, v)):
+            # expire_snapshots with a gappy keep list leaves holes in
+            # the version range — skip them, matching resolve_as_of's
+            # guard, instead of failing replay-or-commit (r11 ADVICE).
+            try:
+                doc = _read_list_doc(table_dir, v)
+            except (OSError, ValueError):
+                continue
+            if _already(doc):
                 return v, False  # replayed batch — already committed
     staging = os.path.join(
         table_dir, "data", f"v{version}_{uuid.uuid4().hex[:8]}"
@@ -1744,7 +1777,11 @@ def append_snapshot(
     except FileExistsError:
         shutil.rmtree(staging, ignore_errors=True)  # orphaned staging dir
         for v in range(version, latest_version(table_dir) + 1):
-            if _already(_read_list_doc(table_dir, v)):
+            try:
+                doc = _read_list_doc(table_dir, v)
+            except (OSError, ValueError):
+                continue  # expired/gappy version — not our replay
+            if _already(doc):
                 return v, False  # lost the race to our own replay
         raise
     return rep["version"], True
@@ -2058,6 +2095,11 @@ def expire_snapshots(
     # in-flight STAGING too: a commit staging concurrently with vacuum
     # would see its unpublished files swept (Iceberg guards the same
     # race with an age threshold).
+    # Manifests record paths in the table_dir FORM used at write time;
+    # compare canonicalized paths, or an equivalent-but-different form
+    # (absolute vs relative, ./-prefixed) would classify every live file
+    # as orphan and delete the whole table (r11 ADVICE).
+    live_real = {os.path.realpath(p) for p in live}
     for sub in ("data", "dv"):
         droot = os.path.join(table_dir, sub)
         if not os.path.isdir(droot):
@@ -2065,7 +2107,7 @@ def expire_snapshots(
         for p in glob.glob(
             os.path.join(droot, "**", "*.parquet"), recursive=True
         ):
-            if p not in live:
+            if os.path.realpath(p) not in live_real:
                 try:
                     os.unlink(p)
                 except FileNotFoundError:

@@ -1081,3 +1081,160 @@ def test_rename_column_full_write_surface(spark, tmp_path):
     # CDC across the rename boundary refuses loudly; within one side works
     with pytest.raises(ValueError):
         lh.incremental_diff(spark, table_dir, 1, 3, key="k")
+
+
+def test_merge_upsert_on_range_layout_honors_bucket_expr(spark, tmp_path):
+    """r11 ADVICE (high): merge_upsert on a table written with a custom
+    ``bucket_expr`` (range layout) must bucket the changeset AND the
+    rewrite with the recorded layout. Hash-bucketing instead would leave
+    the file actually holding a matched key untouched and write the new
+    row version into a different bucket — silent duplicate keys."""
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_range_merge")
+    base = spark.range(0, 320).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    w = 320 // 16 + 1
+    lh.snapshot_write(
+        base, table_dir, key="k", bucket_expr=f"CAST(k DIV {w} AS INT)"
+    )
+    upd = base.filter(F.col("k") % 41 == 0).select(
+        "k", (F.col("v") * 100).alias("v")
+    )
+    files = lh.merge_upsert(spark, table_dir, 1, upd, key="k")
+    got = [
+        (r["k"], r["v"])
+        for r in lh.snapshot_read(spark, table_dir, 2).collect()
+    ]
+    ks = [k for k, _ in got]
+    assert len(ks) == len(set(ks)), "duplicate keys after MERGE"
+    want = {
+        r["k"]: r["v"] * (100 if r["k"] % 41 == 0 else 1)
+        for r in base.collect()
+    }
+    assert dict(got) == want
+    # hot set is small under the range layout: most parent files reused
+    parent_files = set(lh.read_manifest(table_dir, 1))
+    assert len(parent_files & set(files)) > 0, "no parent file reused"
+
+
+def test_rebucket_clears_stale_bucket_expr(spark, tmp_path):
+    """r11 ADVICE (medium): rebucket rewrites into the DEFAULT hash
+    layout, so it must drop the parent's ``bucket_expr`` property —
+    otherwise later appends/DVs bucket with the old expression over
+    hash-laid files and silently miss their targets."""
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_rebkt_expr")
+    base = spark.range(0, 320).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    w = 320 // 16 + 1
+    lh.snapshot_write(
+        base, table_dir, key="k", bucket_expr=f"CAST(k DIV {w} AS INT)"
+    )
+    lh.rebucket(spark, table_dir, 1, key="k", n_buckets=16)
+    doc = lh._read_manifest_doc(table_dir, 2)
+    assert "bucket_expr" not in doc.get("props", {})
+    # a MoR delete after the rebucket lands in the right hash buckets
+    dels = base.filter(F.col("k") % 37 == 0).select("k")
+    v, _ = lh.delete_merge_on_read(spark, table_dir, 2, dels, key="k")
+    got = sorted(
+        r["k"] for r in lh.snapshot_read(spark, table_dir, v).collect()
+    )
+    want = sorted(
+        r["k"] for r in base.filter(F.col("k") % 37 != 0).collect()
+    )
+    assert got == want
+
+
+def test_merge_full_sync_null_scope_rows_kept(spark, tmp_path):
+    """r11 ADVICE (medium): a row whose scope predicate evaluates NULL is
+    NOT in scope (SQL MERGE treats NULL as not-matched → keep); it must
+    survive full-sync regardless of which physical bucket holds it."""
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_fs_null")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .alias("grp"),
+        (F.col("id") * 3).alias("v"),
+    )
+    lh.snapshot_write(base, table_dir, key="k")
+    # sync grp==0 to a source holding only even keys of that group
+    src = base.filter((F.col("grp") == 0) & (F.col("k") % 2 == 0)).select(
+        "k", "grp", (F.col("v") + 1).alias("v")
+    )
+    lh.merge_full_sync(
+        spark, table_dir, 1, src, key="k", scope=F.col("grp") == 0
+    )
+    got = {
+        r["k"]: (r["grp"], r["v"])
+        for r in lh.snapshot_read(spark, table_dir, 2).collect()
+    }
+    for r in base.collect():
+        if r["grp"] is None:
+            assert r["k"] in got, f"NULL-scope row {r['k']} deleted"
+            assert got[r["k"]] == (None, r["v"])
+        elif r["grp"] == 0:
+            if r["k"] % 2 == 0:
+                assert got[r["k"]] == (0, r["v"] + 1)
+            else:
+                assert r["k"] not in got  # absent upstream → deleted
+        else:
+            assert got[r["k"]] == (r["grp"], r["v"])
+
+
+def test_append_replay_detection_survives_expired_gap(spark, tmp_path):
+    """r11 ADVICE (low): the exactly-once replay scan walks
+    parent+1..HEAD; after expire_snapshots with a gappy keep list a
+    missing manifest must be SKIPPED (like resolve_as_of), not raise —
+    and a replay whose commit lives beyond the gap is still detected."""
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_gap_replay")
+    base = spark.range(0, 64).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    lh.snapshot_write(base.filter(F.col("k") < 40), table_dir, key="k")
+    b0 = base.filter((F.col("k") >= 40) & (F.col("k") < 48))
+    b1 = base.filter((F.col("k") >= 48) & (F.col("k") < 56))
+    b2 = base.filter(F.col("k") >= 56)
+    lh.append_snapshot(table_dir, 1, b0, key="k", batch_id=0)  # v2
+    lh.append_snapshot(table_dir, 2, b1, key="k", batch_id=1)  # v3
+    lh.append_snapshot(table_dir, 3, b2, key="k", batch_id=2)  # v4
+    lh.expire_snapshots(table_dir, keep=[1, 2, 4])  # hole at v3
+    # replay of batch 2 from its ORIGINAL parent: the scan crosses the
+    # v3 hole and must still find the commit at v4
+    v, committed = lh.append_snapshot(
+        table_dir, 1, b2, key="k", batch_id=2
+    )
+    assert (v, committed) == (4, False)
+    got = sorted(r["k"] for r in lh.snapshot_read(spark, table_dir).collect())
+    assert got == list(range(64))
+
+
+def test_vacuum_orphan_sweep_normalizes_path_forms(spark, tmp_path):
+    """r11 ADVICE (low): the orphan sweep compares glob paths against
+    manifest-recorded live paths; calling expire_snapshots with an
+    equivalent-but-different table_dir form (./-prefixed, double-slash)
+    must NOT classify live files as orphans."""
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_pathform")
+    base = spark.range(0, 64).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    lh.snapshot_write(base, table_dir, key="k")
+    lh.append_snapshot(
+        table_dir, 1, base.select("k", (F.col("v") + 1000).alias("v")),
+        key="k", batch_id=0,
+    )
+    # same directory, different textual form
+    alt = str(tmp_path) + os.sep + "." + os.sep + "lake_pathform"
+    expired, live = lh.expire_snapshots(alt, keep=[2])
+    got = lh.snapshot_read(spark, table_dir, 2).count()
+    assert got == 128  # table intact — no live file swept as orphan
