@@ -1072,3 +1072,151 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contained_doc"),
         )
     )
+
+
+_SPAN_K = 5  # gram width: ≥5-token repeats are structure, not vocabulary
+
+
+def substring_span_per_doc(toks: DataFrame, k: int) -> DataFrame:
+    """Per-doc maximal duplicated-span stats over ``toks`` (doc_id,
+    t: array<string>): position p is duplicated when the k-gram at p
+    occurs in ≥2 distinct docs; consecutive duplicated positions merge
+    (gaps-and-islands) into maximal spans of run + k − 1 tokens.
+    Returns (doc_id, n_spans, dup_tokens) for affected docs only —
+    the distributed core of q_dedup_substring_spans, factored out so
+    the hypothesis property test can drive it on arbitrary corpora."""
+    from pyspark.sql import Window
+
+    m = F.greatest(F.size("t") - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice("t", 1 + j, m) for j in range(k)])
+    gram_arr = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+    grams = (
+        toks.select("doc_id", gram_arr.alias("ga"))
+        .select("doc_id", F.posexplode("ga").alias("pos", "g"))
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dpos = grams.join(dupg.hint("shuffle_hash"), "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dpos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("a"), F.max("pos").alias("b"))
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("b") - F.col("a") + k).cast("long").alias("dup_tokens"),
+    )
+
+
+@register(
+    "q_dedup_substring_spans",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4] AS g
+    FROM toks, UNNEST(range(1, len(t) - {_SPAN_K} + 2)) AS u(i)
+),
+dupg AS (
+    SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+dpos AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN dupg USING (g)),
+isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dpos
+),
+spans AS (
+    SELECT doc_id, grp, min(pos) AS a, max(pos) AS b
+    FROM isl GROUP BY doc_id, grp
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(b - a + {_SPAN_K}) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+),
+tot AS (
+    SELECT CAST(sum(len(t)) AS BIGINT) AS corpus_tokens FROM toks
+),
+dtot AS (
+    SELECT CAST(sum(dup_tokens) AS BIGINT) AS corpus_dup_tokens,
+           CAST(floor(1000000.0 * sum(dup_tokens)
+                      / (SELECT corpus_tokens FROM tot)) AS BIGINT)
+               AS shrink_ppm
+    FROM per_doc
+)
+SELECT p.doc_id, p.n_spans, p.dup_tokens,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       dtot.corpus_dup_tokens, tot.corpus_tokens, dtot.shrink_ppm
+FROM per_doc p
+JOIN toks tk USING (doc_id)
+CROSS JOIN tot CROSS JOIN dtot
+""",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING-SPAN dedup (the ExactSubstr leg of LLM-corpus
+    dedup, re-expressed as bucketed k-gram postings instead of a
+    suffix array): a token position is DUPLICATED when the 5-token
+    gram starting there also occurs in ANOTHER document; maximal runs
+    of consecutive duplicated positions merge into spans (a run of r
+    gram starts covers r + k − 1 tokens). Emits one row per affected
+    doc — span count, duplicated-token count, doc length — plus the
+    corpus totals and the shrinkage (ppm of corpus tokens removable
+    by cutting every duplicated span), the number a corpus-cleaning
+    pipeline actually acts on.
+
+    Plan (scales where a suffix array cannot): tokenize narrow →
+    posexplode grams (|tokens| rows, no driver state) → one groupBy on
+    the gram string marks cross-doc grams (count(DISTINCT doc_id) ≥ 2,
+    partial-agg friendly) → one shuffle join back to postings → the
+    gaps-and-islands window per doc (row_number over doc_id — bounded
+    by doc length). At 100 TB the gram groupBy/join would key on a
+    128-bit digest instead of the string to shrink shuffle width; the
+    string key here keeps the oracle comparison unconditional. Gram
+    construction reuses the `_shingles` slice-zip form — ONE split,
+    whole-stage-friendly, never element_at(split) inside a lambda."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    per_doc = substring_span_per_doc(toks, _SPAN_K)
+    tot = toks.agg(
+        F.sum(F.size("t")).cast("long").alias("corpus_tokens")
+    )
+    dtot = (
+        per_doc.agg(
+            F.sum("dup_tokens").cast("long").alias("corpus_dup_tokens")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "corpus_dup_tokens",
+            "corpus_tokens",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("corpus_dup_tokens")
+                / F.col("corpus_tokens")
+            ).cast("long").alias("shrink_ppm"),
+        )
+    )
+    return (
+        per_doc.join(
+            toks.select(
+                "doc_id", F.size("t").cast("long").alias("n_tokens")
+            ),
+            "doc_id",
+        )
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "doc_id", "n_spans", "dup_tokens", "n_tokens",
+            "corpus_dup_tokens", "corpus_tokens", "shrink_ppm",
+        )
+    )

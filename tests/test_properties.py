@@ -483,3 +483,70 @@ def test_pagerank_reliable_checkpoint_path(spark, tmp_path, monkeypatch):
         for f in fs
     ]
     assert persisted, "reliable checkpoint dir is empty"
+
+
+def _py_span_stats(corpus: dict[int, list[str]], k: int):
+    """Sequential reference for substring_span_per_doc: brute-force gram
+    table, cross-doc dup marking, island merge."""
+    from collections import defaultdict
+
+    gram_docs: dict[tuple, set] = defaultdict(set)
+    for d, t in corpus.items():
+        for p in range(len(t) - k + 1):
+            gram_docs[tuple(t[p : p + k])].add(d)
+    out = {}
+    for d, t in corpus.items():
+        dup = [
+            p
+            for p in range(len(t) - k + 1)
+            if len(gram_docs[tuple(t[p : p + k])]) >= 2
+        ]
+        if not dup:
+            continue
+        spans = []
+        a = b = dup[0]
+        for p in dup[1:]:
+            if p == b + 1:
+                b = p
+            else:
+                spans.append((a, b))
+                a = b = p
+        spans.append((a, b))
+        out[d] = (len(spans), sum(b - a + k for a, b in spans))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(list("abcd")), min_size=0, max_size=20
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_substring_spans_match_python_reference(spark, docs, k):
+    # Tiny alphabet forces heavy cross-doc gram collisions, adjacent and
+    # overlapping runs, whole-doc spans, and <k-token docs — the island
+    # merge's edge cases. One batched Spark job per example.
+    from cuny_courses_spark.operators.dedup import substring_span_per_doc
+
+    corpus = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()],
+        "doc_id long, t array<string>",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"])
+        for r in substring_span_per_doc(df, k).collect()
+    }
+    assert got == _py_span_stats(corpus, k)
