@@ -1214,6 +1214,35 @@ def _read_snapshot_files(
     return _to_logical(out, _colmap(doc))
 
 
+def pending_dv_keys(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """The snapshot's PENDING merge-on-read tombstones as a DataFrame of
+    the table's key column (logical name) — the KB-scale delete backlog
+    an EXTERNAL consumer (a persisted secondary index: ANN lists,
+    MinHash band rows) anti-joins to stay delete-consistent WITHOUT
+    rebuilding (r11 verdict missing #3). A DV sidecar counts as pending
+    when it applies to at least one live file of its bucket (the
+    added-version guard — a DV fully superseded by rewrites is dead
+    weight awaiting vacuum, not a tombstone). Returns None when nothing
+    is pending (fresh table, or OPTIMIZE folded the ledger) so callers
+    can skip the anti-join entirely.
+
+    Precondition (documented, same as the DV read path's key-unique
+    contract): keys are unique and not re-inserted after their delete —
+    the full effective-state reconstruction for resurrection histories
+    is ``incremental_diff``'s signature machinery, not this helper."""
+    v = latest_version(table_dir) if version is None else version
+    doc = _read_manifest_doc(table_dir, v)
+    paths: set[str] = set()
+    for f in doc["files"]:
+        paths.update(_applicable_dvs(doc, f))
+    if not paths:
+        return None
+    dvk = spark.read.parquet(*sorted(paths)).distinct()
+    return _to_logical(dvk, _colmap(doc))
+
+
 def _schema_of(df: DataFrame) -> dict:
     """Manifest-serializable snapshot schema: the frame's schema minus the
     internal ``_b`` bucket column (a partition column — never in files)."""

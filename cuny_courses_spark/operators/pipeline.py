@@ -93,6 +93,38 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def index_probe_read(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_dir: str | None = None,
+    on: str | None = None,
+) -> DataFrame:
+    """HEAD read of a persisted secondary index (ANN lists, MinHash band
+    rows) made DELETE-CONSISTENT with its corpus table (r11 verdict
+    missing #3): the corpus's pending merge-on-read tombstones
+    (``pending_dv_keys`` — KB-scale by design) are subtracted with one
+    broadcast anti-join on the corpus key, so a GDPR/opt-out delete
+    vanishes from probe results IMMEDIATELY, with zero index rebuild.
+    Once the corpus is OPTIMIZE'd (DVs folded) the backlog is None and
+    the read is a plain snapshot read — callers fold the index itself
+    first (``q_pipeline_index_delete``'s merge_full_sync pass) so
+    nothing resurfaces. ``corpus_dir=None`` = no delete source (an
+    immutable corpus, e.g. the raw parquet testdata)."""
+    from cuny_courses_spark.operators.lakehouse import (
+        pending_dv_keys,
+        snapshot_read,
+    )
+
+    df = snapshot_read(spark, index_dir)
+    if corpus_dir is not None:
+        tomb = pending_dv_keys(spark, corpus_dir)
+        if tomb is not None:
+            df = df.join(
+                F.broadcast(tomb.select(on)), on, "left_anti"
+            )
+    return df
+
+
 @register(
     "q_pipeline_incremental_dedup",
     oracle="""
@@ -179,7 +211,10 @@ def q_pipeline_incremental_dedup(
     n_index_rows = snapshot_read(spark, table_dir, 1).count()
 
     # ---- incremental probe: band the BATCH only, join the stored index
-    index = snapshot_read(spark, table_dir, 1).select(
+    # (read through the DV-aware seam — the raw-parquet corpus here has
+    # no delete source; q_pipeline_index_delete exercises the tombstone
+    # path with real pending DVs)
+    index = index_probe_read(spark, table_dir, on="doc_id").select(
         F.col("doc_id").alias("doc_id_a"), "band_idx", "band_hash"
     )
     probe = minhash_band_rows(batch).select(
@@ -398,7 +433,9 @@ def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crn") <= nprobe)
         .select("q_id", "eq", "cluster")
     )
-    lists = snapshot_read(spark, lists_dir)  # HEAD = v2, init + late
+    # HEAD = v2, init + late; DV-aware seam (immutable corpus here —
+    # q_pipeline_index_delete drives it with real tombstones)
+    lists = index_probe_read(spark, lists_dir, on="vec_id")
     wd = Window.partitionBy("q_id").orderBy(
         F.col("dot").desc(), F.col("vec_id").asc()
     )
@@ -692,6 +729,224 @@ def q_pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stored.count(),
                 latest_version(cent_dir),
             )
+        ],
+        out_schema,
+    )
+
+
+@register(
+    "q_pipeline_index_delete",
+    oracle="""
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings WHERE vec_id % 10 <> 0
+), dels AS (
+    SELECT vec_id FROM corpus WHERE vec_id % 20 = 3
+), live AS (
+    SELECT * FROM corpus WHERE vec_id % 20 <> 3
+), q AS (
+    SELECT vec_id AS q_id, list_transform(embedding, x -> x::DOUBLE) AS vq
+    FROM embeddings WHERE vec_id % 10 = 0
+), scored AS (
+    SELECT q.q_id, c.vec_id AS n_id,
+           list_sum(list_transform(list_zip(q.vq, c.v),
+                    p -> p[1] * p[2])) AS dot
+    FROM q, live c
+), ranked AS (
+    SELECT q_id, n_id, dot,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY dot DESC, n_id) AS rnk
+    FROM scored
+)
+SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, round(dot, 4) AS cos,
+       TRUE AS fold_consistent,
+       (SELECT CAST(count(*) AS BIGINT) FROM dels) AS n_deleted,
+       CAST(0 AS BIGINT) AS dv_pending_after_fold,
+       CAST(2 AS BIGINT) AS lists_version
+FROM ranked WHERE rnk <= 3
+""",
+)
+def q_pipeline_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE PROPAGATION into a persisted vector index WITHOUT rebuild
+    (r11 verdict missing #3, end-to-end): the corpus lives in a
+    lakehouse table keyed on vec_id; its IVF index (deterministic
+    sample-trained quantizer + cluster-bucketed lists) is built once;
+    then a merge-on-read DELETE tombstones vec_id%20==3. The probe path
+    reads the lists through ``index_probe_read``, which anti-joins the
+    corpus table's PENDING deletion vectors (KB-scale broadcast) — the
+    deleted ids vanish from every query's neighbors IMMEDIATELY, no
+    index rewrite. The ledger is then settled: the index folds its own
+    tombstoned entries via ``merge_full_sync`` scoped to the AFFECTED
+    CLUSTERS only (bucket-granular rewrite — at 100 TB the rewrite is
+    |affected clusters|, not |index|), the corpus OPTIMIZE folds the
+    DVs, and the post-fold plain read must equal the pre-fold DV-aware
+    read (``fold_consistent`` — nothing resurfaces once the backlog is
+    gone).
+
+    Hash-exact oracle (no certificate needed): the probe deliberately
+    uses nprobe = ALL clusters, so the IVF machinery (stored-centroid
+    probe → cluster equi-join → per-query top-3) returns exactly the
+    brute-force top-3 over the SURVIVING corpus, which DuckDB
+    recomputes quadratically. A deleted id surviving anywhere, a missed
+    fold, or a torn version shifts a hashed value. The DELETE-recall
+    story this query pins is binary — tombstoned ids must be GONE —
+    which is why exactness (not recall flags) is the right contract."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from cuny_courses_spark.operators.lakehouse import (
+        delete_merge_on_read,
+        latest_version,
+        optimize_compact,
+        pending_dv_keys,
+        snapshot_read,
+        snapshot_write,
+    )
+    from cuny_courses_spark.operators.scans import _io_dir
+    from cuny_courses_spark.operators.similarity import _dot, _np_kmeans
+
+    out_schema = (
+        "q_id long, rnk long, n_id long, cos double,"
+        " fold_consistent boolean, n_deleted long,"
+        " dv_pending_after_fold long, lists_version long"
+    )
+    corpus_dir = _io_dir(sf_dir, "lake_anndel_corpus")
+    cent_dir = _io_dir(sf_dir, "lake_anndel_centroids")
+    lists_dir = _io_dir(sf_dir, "lake_anndel_lists")
+    for d in (corpus_dir, cent_dir, lists_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    if e.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    queries = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
+    )
+
+    # ---- build: corpus table + deterministic IVF index (PQ trainer)
+    snapshot_write(corpus, corpus_dir, key="vec_id")
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in corpus.orderBy("vec_id").limit(4096).collect()
+        ],
+        dtype=np.float64,
+    )
+    k = min(8, len(sample))
+    C = _np_kmeans(sample, k, seed=42)
+    cent_df = spark.createDataFrame(
+        [
+            (ci, [float(x) for x in c], float((c * c).sum()) / 2.0)
+            for ci, c in enumerate(C)
+        ],
+        "cluster long, centroid array<double>, half_sq double",
+    )
+    snapshot_write(cent_df, cent_dir, key="cluster", version=1)
+    stored_cent = snapshot_read(spark, cent_dir)
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("affinity").desc(), F.col("cluster").asc()
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(stored_cent))
+        .withColumn(
+            "affinity", _dot("embedding", "centroid") - F.col("half_sq")
+        )
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("cluster", "vec_id", "embedding")
+    )
+    snapshot_write(assigned, lists_dir, key="cluster", version=1)
+
+    # ---- merge-on-read DELETE on the corpus (the GDPR/opt-out path)
+    dels = corpus.filter(F.col("vec_id") % 20 == 3).select("vec_id")
+    n_deleted = dels.count()
+    delete_merge_on_read(spark, corpus_dir, 1, dels, key="vec_id")
+
+    # ---- probe with pending tombstones applied (nprobe = ALL → exact)
+    def top3(lists_df: DataFrame) -> DataFrame:
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("affinity").desc(), F.col("cluster").asc()
+        )
+        probe = (
+            queries.crossJoin(F.broadcast(stored_cent))
+            .withColumn(
+                "affinity", _dot("eq", "centroid") - F.col("half_sq")
+            )
+            .withColumn("crn", F.row_number().over(wq))
+            .filter(F.col("crn") <= k)  # all clusters: exactness contract
+            .select("q_id", "eq", "cluster")
+        )
+        wd = Window.partitionBy("q_id").orderBy(
+            F.col("dot").desc(), F.col("vec_id").asc()
+        )
+        return (
+            probe.join(lists_df, "cluster")
+            .withColumn("dot", _dot("eq", "embedding"))
+            .withColumn("rnk", F.row_number().over(wd))
+            .filter(F.col("rnk") <= 3)
+            .select(
+                "q_id",
+                F.col("rnk").cast("long").alias("rnk"),
+                F.col("vec_id").alias("n_id"),
+                F.round("dot", 4).alias("cos"),
+            )
+        )
+
+    pre = top3(
+        index_probe_read(spark, lists_dir, corpus_dir, on="vec_id")
+    ).persist()
+
+    # ---- settle the ledger: fold index (affected clusters only), then
+    # fold the corpus DVs via OPTIMIZE
+    tomb = pending_dv_keys(spark, corpus_dir)
+    if tomb is not None:
+        from cuny_courses_spark.operators.lakehouse import merge_full_sync
+
+        lists_head = snapshot_read(spark, lists_dir)
+        affected = [
+            r["cluster"]
+            for r in lists_head.join(tomb, "vec_id", "left_semi")
+            .select("cluster")
+            .distinct()
+            .collect()
+        ]
+        survivors = lists_head.filter(
+            F.col("cluster").isin(affected)
+        ).join(F.broadcast(tomb), "vec_id", "left_anti")
+        merge_full_sync(
+            spark,
+            lists_dir,
+            1,
+            survivors.select("cluster", "vec_id", "embedding"),
+            key="cluster",
+            scope=F.col("cluster").isin(affected),
+        )
+    optimize_compact(spark, corpus_dir, 2, key="vec_id")
+    backlog = pending_dv_keys(spark, corpus_dir)
+    dv_pending_after_fold = 0 if backlog is None else backlog.count()
+
+    # ---- post-fold plain HEAD read must reproduce the DV-aware read
+    post = top3(index_probe_read(spark, lists_dir, corpus_dir, on="vec_id"))
+    try:
+        fold_consistent = (
+            pre.exceptAll(post).isEmpty() and post.exceptAll(pre).isEmpty()
+        )
+        rows = pre.collect()
+    finally:
+        pre.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                r["q_id"], r["rnk"], r["n_id"], r["cos"],
+                bool(fold_consistent), n_deleted,
+                dv_pending_after_fold, latest_version(lists_dir),
+            )
+            for r in rows
         ],
         out_schema,
     )

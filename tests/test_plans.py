@@ -344,6 +344,7 @@ def test_plan_hygiene_no_unbounded_pair_scans(spark):
         "q_graph_triangles",       # 1-row scalar total broadcast
         "q_win_funnel_steps",      # 1-row scalar funnel-start broadcast
         "q_join_band_lookup",      # 5-row fixed tariff dim, range-only predicate
+        "q_dedup_substring_spans",  # 1-row corpus-total broadcasts (scalar)
     }
     offenders = {}
     for name, fn in _QS.items():
