@@ -987,6 +987,130 @@ def rename_column(
     )
 
 
+_WIDEN_OK = {("integer", "long"), ("float", "double")}
+
+
+def drop_column(table_dir: str, parent_version: int, name: str) -> dict:
+    """DROP COLUMN as a METADATA-ONLY commit (the column-mapping
+    counterpart of ``rename_column``): the physical parquet data is
+    never touched — the new version's manifest schema simply omits the
+    field, so the manifest-schema read path stops projecting it (parquet
+    column pruning makes the drop free at any scale), and the logical
+    name leaves the column mapping. Dropping is SNAPSHOT-SCOPED: time
+    travel to a pre-drop version shows the column with its data intact.
+
+    The dropped PHYSICAL name is recorded in the ``dropped_phys`` table
+    property and every writer refuses a batch that re-introduces it —
+    without the guard, a later append carrying a same-named column would
+    re-widen the manifest schema and RESURRECT the old files' values
+    (Delta solves this with fresh physical ids per re-add; refusing
+    loudly is the safe subset — re-add under a new logical name)."""
+    parent = _read_manifest_doc(table_dir, parent_version)
+    cm = _colmap(parent)
+    phys = cm.get(name, name)
+    sch = parent.get("schema")
+    if not sch or phys not in {f["name"] for f in sch["fields"]}:
+        raise ValueError(f"no column {name!r} to drop in {table_dir}")
+    new_sch = dict(sch)
+    new_sch["fields"] = [f for f in sch["fields"] if f["name"] != phys]
+    if not new_sch["fields"]:
+        raise ValueError("cannot drop the last column")
+    cm.pop(name, None)
+    props = dict(parent.get("props", {}))
+    props["colmap"] = cm
+    props["dropped_phys"] = sorted(
+        set(props.get("dropped_phys", [])) | {phys}
+    )
+    if phys in (props.get("stats_cols") or []):
+        props["stats_cols"] = [
+            c for c in props["stats_cols"] if c != phys
+        ]
+    # parent per-file stats carry over VERBATIM (one meta file, zero
+    # group rewrites): stale min/max of the dropped physical column are
+    # inert — pruning is driven by predicates over logical columns,
+    # which no longer include it — and future stats harvests follow the
+    # amended stats_cols.
+    return commit_snapshot(
+        table_dir,
+        parent_version + 1,
+        parent["files"],
+        stats=parent.get("stats"),
+        schema=new_sch,
+        dvs=parent.get("dvs"),
+        added=parent.get("added"),
+        props=props,
+        rebase_from=parent_version,
+    )
+
+
+def widen_column(
+    table_dir: str, parent_version: int, name: str, new_type: str
+) -> dict:
+    """TYPE WIDENING as a METADATA-ONLY commit (Delta 3.2 type widening,
+    reduced to the two lossless parquet-native upcasts: int→long,
+    float→double): the manifest schema retypes the field and old files
+    keep their narrow physical encoding — Spark's parquet reader
+    upcasts int32 pages into a requested LongType natively (verified on
+    this Spark: mixed int32/int64 files under one long read schema),
+    so the 100 TB table rewrites nothing. Writers after the widen store
+    the wide type; batches still carrying the narrow type keep
+    committing (``_merge_schemas`` accepts narrower-than-parent for the
+    recorded widening pairs). NARROWING refuses loudly — it would
+    silently truncate data the old files already hold. Footer stats
+    need no re-encoding (harvested min/max are plain JSON integers);
+    key-range pruning compares them numerically either way."""
+    parent = _read_manifest_doc(table_dir, parent_version)
+    cm = _colmap(parent)
+    phys = cm.get(name, name)
+    sch = parent.get("schema")
+    fields = {f["name"]: f for f in (sch or {"fields": []})["fields"]}
+    if phys not in fields:
+        raise ValueError(f"no column {name!r} to widen in {table_dir}")
+    old_type = fields[phys]["type"]
+    if old_type == new_type:
+        raise ValueError(f"column {name!r} is already {new_type}")
+    if (old_type, new_type) not in _WIDEN_OK:
+        raise ValueError(
+            f"only lossless widenings {sorted(_WIDEN_OK)} are allowed; "
+            f"{old_type!r} → {new_type!r} would narrow or re-encode data"
+        )
+    new_sch = dict(sch)
+    new_sch["fields"] = [
+        {**f, "type": new_type} if f["name"] == phys else f
+        for f in sch["fields"]
+    ]
+    return commit_snapshot(
+        table_dir,
+        parent_version + 1,
+        parent["files"],
+        stats=parent.get("stats"),
+        schema=new_sch,
+        dvs=parent.get("dvs"),
+        added=parent.get("added"),
+        props=parent.get("props"),
+        rebase_from=parent_version,
+    )
+
+
+def _refuse_dropped(parent: dict, incoming: dict) -> None:
+    """Writer-side guard: a batch may not re-introduce a PHYSICAL column
+    name a ``drop_column`` commit retired — the manifest-schema merge
+    would otherwise resurrect the dropped values still sitting in old
+    files. Re-add under a new logical name instead."""
+    dropped = set(parent.get("props", {}).get("dropped_phys", []))
+    if not dropped:
+        return
+    bad = sorted(
+        f["name"] for f in incoming["fields"] if f["name"] in dropped
+    )
+    if bad:
+        raise ValueError(
+            f"columns {bad} were dropped from this table; re-adding the "
+            f"same physical name would resurrect old data — use a new "
+            f"column name"
+        )
+
+
 def commit_with_retry(table_dir: str, attempt, max_retries: int = 5):
     """The optimistic-concurrency retry loop, packaged (r9 verdict
     missing #4 — the protocol documented "loser retries at N+1" but made
@@ -1265,6 +1389,8 @@ def _merge_schemas(parent: dict | None, incoming: dict) -> dict:
     for pf in parent["fields"]:
         nf = by_name.get(pf["name"])
         if nf is not None and nf["type"] != pf["type"]:
+            if (nf["type"], pf["type"]) in _WIDEN_OK:
+                continue  # widened column: narrow batches keep committing
             raise ValueError(
                 f"schema evolution must be additive: column "
                 f"{pf['name']!r} is {pf['type']} in the parent snapshot "
@@ -1470,6 +1596,7 @@ def merge_upsert(
         # parent files, merged is just the changeset, whose columns must
         # still widen (never replace) the parent schema. The union runs
         # on the PHYSICAL form — the names the parent schema records.
+        _refuse_dropped(parent, _schema_of(merged_p))
         child_schema = _merge_schemas(parent_schema, _schema_of(merged_p))
     finally:
         upd.unpersist()
@@ -1595,6 +1722,7 @@ def merge_full_sync(
             staging,
             nb,
         )
+        _refuse_dropped(parent, _schema_of(merged))
         child_schema = _merge_schemas(parent.get("schema"), _schema_of(merged))
     finally:
         src.unpersist()
@@ -1790,6 +1918,7 @@ def append_snapshot(
         # _merge_schemas ENFORCES additivity (r9 ADVICE): a batch that
         # omits a parent column can't narrow the read schema and hide
         # existing data, and a retyped column raises — as Delta does.
+        _refuse_dropped(parent, _schema_of(rows))
         rep = commit_snapshot(
             table_dir,
             version,
@@ -4309,4 +4438,143 @@ def q_lake_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "head_version long, rename_meta_files long, head_has_amount"
         " boolean, v1_has_cents boolean, physical_name_unchanged boolean,"
         " n_rows long, sum_amount long, n_rows_v1 long",
+    )
+
+
+@register(
+    "q_lake_drop_widen",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(o_orderkey % 1000 AS BIGINT) AS qty,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), final AS (
+    SELECT k, qty,
+           CASE WHEN k % 97 = 0 THEN 2 * cents ELSE cents END AS cents
+    FROM src
+)
+SELECT CAST(5 AS BIGINT) AS head_version,
+       CAST(1 AS BIGINT) AS widen_meta_files,
+       CAST(1 AS BIGINT) AS drop_meta_files,
+       TRUE AS head_qty_long,
+       TRUE AS v1_qty_int,
+       TRUE AS head_note_gone,
+       TRUE AS v1_note_present,
+       TRUE AS append_file_qty_int32,
+       TRUE AS re_add_refused,
+       TRUE AS narrowing_refused,
+       (SELECT count(*) FROM final) AS n_rows,
+       (SELECT COALESCE(CAST(sum(qty) AS BIGINT), 0) FROM final)
+           AS sum_qty,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM final)
+           AS sum_cents
+""",
+)
+def q_lake_drop_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN + TYPE WIDENING via column mapping (r11 verdict
+    missing #2 — the remaining non-additive schema-evolution verbs next
+    to r11's rename). The protocol under test:
+    · ``widen_column(qty: int → long)`` is a METADATA-ONLY commit
+      (``widen_meta_files = 1``); old files keep int32 pages and the
+      manifest-schema read upcasts them natively — proven bit-level by
+      reading the POST-WIDEN append's parquet footer
+      (``append_file_qty_int32``: narrow batches keep committing, and
+      writers keep the physical encoding they were handed);
+    · ``drop_column(note)`` is also one meta file; the HEAD read no
+      longer projects it (parquet column pruning — a 100 TB drop costs
+      one KB write) while TIME TRAVEL to v1 still shows it with data;
+    · a MERGE lands through the post-drop, post-widen schema;
+    · refusals: re-introducing the dropped physical name raises
+      (resurrection guard), and widening long → int raises (narrowing
+      would truncate data old files already hold);
+    · full final state (count + qty/cents checksums) hash-matches the
+      oracle's logical recomputation."""
+    import pyarrow.parquet as pq
+
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_dropwiden")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 1000).cast("int").alias("qty"),
+        F.lit("scratch").alias("note"),
+        fp("o_totalprice").alias("cents"),
+    )
+    snapshot_write(src.filter(F.col("k") % 4 != 2), table_dir, key="k")
+    mdir = os.path.join(table_dir, "manifest")
+    before = set(os.listdir(mdir))
+    widen_column(table_dir, 1, "qty", "long")  # v2, metadata-only
+    widen_meta = len(set(os.listdir(mdir)) - before)
+    # a NARROW batch (qty still int) keeps committing after the widen
+    append_snapshot(
+        table_dir, 2, src.filter(F.col("k") % 4 == 2), key="k", batch_id=0
+    )  # v3
+    before = set(os.listdir(mdir))
+    drop_column(table_dir, 3, "note")  # v4, metadata-only
+    drop_meta = len(set(os.listdir(mdir)) - before)
+    # merge through the post-drop, post-widen schema
+    merge_upsert(
+        spark,
+        table_dir,
+        4,
+        src.filter(F.col("k") % 97 == 0).select(
+            "k", "qty", (F.col("cents") * 2).alias("cents")
+        ),
+        key="k",
+    )  # v5
+    head = latest_version(table_dir)
+    hd = snapshot_read(spark, table_dir)
+    v1 = snapshot_read(spark, table_dir, 1)
+    hd_types = dict(hd.dtypes)
+    v1_types = dict(v1.dtypes)
+    head_qty_long = hd_types.get("qty") == "bigint"
+    v1_qty_int = v1_types.get("qty") == "int"
+    head_note_gone = "note" not in hd.columns
+    v1_note_present = "note" in v1.columns
+    # bit-level: the post-widen append still stores int32 qty pages
+    v2_files = set(read_manifest(table_dir, 2))
+    appended = sorted(set(read_manifest(table_dir, 3)) - v2_files)
+    if appended:
+        fld = pq.ParquetFile(appended[0]).schema_arrow.field("qty")
+        append_int32 = str(fld.type) == "int32"
+    else:  # empty corpus: the append wrote no files — vacuously true
+        append_int32 = True
+    try:
+        append_snapshot(
+            table_dir,
+            head,
+            src.filter(F.col("k") % 4 == 2).limit(1),  # carries `note`
+            key="k",
+            batch_id=99,
+        )
+        re_add_refused = False
+    except ValueError:
+        re_add_refused = True
+    try:
+        widen_column(table_dir, head, "cents", "integer")
+        narrowing_refused = False
+    except ValueError:
+        narrowing_refused = True
+    agg = hd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("qty").cast("long"), F.lit(0)).alias("sq"),
+        F.coalesce(F.sum("cents").cast("long"), F.lit(0)).alias("sc"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                head, widen_meta, drop_meta, head_qty_long, v1_qty_int,
+                head_note_gone, v1_note_present, append_int32,
+                re_add_refused, narrowing_refused,
+                agg["n"], agg["sq"], agg["sc"],
+            )
+        ],
+        "head_version long, widen_meta_files long, drop_meta_files long,"
+        " head_qty_long boolean, v1_qty_int boolean, head_note_gone"
+        " boolean, v1_note_present boolean, append_file_qty_int32"
+        " boolean, re_add_refused boolean, narrowing_refused boolean,"
+        " n_rows long, sum_qty long, sum_cents long",
     )

@@ -1238,3 +1238,83 @@ def test_vacuum_orphan_sweep_normalizes_path_forms(spark, tmp_path):
     expired, live = lh.expire_snapshots(alt, keep=[2])
     got = lh.snapshot_read(spark, table_dir, 2).count()
     assert got == 128  # table intact — no live file swept as orphan
+
+
+def test_drop_widen_refusals_and_time_travel(spark, tmp_path):
+    """r12 schema-evolution verbs: drop/widen are metadata-only and
+    snapshot-scoped; narrowing and dropped-name resurrection refuse."""
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake_dw")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("int").alias("qty"),
+        F.lit("x").alias("note"),
+    )
+    lh.snapshot_write(base, table_dir, key="k")
+    with pytest.raises(ValueError):
+        lh.drop_column(table_dir, 1, "missing")
+    with pytest.raises(ValueError):
+        lh.widen_column(table_dir, 1, "qty", "integer")  # same type
+    with pytest.raises(ValueError):
+        lh.widen_column(table_dir, 1, "k", "integer")  # long -> int
+    lh.widen_column(table_dir, 1, "qty", "long")  # v2
+    lh.drop_column(table_dir, 2, "note")  # v3
+    with pytest.raises(ValueError):
+        lh.drop_column(table_dir, 3, "note")  # already gone
+    # narrow batch still appends; a batch resurrecting `note` refuses
+    v, _ = lh.append_snapshot(
+        table_dir, 3,
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), (F.col("id") % 7).cast("int").alias("qty")
+        ),
+        key="k", batch_id=0,
+    )
+    with pytest.raises(ValueError):
+        lh.append_snapshot(
+            table_dir, v,
+            spark.range(120, 121).select(
+                F.col("id").alias("k"),
+                F.lit(0).cast("int").alias("qty"),
+                F.lit("boo").alias("note"),
+            ),
+            key="k", batch_id=1,
+        )
+    # merge through the evolved schema; resurrection refused there too
+    with pytest.raises(ValueError):
+        lh.merge_upsert(
+            spark, table_dir, v,
+            spark.range(0, 1).select(
+                F.col("id").alias("k"),
+                F.lit(0).cast("int").alias("qty"),
+                F.lit("boo").alias("note"),
+            ),
+            key="k",
+        )
+    lh.merge_upsert(
+        spark, table_dir, v,
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), F.lit(99).cast("long").alias("qty")
+        ),
+        key="k",
+    )
+    hd = snapshot_read_types = lh.snapshot_read(spark, table_dir)
+    assert dict(hd.dtypes)["qty"] == "bigint" and "note" not in hd.columns
+    got = {r["k"]: r["qty"] for r in hd.collect()}
+    want = {k: (99 if k < 5 else k % 7) for k in range(120)}
+    assert got == want
+    # time travel: v1 has int qty AND the note column with its data
+    v1 = lh.snapshot_read(spark, table_dir, 1)
+    assert dict(v1.dtypes)["qty"] == "int"
+    assert v1.filter(F.col("note") == "x").count() == 100
+    # float -> double widening is the other allowed pair
+    t2 = str(tmp_path / "lake_dw2")
+    lh.snapshot_write(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.5).cast("float").alias("x"),
+        ),
+        t2, key="k",
+    )
+    lh.widen_column(t2, 1, "x", "double")
+    assert dict(lh.snapshot_read(spark, t2).dtypes)["x"] == "double"
