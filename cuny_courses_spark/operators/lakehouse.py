@@ -4578,3 +4578,223 @@ def q_lake_drop_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
         " boolean, re_add_refused boolean, narrowing_refused boolean,"
         " n_rows long, sum_qty long, sum_cents long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MULTI-TABLE TRANSACTIONS: a tiny versioned CATALOG pinning a consistent
+# {table: version} vector per transaction. Tables keep committing their own
+# snapshots independently (durable but catalog-invisible); a transaction
+# publishes ONE atomic pointer file making a cross-table pair visible
+# together — the Iceberg-REST-catalog / Delta commit-coordinator move,
+# reduced to the same fail-if-exists publish the per-table protocol uses.
+# A crash (or lost race) between the per-table commits and the txn publish
+# leaves the catalog at the previous transaction: no reader ever sees a
+# torn pair, and the orphaned single-table snapshot awaits reuse or vacuum.
+# ---------------------------------------------------------------------------
+
+
+def _txn_path(txn_dir: str, version: int) -> str:
+    return os.path.join(txn_dir, f"t{version}.json")
+
+
+def txn_commit(
+    txn_dir: str, versions: dict[str, int], parent_txn: int
+) -> dict:
+    """Publish transaction ``parent_txn + 1`` pinning ``versions``
+    ({table name: snapshot version}) — atomic, first committer wins
+    (FileExistsError = lost the race; re-resolve and retry like
+    ``commit_with_retry``). The per-table snapshots referenced must
+    already be durably committed: the txn pointer is the LAST write,
+    so every failure mode before it leaves the catalog consistent."""
+    os.makedirs(txn_dir, exist_ok=True)
+    v = parent_txn + 1
+    doc = {"txn": v, "tables": {str(k): int(x) for k, x in versions.items()}}
+    tmp = os.path.join(
+        txn_dir, f".t{v}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        _publish_manifest(tmp, _txn_path(txn_dir, v))
+    finally:
+        os.unlink(tmp)
+    return doc
+
+
+def txn_latest(txn_dir: str) -> int:
+    """Highest published transaction (0 = none yet)."""
+    if not os.path.isdir(txn_dir):
+        return 0
+    vs = [
+        int(f[1:-5])
+        for f in os.listdir(txn_dir)
+        if f.startswith("t") and f.endswith(".json") and f[1:-5].isdigit()
+    ]
+    return max(vs, default=0)
+
+
+def txn_resolve(txn_dir: str, txn_version: int | None = None) -> dict:
+    """The {table: version} vector a transaction pinned (HEAD txn when
+    ``txn_version`` is None). Raises on an empty catalog."""
+    v = txn_latest(txn_dir) if txn_version is None else txn_version
+    if v <= 0:
+        raise ValueError(f"no transaction published in {txn_dir}")
+    with _meta_open(_txn_path(txn_dir, v)) as f:
+        return json.load(f)
+
+
+def txn_read(
+    spark: SparkSession,
+    txn_dir: str,
+    table_dirs: dict[str, str],
+    name: str,
+    txn_version: int | None = None,
+) -> DataFrame:
+    """Read table ``name`` AT THE VERSION the transaction pinned — the
+    cross-table-consistent read path. Never consults the table's own
+    HEAD, so a concurrently-committing (or crashed-mid-pair) writer is
+    invisible until its transaction publishes."""
+    pinned = txn_resolve(txn_dir, txn_version)["tables"]
+    if name not in pinned:
+        raise ValueError(f"table {name!r} is not part of the transaction")
+    return snapshot_read(spark, table_dirs[name], pinned[name])
+
+
+@register(
+    "q_lake_multi_table_txn",
+    oracle="""
+SELECT CAST(2 AS BIGINT) AS txn_head,
+       CAST(2 AS BIGINT) AS cat_cent_version,
+       CAST(2 AS BIGINT) AS cat_lists_version,
+       CAST(3 AS BIGINT) AS cent_table_head,
+       CAST(2 AS BIGINT) AS lists_table_head,
+       CAST(8 AS BIGINT) AS n_centroids_cat,
+       (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0)
+           AS n_lists_cat,
+       TRUE AS catalog_consistent,
+       TRUE AS head_pair_torn
+""",
+)
+def q_lake_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-TABLE ATOMIC COMMIT (r11 verdict missing #4): an IVF index is
+    a PAIR — `centroids` and the cluster-assigned `lists` are garbage
+    read against each other's wrong generation — so publishing them must
+    be all-or-nothing. Each generation stamps both tables with a
+    ``quantizer_id``; generation 2 (k=8) is published through
+    ``txn_commit`` as one atomic catalog pointer. Then the CRASH is
+    simulated: generation 3 commits its centroids snapshot and dies
+    before the lists snapshot and before the txn publish. The proof:
+    · the catalog read (``txn_read``) returns quantizer_id 2 from BOTH
+      tables (``catalog_consistent``) and never the torn generation;
+    · bypassing the catalog shows per-table HEADs disagree
+      (``head_pair_torn`` — centroids HEAD carries quantizer 3, lists
+      HEAD quantizer 2), which is exactly the state no catalog reader
+      can observe;
+    · txn_head stays 2, the table HEAD versions and catalog-pinned
+      versions are oracle constants, and the catalog row counts
+      (8 centroids, |corpus| list rows) hash-match DuckDB."""
+    import numpy as np
+
+    from cuny_courses_spark.operators.scans import _io_dir
+    from cuny_courses_spark.operators.similarity import _dot, _np_kmeans
+
+    base = _io_dir(sf_dir, "lake_txn")
+    cent_dir = os.path.join(base, "centroids")
+    lists_dir = os.path.join(base, "lists")
+    txn_dir = os.path.join(base, "txn")
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    out_schema = (
+        "txn_head long, cat_cent_version long, cat_lists_version long,"
+        " cent_table_head long, lists_table_head long,"
+        " n_centroids_cat long, n_lists_cat long,"
+        " catalog_consistent boolean, head_pair_torn boolean"
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    if corpus.isEmpty():
+        return spark.createDataFrame([], out_schema)
+    sample = np.array(
+        [
+            r["embedding"]
+            for r in corpus.orderBy("vec_id").limit(4096).collect()
+        ],
+        dtype=np.float64,
+    )
+
+    def generation(qid: int, k: int, version: int, publish_lists: bool):
+        C = _np_kmeans(sample, min(k, len(sample)), seed=42 + qid)
+        cent = spark.createDataFrame(
+            [
+                (ci, [float(x) for x in c], float((c * c).sum()) / 2.0, qid)
+                for ci, c in enumerate(C)
+            ],
+            "cluster long, centroid array<double>, half_sq double,"
+            " quantizer_id long",
+        )
+        snapshot_write(cent, cent_dir, key="cluster", version=version)
+        if not publish_lists:
+            return  # CRASH: died after table 1 of 2, before the txn
+        wa = Window.partitionBy("vec_id").orderBy(
+            F.col("affinity").desc(), F.col("cluster").asc()
+        )
+        assigned = (
+            corpus.crossJoin(F.broadcast(cent.drop("quantizer_id")))
+            .withColumn(
+                "affinity", _dot("embedding", "centroid") - F.col("half_sq")
+            )
+            .withColumn("arn", F.row_number().over(wa))
+            .filter(F.col("arn") == 1)
+            .select(
+                "cluster", "vec_id", F.lit(qid).cast("long").alias(
+                    "quantizer_id"
+                )
+            )
+        )
+        snapshot_write(assigned, lists_dir, key="cluster", version=version)
+        txn_commit(
+            txn_dir,
+            {"centroids": version, "lists": version},
+            parent_txn=version - 1,
+        )
+
+    from pyspark.sql import Window
+
+    generation(1, k=4, version=1, publish_lists=True)
+    generation(2, k=8, version=2, publish_lists=True)
+    generation(3, k=2, version=3, publish_lists=False)  # torn
+
+    tables = {"centroids": cent_dir, "lists": lists_dir}
+    cat_cent = txn_read(spark, txn_dir, tables, "centroids")
+    cat_lists = txn_read(spark, txn_dir, tables, "lists")
+    cq = [r["q"] for r in cat_cent.select(
+        F.col("quantizer_id").alias("q")).distinct().collect()]
+    lq = [r["q"] for r in cat_lists.select(
+        F.col("quantizer_id").alias("q")).distinct().collect()]
+    catalog_consistent = cq == [2] and lq == [2]
+    head_cq = [r["q"] for r in snapshot_read(spark, cent_dir).select(
+        F.col("quantizer_id").alias("q")).distinct().collect()]
+    head_lq = [r["q"] for r in snapshot_read(spark, lists_dir).select(
+        F.col("quantizer_id").alias("q")).distinct().collect()]
+    head_pair_torn = head_cq == [3] and head_lq == [2]
+    pinned = txn_resolve(txn_dir)["tables"]
+    return spark.createDataFrame(
+        [
+            (
+                txn_latest(txn_dir),
+                pinned["centroids"],
+                pinned["lists"],
+                latest_version(cent_dir),
+                latest_version(lists_dir),
+                cat_cent.count(),
+                cat_lists.count(),
+                bool(catalog_consistent),
+                bool(head_pair_torn),
+            )
+        ],
+        out_schema,
+    )

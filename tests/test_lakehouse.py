@@ -1318,3 +1318,50 @@ def test_drop_widen_refusals_and_time_travel(spark, tmp_path):
     )
     lh.widen_column(t2, 1, "x", "double")
     assert dict(lh.snapshot_read(spark, t2).dtypes)["x"] == "double"
+
+
+def test_multi_table_txn_crash_and_race(spark, tmp_path):
+    """r12 two-table atomic commit: a crash between the per-table
+    commits and the txn publish leaves the catalog at the previous
+    consistent pair; a txn publish race has exactly one winner and the
+    loser can re-resolve and retry."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "txn")
+    a_dir, b_dir = base + "/a", base + "/b"
+    txn_dir = base + "/t"
+    mk = lambda tag, n: spark.range(0, n).select(
+        F.col("id").alias("k"), F.lit(tag).alias("gen")
+    )
+    lh.snapshot_write(mk(1, 10), a_dir, key="k", version=1)
+    lh.snapshot_write(mk(1, 20), b_dir, key="k", version=1)
+    lh.txn_commit(txn_dir, {"a": 1, "b": 1}, parent_txn=0)
+    # generation 2: commit table a's snapshot, CRASH before b and txn
+    lh.snapshot_write(mk(2, 10), a_dir, key="k", version=2)
+    tables = {"a": a_dir, "b": b_dir}
+    ga = {r["gen"] for r in lh.txn_read(spark, txn_dir, tables, "a").collect()}
+    gb = {r["gen"] for r in lh.txn_read(spark, txn_dir, tables, "b").collect()}
+    assert ga == {1} and gb == {1}  # no torn pair through the catalog
+    assert lh.latest_version(a_dir) == 2  # the orphan exists, invisible
+    # recovery: finish the pair and publish
+    lh.snapshot_write(mk(2, 20), b_dir, key="k", version=2)
+    lh.txn_commit(txn_dir, {"a": 2, "b": 2}, parent_txn=1)
+    ga = {r["gen"] for r in lh.txn_read(spark, txn_dir, tables, "a").collect()}
+    gb = {r["gen"] for r in lh.txn_read(spark, txn_dir, tables, "b").collect()}
+    assert ga == {2} and gb == {2}
+    # race: two txns claim parent 2 — exactly one wins
+    lh.txn_commit(txn_dir, {"a": 2, "b": 1}, parent_txn=2)
+    with pytest.raises(FileExistsError):
+        lh.txn_commit(txn_dir, {"a": 1, "b": 2}, parent_txn=2)
+    # loser re-resolves and retries at the new head
+    lh.txn_commit(txn_dir, {"a": 1, "b": 2}, parent_txn=lh.txn_latest(txn_dir))
+    assert lh.txn_latest(txn_dir) == 4
+    assert lh.txn_resolve(txn_dir)["tables"] == {"a": 1, "b": 2}
+    # pinned reads are version-scoped, not HEAD-scoped
+    assert {
+        r["gen"] for r in lh.txn_read(spark, txn_dir, tables, "a").collect()
+    } == {1}
+    with pytest.raises(ValueError):
+        lh.txn_read(spark, txn_dir, tables, "missing")
+    with pytest.raises(ValueError):
+        lh.txn_resolve(str(tmp_path / "empty_txn"))
