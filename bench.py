@@ -1405,7 +1405,9 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                             entry[f"{name}_shuffle_mb"] = lap_disk
                         # Floor attribution (r10 importance_weighted; r11
                         # extends to the text stragglers per the r10
-                        # verdict wrong #3): these sub-second entries are
+                        # verdict wrong #3; r12 adds rarity_score per the
+                        # r11 verdict #8 — its 2.05× weak tag had no
+                        # sidecar): these sub-second entries are
                         # dominated by per-job dispatch — record jobs ×
                         # empty_job_sec NEXT TO the timing so the ratio
                         # reads as (dispatch floor + real work), not as
@@ -1418,6 +1420,7 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                                 "q_text_idf_top_terms",
                                 "q_text_pack_sequences",
                                 "q_text_contamination",
+                                "q_text_rarity_score",
                             )
                             and factor >= 100
                         ):

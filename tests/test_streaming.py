@@ -396,3 +396,124 @@ def test_stream_stream_outer_join_nulls_and_matches(spark):
     n_nulls = int(got["purchase_id"].isna().sum())
     assert n_nulls > 0, "no watermark-released null rows — vacuous outer join"
     assert _frames_equal(got, want)
+
+
+def test_session_timeout_timers_fire_and_withhold(spark):
+    """q_stream_session_timeout emits (1) every gap-closed interior
+    session, (2) exactly the trailing sessions whose t1 + 30 min timer
+    (ms-truncated) sits strictly below the final watermark max(ts) − 1 h,
+    and (3) WITHHOLDS trailing sessions still inside the horizon — both
+    the timer-fired and the withheld sets must be non-empty, else the
+    timer path is vacuous (a job that emits everything, or nothing, on
+    stream end would pass a weaker check)."""
+    got = runner.run_session_timeout(spark, SF_DIR).toPandas()
+
+    from cuny_courses_spark.sources.loaders import load
+    from pyspark.sql import Window
+
+    e = load(spark, SF_DIR, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        e.withColumn(
+            "new_sess",
+            F.when(
+                gap.isNull() | (gap >= 30 * 60 * 1_000_000), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wm_ms = (
+        e.agg((F.max(F.unix_micros("ts")) / 1000).cast("long")).collect()[0][0]
+        - 3_600_000
+    )
+    last = Window.partitionBy("user_id")
+    marked = sess.withColumn("last_sid", F.max("sess_id").over(last))
+    want_df = marked.filter(
+        (F.col("sess_id") < F.col("last_sid"))
+        | ((F.unix_micros("t1") / 1000).cast("long") + 1_800_000 < wm_ms)
+    ).select(
+        "user_id",
+        F.date_format("t0", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        "n_events",
+        (F.unix_micros("t1") - F.unix_micros("t0")).alias("span_us"),
+    )
+    want = want_df.toPandas()
+    n_total = sess.count()
+    n_timer_fired = marked.filter(
+        (F.col("sess_id") == F.col("last_sid"))
+        & ((F.unix_micros("t1") / 1000).cast("long") + 1_800_000 < wm_ms)
+    ).count()
+    n_withheld = n_total - len(want)
+    assert n_timer_fired > 0, "no timer-fired trailing sessions — vacuous"
+    assert n_withheld > 0, "no withheld open sessions — watermark ignored"
+    assert _frames_equal(got, want)
+
+
+def test_stream_stream_full_outer_both_null_sets(spark):
+    """The full-outer interval join emits the batch matches plus BOTH
+    non-empty null sets: horizon-closed unmatched clicks (null purchase
+    columns) and watermark-passed unmatched purchases (null click
+    columns) — asymmetric release rules per side (c_ts + 1 h vs p_ts)."""
+    got = runner.run_stream_stream_full_outer_join(spark, SF_DIR).toPandas()
+
+    from cuny_courses_spark.sources.loaders import load
+
+    e = load(spark, SF_DIR, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (c.c_user == p.p_user)
+        & (p.p_ts >= c.c_ts)
+        & (p.p_ts < c.c_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    matched = c.join(p, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    wm = (
+        c.agg(F.max("c_ts").alias("mc"))
+        .crossJoin(p.agg(F.max("p_ts").alias("mp")))
+        .select((F.least("mc", "mp") - F.expr("INTERVAL 2 HOURS")).alias("w"))
+        .collect()[0]["w"]
+    )
+    un_c = (
+        c.join(p, cond, "left_anti")
+        .filter(F.col("c_ts") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(None).cast("long").alias("lag_us"),
+        )
+    )
+    un_p = (
+        p.join(c, cond, "left_anti")
+        .filter(F.col("p_ts") <= F.lit(wm))
+        .select(
+            F.col("p_user").alias("user_id"),
+            F.lit(None).cast("long").alias("click_id"),
+            "purchase_id",
+            F.lit(None).cast("long").alias("lag_us"),
+        )
+    )
+    want = matched.unionByName(un_c).unionByName(un_p).toPandas()
+    assert int(got["purchase_id"].isna().sum()) > 0, "no unmatched clicks"
+    assert int(got["click_id"].isna().sum()) > 0, "no unmatched purchases"
+    assert _frames_equal(got, want)
