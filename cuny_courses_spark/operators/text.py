@@ -758,3 +758,112 @@ def q_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("df").cast("long").alias("rarest_df"),
         )
     )
+
+
+@register(
+    "q_text_perplexity",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), idx AS (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t
+), bg AS (
+    SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur FROM idx
+), ctx AS (
+    SELECT prev, count(*) AS c_ctx FROM bg GROUP BY prev
+), bgc AS (
+    SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY prev, cur
+), v AS (
+    SELECT count(DISTINCT tok) AS nv
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+), lp AS (
+    SELECT bg.doc_id,
+           CAST(round(ln((bgc.c_bg + 1) / CAST(ctx.c_ctx + v.nv AS DOUBLE))
+                      * 1000000, 0) AS BIGINT) AS lp_unats
+    FROM bg JOIN bgc USING (prev, cur) JOIN ctx USING (prev), v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(-sum(lp_unats) AS BIGINT) AS nll_unats,
+       round(-sum(lp_unats) / (count(*) * 1000000.0), 4) AS avg_nll,
+       round(exp(-sum(lp_unats) / (count(*) * 1000000.0)), 4) AS ppl
+FROM lp GROUP BY doc_id
+""",
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model PERPLEXITY filtering (the CCNet/Gopher
+    quality leg this family was missing): a bigram LM with add-one
+    smoothing is trained ON the corpus itself — p(w|u) = (c(u,w)+1) /
+    (c(u·)+V) over whitespace tokens — and every document is scored with
+    its per-bigram average negative log-likelihood and perplexity.
+    High-ppl docs are the boilerplate/garbled/off-distribution tail a
+    real pipeline drops before training.
+
+    Hash-exact across engines BY CONSTRUCTION (the module's no-float-agg
+    rule): each bigram's ln p is rounded to integer MICRO-NATS
+    (round(ln·1e6) — Spark HALF_UP ≡ DuckDB half-away-from-zero on both
+    signs) and the per-doc total is a BIGINT sum — order-independent, so
+    shuffle/partial-agg ordering cannot move the hash the way a naive
+    avg(double) could. avg_nll and ppl derive from that exact integer
+    total; the residual cross-engine risk is one libm-vs-JVM ulp flipping
+    a 6th-decimal rounding boundary, probability ~1e-10 per bigram
+    (idf_top_terms carries the same 1-ulp note at 4 dp).
+
+    Plan shape (the model-join-back pattern; see q_text_rarity_score):
+    ONE posexplode-free bigram stream built by zip_with over adjacent
+    array slices (no window, no self-join, docs shorter than 2 tokens
+    drop out on both engines), aggregated twice into the model tables —
+    c(u,w) and c(u·), both map-side-partial bounded and count-gated for
+    broadcast (_TEXT_BCAST_ROWS) — then the same stream re-joins the
+    model to score. Scale: model size is |observed bigrams| (sublinear
+    in corpus size); past the broadcast gate the score join shuffles on
+    the model key, never on doc_id, and the per-doc agg is the only
+    doc-keyed exchange. That is the 100 TB shape: train = aggregate,
+    score = model join-back, no iteration, no driver state."""
+    return bigram_perplexity(load(spark, sf_dir, "documents"))
+
+
+def bigram_perplexity(d: DataFrame) -> DataFrame:
+    """Core of q_text_perplexity over any (doc_id, text) frame — factored
+    out so the property test can drive it on hypothesis-generated corpora
+    against a sequential Python reference."""
+    toks = _toks()
+    n = F.size(toks)
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, F.lit(1), n - 1),
+                F.slice(toks, F.lit(2), n - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.cur")
+    ctx = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    bgc = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    vocab = d.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("nv")
+    )
+    lp_unats = F.round(
+        F.log(
+            (F.col("c_bg") + 1)
+            / (F.col("c_ctx") + F.col("nv")).cast("double")
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
+    scored = (
+        bigrams.join(_bcast_if_small(bgc), ["prev", "cur"])
+        .join(_bcast_if_small(ctx), ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp_unats.alias("lp_unats"))
+    )
+    nll = (-F.sum("lp_unats")).cast("long")
+    avg_nll = -F.sum("lp_unats") / (F.count(F.lit(1)) * 1_000_000.0)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        nll.alias("nll_unats"),
+        F.round(avg_nll, 4).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 4).alias("ppl"),
+    )

@@ -550,3 +550,67 @@ def test_substring_spans_match_python_reference(spark, docs, k):
         for r in substring_span_per_doc(df, k).collect()
     }
     assert got == _py_span_stats(corpus, k)
+
+
+def _py_bigram_ppl(texts: list[str]) -> dict[int, tuple[int, int]]:
+    """Sequential reference for bigram_perplexity: add-one-smoothed bigram
+    LM trained on the corpus, per-doc (n_bigrams, nll_unats) with each
+    ln p rounded to integer micro-nats half-away-from-zero — the exact
+    fixed-point contract the Spark plan implements distributively."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    toks = {i: t.lower().split(" ") for i, t in enumerate(texts)}
+    bgs = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    ctx = Counter(p for b in bgs.values() for p, _ in b)
+    bgc = Counter(bg for b in bgs.values() for bg in b)
+    nv = len({w for ts in toks.values() for w in ts})
+    out = {}
+    for i, b in bgs.items():
+        if not b:
+            continue
+        nll = 0
+        for bg in b:
+            lp = math.log((bgc[bg] + 1) / (ctx[bg[0]] + nv))
+            nll -= int(
+                Decimal(repr(lp * 1e6)).quantize(0, rounding=ROUND_HALF_UP)
+            )
+        out[i] = (len(b), nll)
+    return out
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bigram_perplexity_matches_python_reference(spark, texts):
+    # The distributed train-then-score plan (two model aggregations +
+    # join-back) must equal a sequential in-memory LM on tiny adversarial
+    # corpora — repeated tokens, empty tokens from double spaces, docs too
+    # short to score. Integer micro-nat totals compare exactly; no float
+    # tolerance anywhere.
+    from cuny_courses_spark.operators.text import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_unats"])
+        for r in bigram_perplexity(df)
+        .select("doc_id", "n_bigrams", "nll_unats")
+        .collect()
+    }
+    assert got == _py_bigram_ppl(texts)
