@@ -1218,9 +1218,11 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
     # gram self-join degrades superlinearly, 0.23 → 7.8 s, while Spark
     # grows 3.5× on 10× data), rarity 1.6×, idf 4.0×, pack 3.0×,
     # importance-sampling flat/dispatch-bound.
+    # r12 adds q_text_perplexity (bigram-LM scoring, the newest family
+    # member) — measured 1.3-1.6× vs its DuckDB twin at ×100 on arrival.
     TEXT_EXT = ["q_text_contamination", "q_text_rarity_score",
                 "q_text_idf_top_terms", "q_text_pack_sequences",
-                "q_sample_importance_weighted"]
+                "q_sample_importance_weighted", "q_text_perplexity"]
     ext_sweep: dict[str, dict] = {}
     for factor, laps in ((10, 2), (100, 1)):
         point = f"sf{sf}x{factor}"

