@@ -4798,3 +4798,329 @@ def q_lake_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         out_schema,
     )
+
+
+# --- PARTITION EVOLUTION (r12) ------------------------------------------
+# Iceberg's signature metadata verb: a table's partition layout (a
+# TRANSFORM over a column — month(d), day(d)) can change WITHOUT
+# rewriting a byte of data. Files keep the spec they were written
+# under; the manifest records each file's (spec_id, partition value);
+# new writers lay out under the ACTIVE spec; and the planner prunes
+# each file with ITS OWN spec's granularity — coarse for history,
+# fine for fresh data. Hidden partitioning falls out: queries predicate
+# on the COLUMN, never on the transform.
+
+_PSPEC_TRANSFORMS = ("month", "day")
+
+
+def _pspec_expr(transform: str, col: str) -> str:
+    """SQL text mapping ``col`` to its integer partition value — the
+    layout expression new files are split by (one file per value,
+    the _write_buckets invariant)."""
+    if transform == "month":
+        return f"(year({col}) - 1970) * 12 + month({col}) - 1"
+    if transform == "day":
+        return f"datediff({col}, DATE '1970-01-01')"
+    raise ValueError(f"unknown partition transform {transform!r}")
+
+
+def _pspec_interval(transform: str, value: int) -> tuple[int, int]:
+    """Partition value → the half-open [lo, hi) day range it covers
+    (days since epoch) — what makes cross-spec pruning comparable:
+    every spec's partitions project onto the same day axis."""
+    import datetime
+
+    if transform == "day":
+        return value, value + 1
+    if transform == "month":
+        y, m = divmod(value, 12)
+        y += 1970
+        start = datetime.date(y, m + 1, 1)
+        ny, nm = (y + 1, 1) if m == 11 else (y, m + 2)
+        epoch = datetime.date(1970, 1, 1)
+        return (start - epoch).days, (datetime.date(ny, nm, 1) - epoch).days
+    raise ValueError(f"unknown partition transform {transform!r}")
+
+
+def _pspec_stats(
+    files: list[str], key: str, spec: dict
+) -> dict[str, dict]:
+    """Footer key stats + the file's (spec_id, partition value) — the
+    value parsed from the ``_b=`` path segment the layout wrote, exact
+    by construction (each file holds exactly one partition value)."""
+    stats = _file_key_stats(files, key)
+    for p in files:
+        stats[p]["pspec"] = {
+            "id": spec["id"],
+            "value": int(p.split("_b=")[1].split(os.sep)[0]),
+        }
+    return stats
+
+
+def write_partitioned(
+    df: DataFrame,
+    table_dir: str,
+    key: str,
+    part_col: str,
+    transform: str,
+    version: int = 1,
+) -> list[str]:
+    """Create v``version`` partitioned by ``transform(part_col)`` (spec
+    id 0). The spec and its history are TABLE PROPERTIES every later
+    writer reads; per-file partition tuples ride in the manifest
+    stats."""
+    spec = {"id": 0, "transform": transform, "col": part_col}
+    files = _write_buckets(
+        df.withColumn("_b", F.expr(_pspec_expr(transform, part_col))),
+        os.path.join(table_dir, "data", f"v{version}"),
+    )
+    commit_snapshot(
+        table_dir,
+        version,
+        files,
+        stats=_pspec_stats(files, key, spec),
+        schema=_schema_of(df),
+        added={f: version for f in files},
+        props={"partition_spec": spec, "partition_specs": [spec]},
+        meta={"op": "write_partitioned"},
+    )
+    return files
+
+
+def evolve_partition_spec(
+    table_dir: str, parent_version: int, transform: str
+) -> dict:
+    """METADATA-ONLY spec change (the Iceberg partition-evolution verb):
+    publish a child snapshot re-referencing every parent file verbatim
+    — zero data writes, zero group rewrites (content-addressed names
+    are unchanged), ONE new manifest list — with the active
+    ``partition_spec`` advanced and the old spec retired into
+    ``partition_specs`` history. Old files keep their recorded spec;
+    only writers AFTER this commit lay out under the new one. Returns
+    the commit report (the query pins groups_written == 0 and
+    meta_files_written == 1 as the metadata-only proof)."""
+    doc = _read_manifest_doc(table_dir, parent_version)
+    props = dict(doc.get("props") or {})
+    specs = list(props.get("partition_specs") or [])
+    if not specs:
+        raise ValueError(f"{table_dir} is not a partition-spec table")
+    new = {
+        "id": len(specs),
+        "transform": transform,
+        "col": props["partition_spec"]["col"],
+    }
+    props["partition_spec"] = new
+    props["partition_specs"] = specs + [new]
+    return commit_snapshot(
+        table_dir,
+        parent_version + 1,
+        doc["files"],
+        stats=doc.get("stats"),
+        schema=doc.get("schema"),
+        dvs=doc.get("dvs"),
+        added=doc.get("added"),
+        props=props,
+        meta={"op": "evolve_partition_spec", "spec_id": new["id"]},
+    )
+
+
+def append_partitioned(
+    rows: DataFrame, table_dir: str, parent_version: int, key: str
+) -> list[str]:
+    """Insert-only append laid out under the table's ACTIVE spec (read
+    from parent props — a writer never chooses its own layout): new
+    files one-per-partition-value, parent files re-referenced verbatim,
+    per-file partition tuples recorded under the active spec id."""
+    doc = _read_manifest_doc(table_dir, parent_version)
+    props = dict(doc.get("props") or {})
+    spec = props.get("partition_spec")
+    if not spec:
+        raise ValueError(f"{table_dir} is not a partition-spec table")
+    version = parent_version + 1
+    new_files = _write_buckets(
+        rows.withColumn(
+            "_b", F.expr(_pspec_expr(spec["transform"], spec["col"]))
+        ),
+        os.path.join(table_dir, "data", f"v{version}"),
+    )
+    stats = dict(doc.get("stats") or {})
+    stats.update(_pspec_stats(new_files, key, spec))
+    added = dict(doc.get("added") or {})
+    added.update({f: version for f in new_files})
+    commit_snapshot(
+        table_dir,
+        version,
+        doc["files"] + new_files,
+        stats=stats,
+        schema=doc.get("schema"),
+        dvs=doc.get("dvs"),
+        added=added,
+        props=props,
+        meta={"op": "append_partitioned"},
+    )
+    return new_files
+
+
+def prune_partitions(
+    table_dir: str, version: int, lo_day: int, hi_day: int
+) -> tuple[list[str], list[str], dict[int, int]]:
+    """Partition pruning for ``part_col BETWEEN lo_day AND hi_day``
+    (days since epoch, inclusive): each file's recorded partition value
+    is projected onto the day axis UNDER ITS OWN SPEC and kept iff the
+    interval intersects — exact metadata planning (partition values,
+    not min/max approximations), coarse on old-spec files, fine on
+    new-spec files. Files without a partition tuple are kept
+    (soundness). Returns (selected, all_files, scanned-per-spec-id)."""
+    doc = _read_manifest_doc(table_dir, version)
+    specs = {
+        s["id"]: s for s in (doc.get("props") or {}).get("partition_specs", [])
+    }
+    stats = doc.get("stats") or {}
+    selected: list[str] = []
+    per_spec: dict[int, int] = {}
+    for p in doc["files"]:
+        ps = (stats.get(p) or {}).get("pspec")
+        if ps is None or ps["id"] not in specs:
+            selected.append(p)  # unknown provenance: never prune
+            continue
+        flo, fhi = _pspec_interval(specs[ps["id"]]["transform"], ps["value"])
+        if flo <= hi_day and fhi > lo_day:
+            selected.append(p)
+            per_spec[ps["id"]] = per_spec.get(ps["id"], 0) + 1
+    return selected, doc["files"], per_spec
+
+
+@register(
+    "q_lake_partition_evolution",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey AS k, o_orderdate AS d,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), appended AS (
+    SELECT o_orderkey + 6000000 AS k,
+           DATE '1998-09-01' + CAST(o_orderkey % 10 AS INT) AS d,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 7 = 0
+), months AS (
+    SELECT DISTINCT (year(d) - 1970) * 12 + month(d) - 1 AS mv FROM base
+), days_new AS (
+    SELECT DISTINCT d FROM appended
+), hit AS (
+    SELECT k, d, cents FROM base
+    WHERE d BETWEEN DATE '1998-08-01' AND DATE '1998-09-03'
+    UNION ALL
+    SELECT k, d, cents FROM appended
+    WHERE d BETWEEN DATE '1998-08-01' AND DATE '1998-09-03'
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM months) AS n_files_v1,
+       CAST(0 AS BIGINT) AS evolve_groups_written,
+       CAST(1 AS BIGINT) AS evolve_meta_files,
+       (SELECT CAST(count(*) AS BIGINT) FROM months)
+           + (SELECT CAST(count(*) AS BIGINT) FROM days_new)
+           AS n_files_v3,
+       CAST(1 AS BIGINT) AS active_spec_id,
+       CAST(2 AS BIGINT) AS n_specs,
+       (SELECT CAST(count(*) AS BIGINT) FROM months
+        WHERE mv BETWEEN (1998 - 1970) * 12 + 7
+                     AND (1998 - 1970) * 12 + 8) AS scanned_month_files,
+       (SELECT CAST(count(*) AS BIGINT) FROM days_new
+        WHERE d BETWEEN DATE '1998-08-01' AND DATE '1998-09-03')
+           AS scanned_day_files,
+       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_rows,
+       (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM hit)
+           AS sum_cents
+""",
+)
+def q_lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION (Iceberg's signature metadata verb), proven
+    end-to-end: v1 lays orders out by MONTH(o_orderdate) (one file per
+    month, partition tuples in the manifest); v2 evolves the spec to
+    DAY granularity METADATA-ONLY (the commit report must say zero
+    group files written, one manifest list — pinned in the output);
+    v3 appends fresh rows which the writer lays out under the ACTIVE
+    day spec (one file per day, never a month file); then a date-range
+    read straddling both regimes is planned by projecting EVERY file's
+    partition value onto the day axis under its own spec — the 1998
+    history scans its coarse month files (the base corpus spans
+    1995-2001, so Aug+Sep 1998 months), the appends scan exactly the
+    three day files in range (day files coexist with the same dates'
+    month files — per-spec planning, not value collision), and the
+    residual
+    row-level filter over that pruned read must hash-match DuckDB's
+    logical recomputation (so a prune that dropped a live file, a
+    writer that used the wrong spec, or a value recorded under the
+    wrong id all shift the value hash, not just a count).
+
+    Scale: this is how a 100 TB time-partitioned lake tightens its
+    layout as it grows — history stays month-coarse (fewer, bigger
+    files), fresh data goes day-fine, no rewrite, and hidden
+    partitioning means queries keep predicating on the COLUMN while
+    per-spec interval projection keeps pruning exact across the
+    boundary."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_part_evolve")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        # DATE-typed partition column: the source reads as timestamp;
+        # the appended batch's date_add() yields DATE — one physical
+        # type across every file or the union read breaks.
+        F.col("o_orderdate").cast("date").alias("d"),
+        fp("o_totalprice").alias("cents"),
+    )
+    files_v1 = write_partitioned(
+        o, table_dir, key="k", part_col="d", transform="month", version=1
+    )
+    rep = evolve_partition_spec(table_dir, 1, "day")
+    appended = o.filter(F.col("k") % 7 == 0).select(
+        (F.col("k") + 6_000_000).alias("k"),
+        F.expr("date_add(DATE '1998-09-01', CAST(k % 10 AS INT))").alias(
+            "d"
+        ),
+        "cents",
+    )
+    append_partitioned(appended, table_dir, 2, key="k")
+    doc = _read_manifest_doc(table_dir, 3)
+    props = doc["props"]
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1)
+    lo = (_dt.date(1998, 8, 1) - epoch).days
+    hi = (_dt.date(1998, 9, 3) - epoch).days
+    selected, total, per_spec = prune_partitions(table_dir, 3, lo, hi)
+    agg = (
+        _read_snapshot_files(spark, doc, selected)
+        .filter(
+            F.col("d").between(
+                F.lit(_dt.date(1998, 8, 1)), F.lit(_dt.date(1998, 9, 3))
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(files_v1),
+                rep["groups_written"],
+                rep["meta_files_written"],
+                len(total),
+                props["partition_spec"]["id"],
+                len(props["partition_specs"]),
+                per_spec.get(0, 0),
+                per_spec.get(1, 0),
+                agg["n"],
+                agg["s"] if agg["s"] is not None else 0,
+            )
+        ],
+        "n_files_v1 long, evolve_groups_written long, evolve_meta_files"
+        " long, n_files_v3 long, active_spec_id long, n_specs long,"
+        " scanned_month_files long, scanned_day_files long, n_rows long,"
+        " sum_cents long",
+    )

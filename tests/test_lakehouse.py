@@ -1365,3 +1365,97 @@ def test_multi_table_txn_crash_and_race(spark, tmp_path):
         lh.txn_read(spark, txn_dir, tables, "missing")
     with pytest.raises(ValueError):
         lh.txn_resolve(str(tmp_path / "empty_txn"))
+
+
+def test_partition_evolution_metadata_only_and_spec_honored(spark, tmp_path):
+    """Evolving the partition spec writes ZERO group files and rewrites
+    nothing; appends BEFORE the evolution lay out under the old spec and
+    AFTER under the new one; per-spec interval pruning keeps exactly the
+    intersecting files of each regime; a file with no partition tuple is
+    never pruned (soundness)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources.loaders import load
+
+    table_dir = str(tmp_path / "lake_pe")
+    o = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    files_v1 = lh.write_partitioned(
+        o, table_dir, key="k", part_col="d", transform="month", version=1
+    )
+    assert all("_b=" in p for p in files_v1)
+    # month-spec append BEFORE evolution: files carry spec id 0
+    extra = o.limit(50).select(
+        (F.col("k") + 9_000_000).alias("k"),
+        F.lit(datetime.date(2002, 1, 15)).alias("d"),
+    )
+    new_v2 = lh.append_partitioned(extra, table_dir, 1, key="k")
+    assert len(new_v2) == 1  # one month value -> one file
+    doc2 = lh._read_manifest_doc(table_dir, 2)
+    assert doc2["stats"][new_v2[0]]["pspec"]["id"] == 0
+    rep = lh.evolve_partition_spec(table_dir, 2, "day")
+    assert rep["groups_written"] == 0
+    assert rep["meta_files_written"] == 1
+    assert lh.read_manifest(table_dir, 3) == lh.read_manifest(table_dir, 2)
+    # day-spec append AFTER evolution: one file PER DAY, spec id 1
+    extra2 = o.limit(40).select(
+        (F.col("k") + 9_500_000).alias("k"),
+        F.expr(
+            "date_add(DATE '2002-02-01', CAST(k % 4 AS INT))"
+        ).alias("d"),
+    )
+    new_v4 = lh.append_partitioned(extra2, table_dir, 3, key="k")
+    assert len(new_v4) == 4
+    doc4 = lh._read_manifest_doc(table_dir, 4)
+    assert {doc4["stats"][p]["pspec"]["id"] for p in new_v4} == {1}
+    # pruning: a range inside 1999-02 hits only the day files in range
+    epoch = datetime.date(1970, 1, 1)
+    lo = (datetime.date(2002, 2, 2) - epoch).days
+    sel, total, per_spec = lh.prune_partitions(table_dir, 4, lo, lo + 1)
+    assert per_spec == {1: 2}
+    assert len(sel) == 2 and set(sel) <= set(new_v4)
+    # the january-2002 month file is kept for any day of that month
+    jan = (datetime.date(2002, 1, 3) - epoch).days
+    sel_j, _, per_spec_j = lh.prune_partitions(table_dir, 4, jan, jan)
+    assert new_v2[0] in sel_j and per_spec_j[0] >= 1
+    # soundness: strip one file's pspec -> it survives every prune
+    victim = new_v4[0]
+    doc4["stats"][victim].pop("pspec")
+    lh.commit_snapshot(
+        table_dir,
+        5,
+        doc4["files"],
+        stats=doc4["stats"],
+        schema=doc4.get("schema"),
+        added=doc4.get("added"),
+        props=doc4.get("props"),
+    )
+    far = (datetime.date(1971, 1, 1) - epoch).days
+    sel_far, _, _ = lh.prune_partitions(table_dir, 5, far, far)
+    assert victim in sel_far
+
+
+def test_partition_evolution_refusals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError):
+        lh._pspec_expr("hour", "d")
+    with pytest.raises(ValueError):
+        lh._pspec_interval("year", 3)
+    table_dir = str(tmp_path / "plain")
+    lh.snapshot_write(
+        spark.range(5).select(F.col("id").alias("k")),
+        table_dir,
+        key="k",
+        version=1,
+    )
+    with pytest.raises(ValueError):
+        lh.evolve_partition_spec(table_dir, 1, "day")
+    with pytest.raises(ValueError):
+        lh.append_partitioned(
+            spark.range(3).select(F.col("id").alias("k")), table_dir, 1, "k"
+        )
