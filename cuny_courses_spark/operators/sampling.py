@@ -206,3 +206,89 @@ def q_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("c_mktsegment", "c_custkey", "c_name", "rk")
     )
+
+
+@register(
+    "q_sample_mixture_weights",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok,
+           {_o_bucket('doc_id', '|mix12', 1000000)} AS bkt
+    FROM documents
+), tot AS (
+    SELECT lang, CAST(sum(ntok) AS BIGINT) AS tokens_total
+    FROM d GROUP BY lang
+), frac AS (
+    SELECT lang, tokens_total,
+           CAST((SELECT min(tokens_total) FROM tot) * 1000000
+                // tokens_total AS BIGINT) AS f_ppm
+    FROM tot
+), kept AS (
+    SELECT d.lang, count(*) AS n, CAST(sum(d.ntok) AS BIGINT) AS t
+    FROM d JOIN frac USING (lang)
+    WHERE d.bkt < frac.f_ppm
+    GROUP BY d.lang
+)
+SELECT frac.lang, frac.tokens_total, frac.f_ppm,
+       CAST(coalesce(kept.n, 0) AS BIGINT) AS n_docs_kept,
+       CAST(coalesce(kept.t, 0) AS BIGINT) AS tokens_kept
+FROM frac LEFT JOIN kept ON frac.lang = kept.lang
+""",
+)
+def q_sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-MIXTURE construction (the DoReMi / Pile data-mixing
+    primitive): rebalance a language-skewed corpus to a UNIFORM target
+    mixture by deterministic downsampling, never upsampling — the
+    largest budget a uniform mixture admits is B = |langs| · min_lang
+    tokens, so each language keeps the integer-exact fraction
+    f_ppm = (min_tokens · 1e6) DIV its_tokens (1e6 ppm for the binding
+    minority, smaller for every over-represented language), and a doc
+    survives iff its portable md5-prefix bucket (the engine-wide
+    q_sample_hash_stratified contract) falls under f_ppm. Emitted per
+    language: corpus tokens, the ppm knob, and the docs/tokens actually
+    kept — all integers, no float weights anywhere.
+
+    Pure-function-of-key selection is the 100 TB property: a new doc's
+    fate needs only the (|langs|-row, broadcast) fraction table, no
+    other row moves when data arrives, and any engine re-run is
+    byte-reproducible. Plan: one narrow map for (ntok, bucket), one
+    small shuffle for per-lang totals, a 1-row min broadcast, the
+    fraction join-back broadcast, and the final per-lang re-agg —
+    corpus rows are never shuffled at all."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias(
+            "ntok"
+        ),
+    )
+    tot = d.groupBy("lang").agg(F.sum("ntok").alias("tokens_total"))
+    mn = tot.agg(F.min("tokens_total").alias("min_t"))
+    frac = (
+        tot.crossJoin(F.broadcast(mn))
+        .select(
+            "lang",
+            "tokens_total",
+            F.expr(
+                "CAST(min_t * 1000000 DIV tokens_total AS BIGINT)"
+            ).alias("f_ppm"),
+        )
+    )
+    kept = (
+        d.withColumn("bkt", _bucket(F.col("doc_id"), "|mix12", 1_000_000))
+        .join(F.broadcast(frac.select("lang", "f_ppm")), "lang")
+        .filter(F.col("bkt") < F.col("f_ppm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ntok").alias("t"),
+        )
+    )
+    return frac.join(kept, "lang", "left").select(
+        "lang",
+        "tokens_total",
+        "f_ppm",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("t", F.lit(0)).cast("long").alias("tokens_kept"),
+    )

@@ -614,3 +614,26 @@ def test_bigram_perplexity_matches_python_reference(spark, texts):
         .collect()
     }
     assert got == _py_bigram_ppl(texts)
+
+
+def test_mixture_weights_invariants(spark):
+    # The uniform-mixture downsampler: the minority language is the
+    # binding budget (f_ppm == 1e6, keeps everything); every other
+    # language keeps a subset; and the realized mixture cannot exceed
+    # its per-language budget by more than hash-sampling noise would
+    # allow (kept <= total always; f_ppm monotone in 1/total).
+    from cuny_courses_spark.registry import queries
+
+    rows = {
+        r["lang"]: r
+        for r in queries()["q_sample_mixture_weights"](
+            spark, SF_DIR
+        ).collect()
+    }
+    totals = {k: r["tokens_total"] for k, r in rows.items()}
+    binding = min(totals, key=totals.get)
+    assert rows[binding]["f_ppm"] == 1_000_000
+    assert rows[binding]["tokens_kept"] == rows[binding]["tokens_total"]
+    for k, r in rows.items():
+        assert r["tokens_kept"] <= r["tokens_total"]
+        assert r["f_ppm"] == totals[binding] * 1_000_000 // totals[k]
