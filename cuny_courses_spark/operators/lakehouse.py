@@ -5091,19 +5091,25 @@ def q_lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = (_dt.date(1998, 8, 1) - epoch).days
     hi = (_dt.date(1998, 9, 3) - epoch).days
     selected, total, per_spec = prune_partitions(table_dir, 3, lo, hi)
-    agg = (
-        _read_snapshot_files(spark, doc, selected)
-        .filter(
-            F.col("d").between(
-                F.lit(_dt.date(1998, 8, 1)), F.lit(_dt.date(1998, 9, 3))
+    if selected:
+        agg = (
+            _read_snapshot_files(spark, doc, selected)
+            .filter(
+                F.col("d").between(
+                    F.lit(_dt.date(1998, 8, 1)), F.lit(_dt.date(1998, 9, 3))
+                )
             )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").cast("long").alias("s"),
+            )
+            .collect()[0]
         )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("cents").cast("long").alias("s"),
-        )
-        .collect()[0]
-    )
+        n_rows, sum_cents = agg["n"], agg["s"] or 0
+    else:
+        # empty table / nothing in range: the 0-row landing-dir case —
+        # a valid zero aggregate, never a raise (tests/test_empty_input).
+        n_rows, sum_cents = 0, 0
     return spark.createDataFrame(
         [
             (
@@ -5115,8 +5121,8 @@ def q_lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 len(props["partition_specs"]),
                 per_spec.get(0, 0),
                 per_spec.get(1, 0),
-                agg["n"],
-                agg["s"] if agg["s"] is not None else 0,
+                n_rows,
+                sum_cents,
             )
         ],
         "n_files_v1 long, evolve_groups_written long, evolve_meta_files"
