@@ -491,3 +491,97 @@ def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_graph_khop",
+    oracle="""
+WITH edges AS (
+    SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+    FROM lineitem
+    UNION
+    SELECT DISTINCT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst
+    FROM lineitem
+), v0 AS (
+    SELECT DISTINCT src AS node FROM edges WHERE src % 2 = 0 AND src <= 50
+), f1 AS (
+    SELECT DISTINCT e.dst AS node
+    FROM edges e JOIN v0 ON e.src = v0.node
+    WHERE e.dst NOT IN (SELECT node FROM v0)
+), v1 AS (
+    SELECT node FROM v0 UNION SELECT node FROM f1
+), f2 AS (
+    SELECT DISTINCT e.dst AS node
+    FROM edges e JOIN f1 ON e.src = f1.node
+    WHERE e.dst NOT IN (SELECT node FROM v1)
+), v2 AS (
+    SELECT node FROM v1 UNION SELECT node FROM f2
+), f3 AS (
+    SELECT DISTINCT e.dst AS node
+    FROM edges e JOIN f2 ON e.src = f2.node
+    WHERE e.dst NOT IN (SELECT node FROM v2)
+)
+SELECT node, CAST(0 AS BIGINT) AS hop FROM v0
+UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1
+UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
+UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3
+""",
+)
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-HOP NEIGHBORHOOD EXPANSION (bounded BFS, k=3) from a seed set —
+    the graph-walk primitive behind influence/recall expansion and
+    graph-based corpus curation (expand a trusted seed set k hops to
+    harvest candidates). Seeds: part nodes with partkey ≤ 25 on the
+    symmetrized part↔supplier co-purchase graph (pagerank's encoding);
+    output = every reached node with its FIRST-reach hop (BFS level).
+
+    Superstep plan (the Pregel frontier loop on DataFrames): each hop
+    pays ONE keyed shuffle (frontier ⋈ edges on src — edges cached with
+    src hash-partitioning, so only the small frontier moves), a
+    zero-exchange distinct on the inherited partitioning, and a
+    node-keyed anti-join against the visited set (what makes levels
+    FIRST-reach — without it BFS revisits explode combinatorially).
+    ``_superstep_checkpoint`` truncates lineage per hop (same
+    DISK_ONLY/reliable-dir trade as pagerank); the driver holds only
+    the hop counter — k is a constant, never data-dependent. At 100 TB
+    the frontier is the working set: it starts seed-sized and is
+    bounded by the node set, while edges stream through the cached
+    co-located join every hop."""
+    li = load(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges_w = (
+        edges.repartition("src").dropDuplicates(["src", "dst"]).persist()
+    )
+    try:
+        seeds = (
+            edges_w.filter((F.col("src") % 2 == 0) & (F.col("src") <= 50))
+            .select(F.col("src").alias("node"))
+            .distinct()
+        )
+        frontier = _superstep_checkpoint(seeds)
+        visited = frontier.withColumn("hop", F.lit(0).cast("long"))
+        for h in range(1, 4):
+            nxt = (
+                edges_w.join(frontier, edges_w.src == frontier.node)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            frontier = _superstep_checkpoint(
+                nxt.join(visited.select("node"), "node", "left_anti")
+            )
+            visited = visited.unionByName(
+                frontier.withColumn("hop", F.lit(h).cast("long"))
+            )
+        # materialize before releasing the cached adjacency (the final
+        # union still references per-hop checkpointed frames, which no
+        # longer need edges_w — but the LAST frontier join does).
+        visited = _superstep_checkpoint(visited)
+        return visited
+    finally:
+        edges_w.unpersist()
