@@ -2763,10 +2763,12 @@ def incremental_diff(
     v_from: int,
     v_to: int,
     key: str,
+    preimages: bool = False,
 ) -> DataFrame:
     """CDC / change-feed read between two snapshots: every row-level
     change from ``v_from`` to ``v_to``, classified Delta-CDF-style as
-    ``insert`` / ``update_postimage`` / ``delete``, computed by reading
+    ``insert`` / ``update_postimage`` / ``delete`` (plus
+    ``update_preimage`` when ``preimages=True`` — r12), computed by reading
     ONLY the files the two manifests do not share. CoW rewrites whole
     buckets, so a rewritten-but-unchanged row appears on both sides of
     the file diff — the full-outer key join below cancels it (identical
@@ -2846,11 +2848,30 @@ def incremental_diff(
         .alias(c)
         for c in val_cols
     ]
-    return (
+    out = (
         j.withColumn("_change_type", change)
         .filter(F.col("_change_type").isNotNull())
         .select(out_key, *out_vals, "_change_type")
     )
+    if preimages:
+        # Delta-CDF ``update_preimage`` rows (opt-in; default output is
+        # unchanged for every existing consumer): the OLD values of each
+        # updated key — what retraction-capable consumers (incremental
+        # aggregate/MV maintenance) subtract before adding the
+        # postimage. Deletes already carry old values; inserts have no
+        # preimage by definition.
+        pre = (
+            j.filter(
+                F.col("_ko").isNotNull() & F.col("_kn").isNotNull() & ~same
+            )
+            .select(
+                F.col("_ko").alias(key),
+                *[F.col(f"_o_{c}").alias(c) for c in val_cols],
+                F.lit("update_preimage").alias("_change_type"),
+            )
+        )
+        out = out.unionByName(pre)
+    return out
 
 
 @register(
@@ -5129,4 +5150,133 @@ def q_lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         " long, n_files_v3 long, active_spec_id long, n_specs long,"
         " scanned_month_files long, scanned_day_files long, n_rows long,"
         " sum_cents long",
+    )
+
+
+@register(
+    "q_lake_mv_maintenance",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders
+), s0 AS (
+    SELECT * FROM src WHERE k % 5 <> 0
+    UNION ALL
+    SELECT * FROM src WHERE k % 5 = 0 AND k % 3 = 0
+), upd AS (
+    SELECT k, 2 * cents AS cents, 'X' AS st
+    FROM src WHERE k % 97 = 0 AND k % 89 <> 0
+), merged AS (
+    SELECT s0.k,
+           coalesce(u.cents, s0.cents) AS cents,
+           coalesce(u.st, s0.st) AS st
+    FROM s0 LEFT JOIN upd u USING (k)
+    WHERE s0.k % 89 <> 0
+    UNION ALL
+    SELECT u.k, u.cents, u.st FROM upd u
+    WHERE u.k NOT IN (SELECT k FROM s0)
+), final AS (
+    SELECT * FROM merged WHERE k % 101 <> 5
+)
+SELECT st,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY st
+""",
+)
+def q_lake_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE with retractions (the
+    Delta-CDF-consumer verb q_lake_stream_source's keyed-state replay
+    can't show): a per-status rollup ``st → (count, sum_cents)`` is
+    maintained across the table's whole commit history — append, CoW
+    MERGE with updates AND deletes, merge-on-read delete — by applying
+    each version's change feed as SIGNED partial aggregates: insert and
+    ``update_postimage`` rows contribute (+1, +cents); ``delete`` and
+    the r12 ``update_preimage`` rows contribute (−1, −cents). The
+    preimages are the load-bearing piece: without the updated rows' OLD
+    values a SUM cannot be maintained incrementally — which is exactly
+    why Delta CDF emits them. The emitted result is the MAINTAINED view
+    (never a recompute), so a missed retraction, a doubled batch, or a
+    preimage carrying new values hash-fails against DuckDB's logical
+    recomputation of the final state.
+
+    Scale: each maintenance step reads O(changed files) via the CDC
+    file diff and reduces it to |groups| signed partials before the
+    KB-scale MV combine — a 1-bucket merge on a 100 TB table costs two
+    file reads and a 5-row update, the incremental-view contract.
+    Exact fixed-point cents keep ⊕/⊖ associative with zero drift."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_mv_maint")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
+    append_snapshot(
+        table_dir,
+        1,
+        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
+        key="k",
+        batch_id=1,
+    )
+    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
+        "k",
+        (F.col("cents") * 2).alias("cents"),
+        F.lit("X").alias("st"),
+        F.lit(False).alias("_del"),
+    )
+    dels = src.filter(F.col("k") % 89 == 0).select(
+        "k",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("string").alias("st"),
+        F.lit(True).alias("_del"),
+    )
+    merge_upsert(
+        spark, table_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
+    )
+    delete_merge_on_read(
+        spark, table_dir, 3, src.filter(F.col("k") % 101 == 5), key="k"
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        return df.groupBy("st").agg(
+            F.sum(sign).alias("_n"),
+            F.sum(sign * F.col("cents")).alias("_s"),
+        )
+
+    mv = (
+        snapshot_read(spark, table_dir, 1)
+        .groupBy("st")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("cents").alias("_s"),
+        )
+    )
+    head = latest_version(table_dir)
+    for v in range(2, head + 1):
+        feed = incremental_diff(
+            spark, table_dir, v - 1, v, key="k", preimages=True
+        )
+        mv = (
+            mv.unionByName(partials(feed))
+            .groupBy("st")
+            .agg(F.sum("_n").alias("_n"), F.sum("_s").alias("_s"))
+        )
+        # bound lineage across maintenance steps exactly like an
+        # unbounded deployment's checkpointed state store would
+        mv = mv.localCheckpoint(eager=True)
+    return mv.filter(F.col("_n") > 0).select(
+        "st",
+        F.col("_n").cast("long").alias("n_orders"),
+        F.col("_s").cast("long").alias("sum_cents"),
     )

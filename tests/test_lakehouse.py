@@ -1459,3 +1459,47 @@ def test_partition_evolution_refusals(spark, tmp_path):
         lh.append_partitioned(
             spark.range(3).select(F.col("id").alias("k")), table_dir, 1, "k"
         )
+
+
+def test_cdc_preimages_carry_old_values_and_are_opt_in(spark, tmp_path):
+    """preimages=True adds exactly one update_preimage row per updated
+    key carrying the OLD values; the default output is byte-identical
+    to the pre-r12 contract (no existing consumer sees a new type)."""
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "cdcpre")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    lh.snapshot_write(base, table_dir, key="k", version=1)
+    chg = spark.range(0, 12).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 3, F.col("id") * 100)  # 0-2 unchanged
+        .otherwise(F.col("id") * 1000)
+        .alias("v"),  # 3-9 updated, 10-11 inserted
+    )
+    lh.merge_upsert(spark, table_dir, 1, chg, key="k")
+    plain = lh.incremental_diff(spark, table_dir, 1, 2, key="k")
+    assert set(
+        r["_change_type"] for r in plain.collect()
+    ) == {"insert", "update_postimage"}
+    rich = lh.incremental_diff(
+        spark, table_dir, 1, 2, key="k", preimages=True
+    ).collect()
+    pre = {r["k"]: r["v"] for r in rich if r["_change_type"] == "update_preimage"}
+    post = {r["k"]: r["v"] for r in rich if r["_change_type"] == "update_postimage"}
+    assert set(pre) == set(post) == {3, 4, 5, 6, 7, 8, 9}
+    assert pre == {k: k * 100 for k in pre}    # OLD values
+    assert post == {k: k * 1000 for k in post}  # NEW values
+    # signed-partial identity: old_agg + post - pre + ins == new_agg
+    ins = sum(r["v"] for r in rich if r["_change_type"] == "insert")
+    assert (
+        sum(v for v in pre.values()) * -1
+        + sum(post.values())
+        + ins
+        + sum(r["v"] for r in base.collect())
+        == sum(
+            r["v"]
+            for r in lh.snapshot_read(spark, table_dir, 2).collect()
+        )
+    )
