@@ -559,3 +559,49 @@ def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_stream_full_outer_join(spark, sf_dir)
+
+
+@register(
+    "q_stream_stream_right_outer",
+    oracle="""
+WITH c AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), wm AS (
+    SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+           - INTERVAL 2 HOUR AS w
+), matched AS (
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+), unmatched_p AS (
+    SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id,
+           p.event_id AS purchase_id,
+           CAST(NULL AS BIGINT) AS lag_us
+    FROM p, wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    ) AND p.ts <= wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched_p
+""",
+)
+def q_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT-OUTER interval join as a REAL streaming job —
+    the remaining member of the outer family (inner r10 / left-outer r11
+    / full-outer r12): every purchase emits — orphan purchases with null
+    click columns once the watermark passes p_ts — while unmatched
+    clicks are dropped, the attribution shape for "account for every
+    transaction, clicks are best-effort". Shares the full-outer plan and
+    release-rule derivation with only the join type changed; the oracle
+    is the full-outer oracle minus the unmatched-click leg."""
+    from cuny_courses_spark.streaming.runner import (
+        run_stream_stream_right_outer_join,
+    )
+
+    return run_stream_stream_right_outer_join(spark, sf_dir)

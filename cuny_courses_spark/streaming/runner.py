@@ -515,6 +515,18 @@ def run_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(emissions, output_mode="append")
 
 
+def run_stream_stream_right_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream RIGHT-OUTER interval join — the remaining member of
+    the outer family (inner r10 / left r11 / full r12): every purchase
+    emits, with null click columns once the watermark passes p_ts (the
+    purchase-side release rule derived in the full-outer docstring);
+    unmatched CLICKS never emit. Shares the full-outer plan with only
+    the join type changed, so the state/watermark story is identical."""
+    return _run_stream_stream_outer(spark, sf_dir, "rightOuter")
+
+
 def run_stream_stream_full_outer_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -539,6 +551,12 @@ def run_stream_stream_full_outer_join(
     State per side is bounded by rows within the watermark horizon,
     keyed and shuffled on user_id — the same symmetric-hash join state
     story as the inner and left-outer variants."""
+    return _run_stream_stream_outer(spark, sf_dir, "fullOuter")
+
+
+def _run_stream_stream_outer(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
     replay = chronological_replay_dir(sf_dir, n_files=4)
     clicks = (
         read_stream(spark, replay)
@@ -565,7 +583,7 @@ def run_stream_stream_full_outer_join(
         (clicks.c_user == purchases.p_user)
         & (purchases.p_ts >= clicks.c_ts)
         & (purchases.p_ts < clicks.c_ts + F.expr("INTERVAL 1 HOUR")),
-        "fullOuter",
+        how,
     ).select(
         F.coalesce("c_user", "p_user").alias("user_id"),
         "click_id",
