@@ -184,3 +184,64 @@ def q_udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n"),
         F.sum("wsum_cents").cast("long").alias("wsum_cents"),
     )
+
+
+@register(
+    "q_udf_map_in_arrow",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the ZERO-COPY Arrow-native whole-partition surface
+    (Spark 3.3+; the fourth Python execution mode next to pandas_udf /
+    applyInPandas / mapInPandas): the worker receives raw
+    ``pyarrow.RecordBatch``es and computes with ``pyarrow.compute``
+    kernels — no Arrow→pandas materialization, no index/copy overhead,
+    the cheapest possible Python row-touch. Same custom-partial-
+    aggregation contract as q_udf_map_in_pandas: one int64 partial row
+    per (batch, status), exact JVM combine over |batches| rows —
+    fixed-point cents keep the fold order-independent across batch
+    boundaries."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    def partial(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for b in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(b.column("o_totalprice"), 100)),
+                pa.int64(),
+            )
+            t = pa.table(
+                {"o_orderstatus": b.column("o_orderstatus"), "c": cents}
+            )
+            g = t.group_by("o_orderstatus").aggregate(
+                [("c", "count"), ("c", "sum")]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    g.column("o_orderstatus").combine_chunks(),
+                    pc.cast(g.column("c_count"), pa.int64()).combine_chunks(),
+                    g.column("c_sum").combine_chunks(),
+                ],
+                names=["o_orderstatus", "n", "c_sum"],
+            )
+
+    o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    partials = o.mapInArrow(
+        partial, "o_orderstatus string, n long, c_sum long"
+    )
+    return partials.groupBy("o_orderstatus").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("c_sum").cast("long").alias("sum_cents"),
+    )

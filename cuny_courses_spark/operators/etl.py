@@ -927,3 +927,66 @@ def q_etl_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         row.select(F.explode(cols).alias("s"))
         .select("s.column_name", "s.n_rows", "s.n_nulls", "s.ndv", "s.min_v", "s.max_v")
     )
+
+
+@register(
+    "q_etl_observe_metrics",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+            AS BIGINT) AS n_bad_status,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+           AS n_nonpositive
+FROM orders
+""",
+)
+def q_etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPELINE OBSERVABILITY via the Observation API (`df.observe`):
+    data-quality metrics — row count, out-of-domain statuses, nonpositive
+    amounts, exact cents total — are collected ON THE SAME PASS as the
+    pipeline's real work (here a per-customer distinct count), not by a
+    second scan. This is the production freshness/quality-gate pattern:
+    at 100 TB a dedicated metrics scan doubles the read bill, while
+    observed metrics ride the AccumulatorV2 channel for free with the
+    action that was running anyway. countDistinct is NOT observable
+    (observers must be commutative accumulator updates), so the
+    distinct count comes from the pipeline result itself — exactly the
+    division of labor the API enforces. All metrics are exact integers;
+    the emitted frame is the metrics row, hash-checked like any query."""
+    from pyspark.sql import Observation
+
+    o = load(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("F", "O", "P"), 1
+            ).otherwise(0)
+        ).alias("n_bad_status"),
+        F.sum(fp("o_totalprice")).alias("sum_cents"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("n_nonpositive"),
+    )
+    # the pipeline's real action: distinct customers (one job; metrics
+    # piggyback on it through the accumulator channel)
+    n_customers = observed.select("o_custkey").distinct().count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_bad_status"] or 0),
+                int(n_customers),
+                int(m["sum_cents"] or 0),
+                int(m["n_nonpositive"] or 0),
+            )
+        ],
+        "n_rows long, n_bad_status long, n_customers long,"
+        " sum_cents long, n_nonpositive long",
+    )
