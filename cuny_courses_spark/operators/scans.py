@@ -288,3 +288,72 @@ def q_scan_csv_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "q_scan_python_datasource_stream",
+    oracle="""
+WITH src AS (SELECT unnest(range(0, 1000)) AS id)
+SELECT id % 7 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(id * id) AS BIGINT) AS sum_sq,
+       CAST(4 AS BIGINT) AS n_data_batches
+FROM src GROUP BY bucket
+""",
+)
+def q_scan_python_datasource_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING custom connector via the Spark 4 Python Data Source API
+    (``DataSourceStreamReader``, sources/pyds.py): the seqgen feed is
+    consumed as a REAL micro-batched stream — offsets are row cursors,
+    ``latestOffset`` advances 250 rows per trigger (a paginated API /
+    shard-cursor source shape), each batch plans 4 InputPartitions so
+    consumption parallelizes exactly like the batch scan, and ``commit``
+    is the cursor-ack seam. The job runs under a processing-time trigger
+    until the bounded feed (n=1000) drains — exactly 4 data-carrying
+    micro-batches, pinned in the output — then the per-bucket aggregate
+    over the sink must match DuckDB's regeneration of the same rows.
+    A dropped batch, a re-read cursor range, or a partition-planning
+    overlap changes n/sum_sq and hash-fails."""
+    import time as _time
+    import uuid as _uuid
+
+    from cuny_courses_spark.sources.pyds import ensure_registered
+
+    ensure_registered(spark)
+    n = 1000
+    stream = (
+        spark.readStream.format("seqgen")
+        .option("n", n)
+        .option("batch_rows", 250)
+        .option("partitions", 4)
+        .load()
+    )
+    name = "pyds_sink_" + _uuid.uuid4().hex[:12]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline and spark.table(name).count() < n:
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    n_data_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return (
+        spark.table(name)
+        .groupBy((F.col("id") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("id") * F.col("id")).cast("long").alias("sum_sq"),
+        )
+        .withColumn("n_data_batches", F.lit(n_data_batches).cast("long"))
+    )

@@ -18,7 +18,12 @@ per task regardless of n.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _SeqPartition(InputPartition):
@@ -56,6 +61,9 @@ class SeqDataSource(DataSource):
     def reader(self, schema) -> _SeqReader:
         return _SeqReader(self.options)
 
+    def streamReader(self, schema) -> "_SeqStreamReader":
+        return _SeqStreamReader(self.options)
+
 
 _REGISTERED: set[int] = set()
 
@@ -66,3 +74,46 @@ def ensure_registered(spark) -> None:
     if key not in _REGISTERED:
         spark.dataSource.register(SeqDataSource)
         _REGISTERED.add(key)
+
+
+class _SeqStreamReader(DataSourceStreamReader):
+    """Streaming half of the connector (Spark 4
+    ``DataSourceStreamReader``): offsets are row positions; each
+    micro-batch covers [start.pos, end.pos), planned as up to ``p``
+    InputPartitions so the batch parallelizes across executors exactly
+    like the batch scan. ``latestOffset`` advances ``batch_rows`` per
+    call up to ``n`` — a bounded deterministic feed (a paginated API /
+    shard-cursor message source at 100 TB has this exact shape: offsets
+    = cursors, partitions = page ranges, ``commit`` = cursor ack)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.batch = int(options.get("batch_rows", "250"))
+        self.p = int(options.get("partitions", "4"))
+        self._pos = 0
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        self._pos = min(self._pos + self.batch, self.n)
+        return {"pos": self._pos}
+
+    def partitions(self, start, end):
+        s, e = int(start["pos"]), int(end["pos"])
+        if e <= s:
+            return [_SeqPartition(s, s)]
+        step = max(1, (e - s + self.p - 1) // self.p)
+        return [
+            _SeqPartition(i, min(i + step, e)) for i in range(s, e, step)
+        ]
+
+    def read(self, partition: _SeqPartition):
+        for i in range(partition.start, partition.end):
+            yield (i, i * i, f"row-{i}")
+
+    def commit(self, end):
+        pass  # cursor ack seam — nothing to release for a generator
+
+    def stop(self):
+        pass
