@@ -2220,8 +2220,16 @@ def expire_snapshots(
             )
             live.update(_referenced(bdoc))
     expired = candidates - live
+    # OWNERSHIP guard (r12, the Delta vacuum rule): only files under
+    # THIS table's root are ever unlinked. A shallow clone's manifests
+    # reference the source table's files by path — expiring a clone
+    # snapshot drops the REFERENCE (reported in ``expired``), but the
+    # bytes belong to the source and only the source's own vacuum may
+    # reclaim them.
+    table_real = os.path.realpath(table_dir) + os.sep
     for p in sorted(expired):
-        os.unlink(p)
+        if os.path.realpath(p).startswith(table_real):
+            os.unlink(p)
     # GC the manifest TREE's group files: any content-addressed
     # ``mg-*.json`` no longer referenced by a surviving version list —
     # expired versions' exclusive groups plus orphans from lost commit
@@ -5279,4 +5287,153 @@ def q_lake_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "st",
         F.col("_n").cast("long").alias("n_orders"),
         F.col("_s").cast("long").alias("sum_cents"),
+    )
+
+
+def shallow_clone(
+    src_dir: str, dst_dir: str, version: int | None = None
+) -> dict:
+    """SHALLOW CLONE (Delta's zero-copy table fork): publish ``dst_dir``
+    v1 whose manifest REFERENCES the source snapshot's data files by
+    path — zero data bytes copied, O(occupied buckets) metadata written
+    (the clone re-shards the file list into its own content-addressed
+    group files). Writes to the clone land under the CLONE's data dirs:
+    appends re-reference the source files untouched; a CoW merge
+    rewrites only its hot buckets into clone-local files, so the clone
+    diverges bucket-by-bucket while cold buckets keep pointing at the
+    source — the dev/test-fork and what-if-experiment verb at 100 TB.
+    The source is never written. CAVEAT (same as Delta): VACUUM on the
+    SOURCE does not know about clone references — expiring the cloned
+    source snapshot and vacuuming can delete files the clone still
+    lists (the clone's own vacuum is safe: its orphan sweep only globs
+    clone-local data dirs). Props record ``clone_of``/``clone_version``
+    for lineage."""
+    v = latest_version(src_dir) if version is None else version
+    doc = _read_manifest_doc(src_dir, v)
+    props = dict(doc.get("props") or {})
+    props["clone_of"] = os.path.realpath(src_dir)
+    props["clone_version"] = v
+    return commit_snapshot(
+        dst_dir,
+        1,
+        doc["files"],
+        stats=doc.get("stats"),
+        schema=doc.get("schema"),
+        dvs=doc.get("dvs"),
+        added={f: 1 for f in doc["files"]},
+        props=props,
+        meta={"op": "shallow_clone", "src": os.path.realpath(src_dir)},
+    )
+
+
+@register(
+    "q_lake_shallow_clone",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), app AS (
+    SELECT k + 7000000 AS k, cents FROM src WHERE k % 11 = 0
+), upd AS (
+    SELECT k, 3 * cents AS cents FROM src WHERE k % 131 = 0
+), clone_final AS (
+    SELECT s.k, coalesce(u.cents, s.cents) AS cents
+    FROM src s LEFT JOIN upd u USING (k)
+    UNION ALL SELECT k, cents FROM app
+), hot AS (
+    SELECT DISTINCT k % 16 AS b FROM upd
+)
+SELECT CAST(0 AS BIGINT) AS n_data_files_copied,
+       CAST(1 AS BIGINT) AS src_head,
+       CAST(3 AS BIGINT) AS clone_head,
+       CAST(16 - (SELECT count(*) FROM hot) AS BIGINT)
+           AS n_src_referenced_files,
+       (SELECT CAST(count(*) AS BIGINT) FROM src) AS src_rows,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM src) AS src_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM clone_final) AS clone_rows,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM clone_final) AS clone_cents
+""",
+)
+def q_lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY SHALLOW CLONE, diverged and proven: orders becomes a
+    16-bucket source table; a shallow clone publishes a second table
+    referencing every source file by path (zero data files copied —
+    pinned by counting parquet under the clone's data dirs); the clone
+    then takes an APPEND (new keys, clone-local files, source files
+    re-referenced) and a CoW MERGE (3× cents on k%131==0 — only the
+    hot buckets rewrite into clone-local files). Final state: the
+    clone's read diverges exactly as SQL says while the SOURCE is
+    bit-identical to its v1 (both aggregates emitted from reads, so a
+    clone write that leaked into the source, or a rewrite that lost a
+    cold-bucket source reference, hash-fails); the surviving
+    source-referenced file count equals 16 − |hot buckets| by the same
+    integer bucket arithmetic the oracle uses. VACUUM asymmetry is
+    documented on shallow_clone (the Delta caveat)."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    src_dir = _io_dir(sf_dir, "lake_clone_src")
+    dst_dir = _io_dir(sf_dir, "lake_clone_dst")
+    for d in (src_dir, dst_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+    )
+    snapshot_write(src, src_dir, key="k", version=1)
+    shallow_clone(src_dir, dst_dir)
+    n_copied = len(
+        glob.glob(os.path.join(dst_dir, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    append_snapshot(
+        dst_dir,
+        1,
+        src.filter(F.col("k") % 11 == 0).select(
+            (F.col("k") + 7_000_000).alias("k"), "cents"
+        ),
+        key="k",
+        batch_id=1,
+    )
+    merge_upsert(
+        spark,
+        dst_dir,
+        2,
+        src.filter(F.col("k") % 131 == 0).select(
+            "k", (F.col("cents") * 3).alias("cents")
+        ),
+        key="k",
+    )
+    src_real = os.path.realpath(src_dir)
+    clone_files = read_manifest(dst_dir, 3)
+    n_src_ref = sum(
+        1 for p in clone_files if os.path.realpath(p).startswith(src_real)
+    )
+    s_agg = (
+        snapshot_read(spark, src_dir, latest_version(src_dir))
+        .agg(F.count(F.lit(1)), F.sum("cents"))
+        .collect()[0]
+    )
+    c_agg = (
+        snapshot_read(spark, dst_dir, latest_version(dst_dir))
+        .agg(F.count(F.lit(1)), F.sum("cents"))
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_copied,
+                latest_version(src_dir),
+                latest_version(dst_dir),
+                n_src_ref,
+                s_agg[0],
+                s_agg[1] or 0,
+                c_agg[0],
+                c_agg[1] or 0,
+            )
+        ],
+        "n_data_files_copied long, src_head long, clone_head long,"
+        " n_src_referenced_files long, src_rows long, src_cents long,"
+        " clone_rows long, clone_cents long",
     )

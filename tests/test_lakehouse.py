@@ -1503,3 +1503,49 @@ def test_cdc_preimages_carry_old_values_and_are_opt_in(spark, tmp_path):
             for r in lh.snapshot_read(spark, table_dir, 2).collect()
         )
     )
+
+
+def test_shallow_clone_zero_copy_and_vacuum_safety(spark, tmp_path):
+    """A shallow clone copies zero data files; writes to the clone never
+    touch the source; and the CLONE's vacuum only ever deletes
+    clone-local files — a source file referenced by an expired clone
+    snapshot must survive (the orphan sweep is scoped to the clone's
+    own data dirs)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "csrc")
+    dst_dir = str(tmp_path / "cdst")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    src_files = lh.snapshot_write(base, src_dir, key="k", version=1)
+    rep = lh.shallow_clone(src_dir, dst_dir)
+    assert rep["version"] == 1
+    assert (
+        _glob.glob(dst_dir + "/data/**/*.parquet", recursive=True) == []
+    )
+    assert sorted(lh.read_manifest(dst_dir, 1)) == sorted(src_files)
+    # clone merge rewrites hot buckets clone-locally; source untouched
+    lh.merge_upsert(
+        spark,
+        dst_dir,
+        1,
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit(999).alias("v")
+        ),
+        key="k",
+    )
+    assert sorted(lh.read_manifest(src_dir, 1)) == sorted(src_files)
+    assert all(os.path.exists(p) for p in src_files)
+    # expire the clone's v1 (which references source files) and vacuum:
+    # only clone-local files may die; every source file survives
+    expired, live = lh.expire_snapshots(dst_dir, keep=[2])
+    assert all(os.path.exists(p) for p in src_files)
+    clone_state = {
+        (r["k"], r["v"])
+        for r in lh.snapshot_read(spark, dst_dir, 2).collect()
+    }
+    want = {(k, 999 if k < 10 else k * 7) for k in range(200)}
+    assert clone_state == want
