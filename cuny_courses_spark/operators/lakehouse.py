@@ -5437,3 +5437,113 @@ def q_lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_src_referenced_files long, src_rows long, src_cents long,"
         " clone_rows long, clone_cents long",
     )
+
+
+def restore_snapshot(table_dir: str, to_version: int) -> dict:
+    """RESTORE (Delta's ``RESTORE TABLE … TO VERSION``): roll the table
+    back to ``to_version``'s state as a NEW commit at head+1 — history
+    is never rewritten (the bad versions stay time-travelable for
+    forensics until vacuum expires them), readers move forward through
+    the same atomic publish as any write, and the restore itself is
+    pure metadata: the old version's file list is re-referenced by
+    content-hash group name, zero data moved. Props/schema/DVs restore
+    with it (they are part of the state being restored)."""
+    doc = _read_manifest_doc(table_dir, to_version)
+    head = latest_version(table_dir)
+    return commit_snapshot(
+        table_dir,
+        head + 1,
+        doc["files"],
+        stats=doc.get("stats"),
+        schema=doc.get("schema"),
+        dvs=doc.get("dvs"),
+        added=doc.get("added"),
+        props=doc.get("props"),
+        meta={"op": "restore", "restored_from": to_version},
+    )
+
+
+@register(
+    "q_lake_restore",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), bad AS (
+    SELECT k, 0 AS cents FROM src WHERE k % 13 = 0
+), v2 AS (
+    SELECT s.k, coalesce(b.cents, s.cents) AS cents
+    FROM src s LEFT JOIN bad b USING (k)
+), hot AS (
+    SELECT DISTINCT k % 16 AS b FROM bad
+)
+SELECT CAST(3 AS BIGINT) AS head_after,
+       CAST(0 AS BIGINT) AS restore_groups_written,
+       CAST(1 AS BIGINT) AS restore_meta_files,
+       (SELECT CAST(count(*) AS BIGINT) FROM src) AS n_rows_restored,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM src) AS cents_restored,
+       (SELECT CAST(count(*) AS BIGINT) FROM v2 WHERE cents = 0)
+           AS n_zeroed_at_v2,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM v2) AS cents_at_v2
+""",
+)
+def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE AS A FORWARD COMMIT, proven end-to-end: a bad deploy
+    zeroes every k%13 row's cents (a CoW merge — v2); RESTORE rolls the
+    table back to v1's exact state as v3 — ZERO group files written
+    (every v1 group re-referenced by content hash; pinned from the
+    commit report), one manifest list, no data moved. The head read
+    after restore must hash-match the original state, the bad version
+    stays time-travelable (its zeroed-row count and total are emitted
+    FROM a v2 read — forensics intact), and history is append-only
+    throughout (head lands at 3, never rewound). At 100 TB this is the
+    bad-pipeline-run undo: O(buckets) metadata, not an O(table)
+    rewrite, and auditors can still read what the bad run wrote."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_restore")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+    )
+    snapshot_write(src, table_dir, key="k", version=1)
+    merge_upsert(
+        spark,
+        table_dir,
+        1,
+        src.filter(F.col("k") % 13 == 0).select(
+            "k", F.lit(0).cast("long").alias("cents")
+        ),
+        key="k",
+    )
+    rep = restore_snapshot(table_dir, 1)
+    head = latest_version(table_dir)
+    restored = (
+        snapshot_read(spark, table_dir, head)
+        .agg(F.count(F.lit(1)), F.sum("cents"))
+        .collect()[0]
+    )
+    v2 = snapshot_read(spark, table_dir, 2)
+    v2_agg = v2.agg(
+        F.sum(F.when(F.col("cents") == 0, 1).otherwise(0)),
+        F.sum("cents"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                head,
+                rep["groups_written"],
+                rep["meta_files_written"],
+                restored[0],
+                restored[1] or 0,
+                int(v2_agg[0] or 0),
+                v2_agg[1] or 0,
+            )
+        ],
+        "head_after long, restore_groups_written long, restore_meta_files"
+        " long, n_rows_restored long, cents_restored long,"
+        " n_zeroed_at_v2 long, cents_at_v2 long",
+    )
