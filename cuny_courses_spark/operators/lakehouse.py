@@ -5547,3 +5547,159 @@ def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         " long, n_rows_restored long, cents_restored long,"
         " n_zeroed_at_v2 long, cents_at_v2 long",
     )
+
+
+def table_files(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Iceberg's ``table.files`` inspection surface: one row per data
+    file of a snapshot — bucket, footer-harvested row count and key
+    min/max, the version that added the file, and its pending-DV count
+    — built from MANIFEST METADATA ONLY (KB reads, no data scan). This
+    is what ops tooling sizes compactions, audits skew, and debugs
+    pruning with at 100 TB: a 10⁷-file listing is an O(occupied
+    buckets) metadata walk, never a table read."""
+    v = latest_version(table_dir) if version is None else version
+    doc = _read_manifest_doc(table_dir, v)
+    stats = doc.get("stats") or {}
+    rows = []
+    for p in doc["files"]:
+        st = stats.get(p) or {}
+        rows.append(
+            (
+                _bucket_of_path(p),
+                int(st.get("rows") or 0),
+                st.get("min"),
+                st.get("max"),
+                int((doc.get("added") or {}).get(p, 1)),
+                len(_applicable_dvs(doc, p)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "bucket long, n_rows long, k_min long, k_max long, added long,"
+        " n_dvs long",
+    )
+
+
+def table_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Iceberg's ``table.snapshots`` / Delta's DESCRIBE HISTORY: one row
+    per surviving version — file count, footer-stat row total, and the
+    commit operation — again pure manifest metadata."""
+    mdir = os.path.join(table_dir, "manifest")
+    out = []
+    for f in sorted(os.listdir(mdir)):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        v = int(f[1:-5])
+        doc = _read_manifest_doc(table_dir, v)
+        stats = doc.get("stats") or {}
+        out.append(
+            (
+                v,
+                len(doc["files"]),
+                int(
+                    sum(
+                        (stats.get(p) or {}).get("rows") or 0
+                        for p in doc["files"]
+                    )
+                ),
+                str((doc.get("meta") or {}).get("op", "write")),
+            )
+        )
+    return spark.createDataFrame(
+        out, "version long, n_files long, total_rows long, op string"
+    )
+
+
+@register(
+    "q_lake_metadata_tables",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k FROM orders
+), base AS (SELECT k FROM src WHERE k % 5 <> 0),
+app AS (SELECT k FROM src WHERE k % 5 = 0 AND k % 3 = 0),
+chg AS (SELECT k FROM src WHERE k % 97 = 0),
+hot AS (SELECT DISTINCT k % 16 AS b FROM chg),
+state AS (
+    SELECT k FROM base UNION SELECT k FROM app UNION SELECT k FROM chg
+), hot_files AS (
+    SELECT k % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max,
+           CAST(3 AS BIGINT) AS added
+    FROM state WHERE k % 16 IN (SELECT b FROM hot) GROUP BY bucket
+), cold_base AS (
+    SELECT k % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max,
+           CAST(1 AS BIGINT) AS added
+    FROM base WHERE k % 16 NOT IN (SELECT b FROM hot) GROUP BY bucket
+), cold_app AS (
+    SELECT k % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max,
+           CAST(2 AS BIGINT) AS added
+    FROM app WHERE k % 16 NOT IN (SELECT b FROM hot) GROUP BY bucket
+), files AS (
+    SELECT * FROM hot_files UNION ALL SELECT * FROM cold_base
+    UNION ALL SELECT * FROM cold_app
+)
+SELECT bucket, n_rows, k_min, k_max, added,
+       CAST(0 AS BIGINT) AS n_dvs,
+       CAST(3 AS BIGINT) AS n_versions,
+       (SELECT CAST(count(*) AS BIGINT) FROM state) AS head_total_rows
+FROM files
+""",
+)
+def q_lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA INSPECTION TABLES (Iceberg ``table.files`` /
+    ``table.snapshots``, Delta DESCRIBE HISTORY): after a write → append
+    → CoW merge history, the HEAD file listing — bucket, footer row
+    count, key min/max, adding version, pending-DV count per file — is
+    produced from manifest metadata alone (zero data scanned; the plan
+    under this query reads only KB JSON), joined with the snapshot
+    count and the head's footer-stat row total from ``table_snapshots``.
+    The oracle recomputes every file's expected (rows, min, max, added)
+    from pure bucket arithmetic: hot buckets collapse to one v3 file
+    holding the merged state, cold buckets keep their v1 base file and
+    (where the append landed rows) a v2 file — so a stats harvest that
+    drifted from the data, a wrong added-version, or a phantom/missing
+    file hash-fails. At 100 TB this is the ops surface: sizing
+    compaction, auditing skew, debugging pruning — all at metadata
+    cost."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_meta_tables")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+    )
+    snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
+    append_snapshot(
+        table_dir,
+        1,
+        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
+        key="k",
+        batch_id=1,
+    )
+    merge_upsert(
+        spark,
+        table_dir,
+        2,
+        src.filter(F.col("k") % 97 == 0).select(
+            "k", (F.col("cents") * 2).alias("cents")
+        ),
+        key="k",
+    )
+    snaps = table_snapshots(spark, table_dir)
+    n_versions = snaps.count()
+    head_rows = (
+        snaps.orderBy(F.col("version").desc())
+        .limit(1)
+        .collect()[0]["total_rows"]
+    )
+    return (
+        table_files(spark, table_dir)
+        .withColumn("n_versions", F.lit(n_versions).cast("long"))
+        .withColumn("head_total_rows", F.lit(head_rows).cast("long"))
+    )
