@@ -104,3 +104,49 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.subtract(s)  # EXCEPT (distinct) — not exceptAll, which is a bag op
+
+
+@register(
+    "q_set_multiset_ops",
+    oracle="""
+WITH c AS (SELECT c_nationkey % 7 AS g FROM customer),
+s AS (SELECT s_nationkey % 7 AS g FROM supplier),
+ia AS (SELECT g FROM c INTERSECT ALL SELECT g FROM s),
+ea AS (SELECT g FROM c EXCEPT ALL SELECT g FROM s)
+SELECT 'intersect_all' AS op, g, CAST(count(*) AS BIGINT) AS n
+FROM ia GROUP BY g
+UNION ALL
+SELECT 'except_all' AS op, g, CAST(count(*) AS BIGINT) AS n
+FROM ea GROUP BY g
+""",
+)
+def q_set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — ``intersectAll`` / ``exceptAll`` (SQL's
+    INTERSECT ALL / EXCEPT ALL bag semantics, the half of the G group
+    the distinct variants can't express): per duplicate-carrying group
+    key, INTERSECT ALL keeps min(count_left, count_right) copies and
+    EXCEPT ALL keeps max(0, count_left − count_right). Spark plans both
+    as a single aggregate-join (count per side → per-row replication),
+    which is exactly the 100 TB-safe formulation — multiplicity math on
+    aggregated counts, never a row-at-a-time bag diff. Output is the
+    per-key multiplicity of both results (a tagged union), so a
+    single lost or extra duplicate hash-fails."""
+    c = load(spark, sf_dir, "customer").select(
+        (F.col("c_nationkey") % 7).alias("g")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        (F.col("s_nationkey") % 7).alias("g")
+    )
+    ia = (
+        c.intersectAll(s)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return ia.unionByName(ea).select("op", "g", "n")
