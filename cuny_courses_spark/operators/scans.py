@@ -315,7 +315,23 @@ def q_scan_python_datasource_stream(
     micro-batches, pinned in the output — then the per-bucket aggregate
     over the sink must match DuckDB's regeneration of the same rows.
     A dropped batch, a re-read cursor range, or a partition-planning
-    overlap changes n/sum_sq and hash-fails."""
+    overlap changes n/sum_sq and hash-fails.
+
+    Batch counting (r13, per ADVICE): ``n_data_batches`` is derived from
+    the checkpoint's OFFSETS LOG, not ``recentProgress`` — progress
+    entries are appended at trigger END, so a stop() right after the
+    sink shows row n could race the final batch's progress record, and
+    a 0-second trigger's idle entries could in principle push data
+    batches out of the ~100-entry recentProgress ring. The offsets log
+    has neither problem: batch i's offset file is written BEFORE the
+    batch executes (so it exists whenever the sink shows the rows), one
+    file per constructed batch, and a batch advanced the cursor iff its
+    ``pos`` exceeds the previous file's."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
     import time as _time
     import uuid as _uuid
 
@@ -331,10 +347,12 @@ def q_scan_python_datasource_stream(
         .load()
     )
     name = "pyds_sink_" + _uuid.uuid4().hex[:12]
+    ckpt = _tempfile.mkdtemp(prefix="pyds_ckpt_")
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
+        .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
         .start()
     )
@@ -345,9 +363,29 @@ def q_scan_python_datasource_stream(
     finally:
         q.stop()
         q.awaitTermination()
-    n_data_batches = sum(
-        1 for p in q.recentProgress if p["numInputRows"] > 0
+    # One offsets file per constructed micro-batch, named by batch id;
+    # the last line is the source's offset JSON ({"pos": N} for seqgen).
+    # Data batches = files whose cursor advanced past the previous one.
+    n_data_batches, prev_pos = 0, 0
+    offset_files = sorted(
+        (
+            f
+            for f in _glob.glob(_os.path.join(ckpt, "offsets", "*"))
+            if _os.path.basename(f).isdigit()
+        ),
+        key=lambda f: int(_os.path.basename(f)),
     )
+    for f in offset_files:
+        with open(f) as fh:
+            last = [ln for ln in fh.read().splitlines() if ln.strip()][-1]
+        off = _json.loads(last)
+        if isinstance(off, str):  # some wrappers double-encode the dict
+            off = _json.loads(off)
+        pos = int(off["pos"])
+        if pos > prev_pos:
+            n_data_batches += 1
+        prev_pos = pos
+    _shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.table(name)
         .groupBy((F.col("id") % 7).alias("bucket"))

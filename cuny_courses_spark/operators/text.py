@@ -35,6 +35,18 @@ from cuny_courses_spark.sources.loaders import load
 _TEXT_BCAST_ROWS = 4_000_000
 
 
+# Persisted side-table handles, most recent last. A long session (the full
+# 247-query sweep) would otherwise accumulate one cached aggregate per
+# text-query plan build and rely solely on LRU eviction (r12 ADVICE).
+# Keeping the K most recent covers every live plan — a side must stay
+# cached from plan build until the consuming action, and the sweep runs
+# queries sequentially, so by the time a handle is K builds old its action
+# has long completed. Eviction is async (blocking=False): worst case a
+# late re-action recomputes the side, never wrong results.
+_PERSISTED_SIDES: list[DataFrame] = []
+_PERSISTED_KEEP = 4
+
+
 def _bcast_if_small(side: DataFrame) -> DataFrame:
     """Broadcast ``side`` when its row count fits the gate — with the side
     PERSISTED first (r12): ``side`` here is always a derived aggregate
@@ -43,10 +55,18 @@ def _bcast_if_small(side: DataFrame) -> DataFrame:
     broadcast build (or the shuffle) — measured 3 corpus passes instead
     of 1 on q_text_rarity_score at the ×100 sweep point. MEMORY_AND_DISK
     keeps the decision safe when the side is huge (spills, and the
-    shuffle-join fallback reads the cache); entries are LRU-evicted by
-    Spark under pressure, and the plan cache makes the persist+count a
-    once-per-plan cost."""
+    shuffle-join fallback reads the cache); the plan cache makes the
+    persist+count a once-per-plan cost. Handles are tracked in
+    ``_PERSISTED_SIDES`` and released once they age out of the recent-K
+    window (r13, per ADVICE) instead of leaking for the session."""
     side = side.persist(StorageLevel.MEMORY_AND_DISK)
+    while len(_PERSISTED_SIDES) >= _PERSISTED_KEEP:
+        old = _PERSISTED_SIDES.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session gone / already unpersisted — nothing to release
+    _PERSISTED_SIDES.append(side)
     return F.broadcast(side) if side.count() <= _TEXT_BCAST_ROWS else side
 
 def _toks() -> "F.Column":

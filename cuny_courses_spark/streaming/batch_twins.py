@@ -124,7 +124,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle="""
 WITH marked AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      >= INTERVAL 30 MINUTE
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -132,7 +132,7 @@ WITH marked AS (
     FROM events
 ), sess AS (
     SELECT user_id, ts,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sess_id
     FROM marked
 )
@@ -450,7 +450,7 @@ def q_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session_timeout",
     oracle="""
 WITH marked AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      >= INTERVAL 30 MINUTE
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -458,7 +458,7 @@ WITH marked AS (
     FROM events
 ), sess AS (
     SELECT user_id, ts,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sess_id
     FROM marked
 ), s AS (
