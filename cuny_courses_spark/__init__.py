@@ -39,10 +39,11 @@ try:  # pragma: no cover - trivially absent only on exotic pyspark builds
     from cuny_courses_spark.functions import multimodal as _mm
     from cuny_courses_spark.functions import udfs as _udfs
     from cuny_courses_spark.operators import similarity as _sim
+    from cuny_courses_spark.sources import lakefeed as _lakefeed
     from cuny_courses_spark.sources import pyds as _pyds
     from cuny_courses_spark.streaming import batch_twins as _bt
 
-    for _m in (_sim, _udfs, _mm, _bt, _pyds):
+    for _m in (_sim, _udfs, _mm, _bt, _pyds, _lakefeed):
         _cp.register_pickle_by_value(_m)
 except Exception:
     pass

@@ -5915,3 +5915,203 @@ def q_lake_clone_protected_vacuum(
         " src_cents long, n_superseded_files long, n_protected_alive long,"
         " n_reclaimed_after_drop long, src_head long",
     )
+
+
+@register(
+    "q_lake_stream_cdc_feed",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders
+), base AS (SELECT * FROM src WHERE k % 5 <> 0),
+app AS (SELECT * FROM src WHERE k % 5 = 0 AND k % 3 = 0),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+upd AS (
+    SELECT k, 2 * cents AS cents, 'X' AS st
+    FROM src WHERE k % 97 = 0 AND k % 89 <> 0
+), delk AS (SELECT k FROM src WHERE k % 89 = 0),
+v3 AS (
+    SELECT * FROM v2
+    WHERE k NOT IN (SELECT k FROM upd) AND k NOT IN (SELECT k FROM delk)
+    UNION ALL SELECT * FROM upd
+), v4 AS (SELECT * FROM v3 WHERE k % 101 <> 5)
+SELECT (SELECT count(*) FROM v4) AS n_rows_final,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM v4)
+           AS sum_cents_final,
+       (SELECT count(*) FROM base)
+           + (SELECT count(*) FROM app)
+           + (SELECT count(*) FROM upd
+              WHERE k NOT IN (SELECT k FROM v2)) AS n_feed_inserts,
+       (SELECT count(*) FROM upd WHERE k IN (SELECT k FROM v2))
+           AS n_feed_updates,
+       (SELECT count(*) FROM delk WHERE k IN (SELECT k FROM v2))
+           + (SELECT count(*) FROM v3 WHERE k % 101 = 5)
+           AS n_feed_deletes,
+       CAST(4 AS BIGINT) AS n_data_batches
+""",
+)
+def q_lake_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE LAKEHOUSE AS A REAL ``readStream`` SOURCE (r12 verdict
+    missing #3 — composes r12's ``DataSourceStreamReader`` mechanism
+    with ``incremental_diff``'s semantics; the batch-loop twin is
+    `q_lake_stream_source`): the same 4-commit history — v1 write, v2
+    append, v3 CoW merge (updates+deletes), v4 MERGE-ON-READ delete
+    (the DV-ONLY commit: file list unchanged, applicable-DV signatures
+    changed) — is consumed by Spark's micro-batch engine through the
+    ``lakefeed`` Python data source (sources/lakefeed.py): offsets are
+    snapshot VERSIONS advancing one commit per trigger, each batch's
+    InputPartitions are the commit's CHANGED BUCKETS (both sides'
+    file+DV lists — the keyed diff is partition-local because the
+    layout hash-buckets the key), and Spark's checkpoint offsets log is
+    the exactly-once cursor. The memory sink accumulates the full CDC
+    history; the final keyed state is REBUILT from the sink alone
+    (per-key latest commit wins, deletes drop) — a dropped batch, a
+    re-played version, a DV-only commit the signature diff missed, or a
+    wrong preimage/postimage all shift the reconstructed aggregate or
+    the feed-type totals and hash-FAIL. ``n_data_batches`` = 4 is
+    derived from the checkpoint OFFSETS LOG (the r13 race-free pattern:
+    offset files are written before batch execution), pinning
+    one-commit-per-trigger."""
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    from cuny_courses_spark.operators.scans import _io_dir
+    from cuny_courses_spark.sources.lakefeed import ensure_registered
+
+    table_dir = _io_dir(sf_dir, "lake_stream_cdc")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
+    append_snapshot(
+        table_dir,
+        1,
+        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
+        key="k",
+        batch_id=1,
+    )
+    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
+        "k",
+        (F.col("cents") * 2).alias("cents"),
+        F.lit("X").alias("st"),
+        F.lit(False).alias("_del"),
+    )
+    dels = src.filter(F.col("k") % 89 == 0).select(
+        "k",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("string").alias("st"),
+        F.lit(True).alias("_del"),
+    )
+    merge_upsert(
+        spark, table_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
+    )
+    delete_merge_on_read(
+        spark, table_dir, 3, src.filter(F.col("k") % 101 == 5), key="k"
+    )
+    head = latest_version(table_dir)  # 4
+
+    # ---- the REAL stream: one commit per trigger into a memory sink
+    ensure_registered(spark)
+    feed = (
+        spark.readStream.format("lakefeed")
+        .option("table_dir", table_dir)
+        .option("key", "k")
+        .load()
+    )
+    name = "cdc_sink_" + _uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="lakefeed_ckpt_")
+
+    def _head_committed() -> bool:
+        odir = os.path.join(ckpt, "offsets")
+        cdir = os.path.join(ckpt, "commits")
+        if not (os.path.isdir(odir) and os.path.isdir(cdir)):
+            return False
+        for f in os.listdir(odir):
+            if not f.isdigit():
+                continue
+            with open(os.path.join(odir, f)) as fh:
+                lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+            off = json.loads(lines[-1])
+            if isinstance(off, str):
+                off = json.loads(off)
+            if int(off.get("version", -1)) == head and os.path.exists(
+                os.path.join(cdir, f)
+            ):
+                return True
+        return False
+
+    q = (
+        feed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline and not _head_committed():
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    n_data_batches, prev_v = 0, 0
+    odir = os.path.join(ckpt, "offsets")
+    for f in sorted(
+        (f for f in os.listdir(odir) if f.isdigit()), key=int
+    ):
+        with open(os.path.join(odir, f)) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        off = json.loads(lines[-1])
+        if isinstance(off, str):
+            off = json.loads(off)
+        v = int(off.get("version", 0))
+        if v > prev_v:
+            n_data_batches += 1
+        prev_v = v
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # ---- rebuild the head state from the SINK alone (exactly-once
+    # proof): per key, the latest commit's row wins; deletes drop.
+    sink = spark.table(name)
+    sink = sink.persist(StorageLevel.MEMORY_AND_DISK)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in sink.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from pyspark.sql import Window as W
+
+    wlast = W.partitionBy("k").orderBy(F.col("_commit_version").desc())
+    live = (
+        sink.withColumn("_rn", F.row_number().over(wlast))
+        .filter((F.col("_rn") == 1) & (F.col("_change_type") != "delete"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
+    )
+    sink.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(live["n"]),
+                int(live["s"]),
+                int(by_type.get("insert", 0)),
+                int(by_type.get("update_postimage", 0)),
+                int(by_type.get("delete", 0)),
+                int(n_data_batches),
+            )
+        ],
+        "n_rows_final long, sum_cents_final long, n_feed_inserts long,"
+        " n_feed_updates long, n_feed_deletes long, n_data_batches long",
+    )

@@ -1631,3 +1631,39 @@ def test_vacuum_protects_chained_clone(spark, tmp_path):
     # reads fine here because nothing was vacuumed while B lived.
     n_c = lh.snapshot_read(spark, c).count()
     assert n_c == base.count()  # v1 state (v1's manifest itself expired)
+
+
+def test_lakefeed_reader_surfaces_dv_only_commit(spark, tmp_path):
+    """r13 lakefeed: a merge-on-read delete changes NO file paths — the
+    stream reader's signature diff must still plan the touched buckets
+    and emit exactly the deleted keys, with OLD values carried."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources import lakefeed as lf
+    from cuny_courses_spark.sources.loaders import load
+
+    table_dir = str(tmp_path / "lake")
+    o = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    lh.snapshot_write(o, table_dir, key="k", version=1)
+    del_keys = {
+        r["k"] for r in o.filter(F.col("k") % 101 == 5).collect()
+    }
+    lh.delete_merge_on_read(
+        spark, table_dir, 1, o.filter(F.col("k") % 101 == 5), key="k"
+    )
+    rdr = lf._LakeFeedStreamReader(
+        {"table_dir": table_dir, "key": "k"}, ["k", "st"]
+    )
+    parts = rdr.partitions({"version": 1}, {"version": 2})
+    rows = [r for p in parts for r in rdr.read(p)]
+    assert {r[0] for r in rows} == del_keys
+    assert all(r[2] == "delete" and r[3] == 2 for r in rows)
+    # old values carried: statuses match the v1 read
+    exp = {
+        (r["k"], r["st"])
+        for r in o.filter(F.col("k") % 101 == 5).collect()
+    }
+    assert {(r[0], r[1]) for r in rows} == exp
