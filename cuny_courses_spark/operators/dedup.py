@@ -1077,32 +1077,29 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 5  # gram width: ≥5-token repeats are structure, not vocabulary
 
 
-def substring_span_per_doc(toks: DataFrame, k: int) -> DataFrame:
-    """Per-doc maximal duplicated-span stats over ``toks`` (doc_id,
-    t: array<string>): position p is duplicated when the k-gram at p
-    occurs in ≥2 distinct docs; consecutive duplicated positions merge
-    (gaps-and-islands) into maximal spans of run + k − 1 tokens.
-    Returns (doc_id, n_spans, dup_tokens) for affected docs only —
-    the distributed core of q_dedup_substring_spans, factored out so
-    the hypothesis property test can drive it on arbitrary corpora."""
-    from pyspark.sql import Window
-
+def gram_postings(toks: DataFrame, k: int) -> DataFrame:
+    """k-gram POSTINGS (doc_id, pos, g) over ``toks`` (doc_id, t:
+    array<string>) — the slice-zip gram form (one split, whole-stage-
+    friendly). Factored out (r13) so the incremental span-dedup path
+    can gram a micro-batch with EXACTLY the builder the persisted
+    postings index was built with — determinism across sessions is the
+    soundness condition, same as minhash_band_rows' fixed seeds."""
     m = F.greatest(F.size("t") - (k - 1), F.lit(0))
     z = F.arrays_zip(*[F.slice("t", 1 + j, m) for j in range(k)])
     gram_arr = F.transform(
         z, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
     )
-    grams = (
-        toks.select("doc_id", gram_arr.alias("ga"))
-        .select("doc_id", F.posexplode("ga").alias("pos", "g"))
+    return toks.select("doc_id", gram_arr.alias("ga")).select(
+        "doc_id", F.posexplode("ga").alias("pos", "g")
     )
-    dupg = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("g")
-    )
-    dpos = grams.join(dupg.hint("shuffle_hash"), "g").select("doc_id", "pos")
+
+
+def span_stats_from_positions(dpos: DataFrame, k: int) -> DataFrame:
+    """Per-doc (n_spans, dup_tokens) from duplicated gram-start
+    positions (doc_id, pos): gaps-and-islands merge of consecutive
+    starts; a run of r starts covers r + k − 1 tokens."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         dpos.withColumn("grp", F.col("pos") - F.row_number().over(w))
@@ -1113,6 +1110,25 @@ def substring_span_per_doc(toks: DataFrame, k: int) -> DataFrame:
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("b") - F.col("a") + k).cast("long").alias("dup_tokens"),
     )
+
+
+def substring_span_per_doc(toks: DataFrame, k: int) -> DataFrame:
+    """Per-doc maximal duplicated-span stats over ``toks`` (doc_id,
+    t: array<string>): position p is duplicated when the k-gram at p
+    occurs in ≥2 distinct docs; consecutive duplicated positions merge
+    (gaps-and-islands) into maximal spans of run + k − 1 tokens.
+    Returns (doc_id, n_spans, dup_tokens) for affected docs only —
+    the distributed core of q_dedup_substring_spans, factored out so
+    the hypothesis property test can drive it on arbitrary corpora."""
+    grams = gram_postings(toks, k)
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dpos = grams.join(dupg.hint("shuffle_hash"), "g").select("doc_id", "pos")
+    return span_stats_from_positions(dpos, k)
 
 
 @register(

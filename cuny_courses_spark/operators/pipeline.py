@@ -964,3 +964,150 @@ def q_pipeline_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         out_schema,
     )
+
+
+@register(
+    "q_pipeline_incremental_spans",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4] AS g
+    FROM toks, UNNEST(range(1, len(t) - 5 + 2)) AS u(i)
+),
+dupg AS (
+    SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+dpos AS (
+    SELECT gr.doc_id, gr.pos FROM grams gr JOIN dupg USING (g)
+    WHERE gr.doc_id % 10 = 0
+),
+isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dpos
+),
+spans AS (
+    SELECT doc_id, grp, min(pos) AS a, max(pos) AS b
+    FROM isl GROUP BY doc_id, grp
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(b - a + 5) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+),
+idx AS (
+    SELECT CAST(COALESCE(sum(greatest(len(t) - 4, 0)), 0) AS BIGINT) AS n
+    FROM toks WHERE doc_id % 10 <> 0
+)
+SELECT p.doc_id, p.n_spans, p.dup_tokens,
+       idx.n AS n_index_rows_v1,
+       CAST(2 AS BIGINT) AS index_version,
+       TRUE AS replay_skipped
+FROM per_doc p CROSS JOIN idx
+""",
+)
+def q_pipeline_incremental_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL SUBSTRING-SPAN DEDUP against a PERSISTED POSTINGS
+    INDEX (r12 verdict missing #5 — the ExactSubstr leg of the
+    persisted-index family, next to `q_pipeline_incremental_dedup`'s
+    MinHash leg): the corpus's 5-gram postings (gh=xxhash64(g), g,
+    doc_id, pos) are built ONCE with the exact gram builder the batch
+    will use (`gram_postings` — cross-session determinism is the
+    soundness condition) and committed as a lakehouse table keyed on
+    the GRAM HASH (probe-bucket co-location: a probe gram's postings
+    live in one bucket). A micro-batch (doc_id % 10 == 0) then grams
+    ITSELF ONLY — O(batch) work — and its duplicated positions are the
+    union of (a) index probes: batch grams semi-joined against the
+    stored postings (corpus/batch doc ids are disjoint, so any hit is
+    cross-doc), and (b) within-batch cross-doc grams (the same ≥2
+    distinct-docs rule on the batch alone). Gaps-and-islands merges
+    positions into maximal spans per batch doc. The batch's own
+    postings append to the index exactly-once (batch-id-tagged commit,
+    replay proven idempotent) so the NEXT batch probes them too.
+
+    The oracle is the FULL RECOMPUTE: spans of batch docs over the
+    whole corpus∪batch gram table — the incremental result must equal
+    it row-for-row (hash), which is exactly the claim that probing
+    stored postings + within-batch marking loses nothing vs re-gramming
+    the world. At 100 TB the full recompute re-shuffles O(corpus)
+    grams per arriving batch; the incremental path shuffles O(batch)
+    grams and reads only probed index buckets. n_index_rows_v1 (= every
+    corpus gram occurrence, recomputed by the oracle from token
+    lengths), index_version=2 and replay_skipped pin the protocol."""
+    from cuny_courses_spark.operators.dedup import (
+        _SPAN_K,
+        gram_postings,
+        span_stats_from_positions,
+    )
+    from cuny_courses_spark.operators.lakehouse import (
+        append_snapshot,
+        latest_version,
+        snapshot_read,
+        snapshot_write,
+    )
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    import os
+    import shutil
+
+    table_dir = _io_dir(sf_dir, "lake_gram_postings")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    corpus = toks.filter(F.col("doc_id") % 10 != 0)
+    batch = toks.filter(F.col("doc_id") % 10 == 0)
+
+    def post(df: DataFrame) -> DataFrame:
+        return gram_postings(df, _SPAN_K).select(
+            F.xxhash64("g").alias("gh"), "g", "doc_id", "pos"
+        )
+
+    # ---- build phase: one corpus pass, postings land bucketed by gh
+    snapshot_write(post(corpus), table_dir, key="gh", version=1)
+    n_index_rows = snapshot_read(spark, table_dir, 1).count()
+
+    # ---- incremental phase: gram the BATCH only, probe stored postings
+    from pyspark.storagelevel import StorageLevel
+
+    bg = post(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    index = snapshot_read(spark, table_dir, 1)
+    hits = bg.join(
+        index.select("gh", "g"), ["gh", "g"], "left_semi"
+    ).select("doc_id", "pos")
+    wb_grams = (
+        bg.groupBy("gh", "g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh", "g")
+    )
+    wb = bg.join(wb_grams, ["gh", "g"], "left_semi").select("doc_id", "pos")
+    dup_pos = hits.union(wb).distinct()
+    per_doc = span_stats_from_positions(dup_pos, _SPAN_K)
+
+    # ---- grow the index exactly-once; replay proves idempotence
+    _, committed = append_snapshot(
+        table_dir, 1, post(batch), key="gh", batch_id=1
+    )
+    _, replayed = append_snapshot(
+        table_dir, 1, post(batch), key="gh", batch_id=1
+    )
+    bg.unpersist()
+    return (
+        per_doc.select("doc_id", "n_spans", "dup_tokens")
+        .withColumn("n_index_rows_v1", F.lit(n_index_rows).cast("long"))
+        .withColumn(
+            "index_version",
+            F.lit(latest_version(table_dir)).cast("long"),
+        )
+        .withColumn(
+            "replay_skipped", F.lit(bool(committed and not replayed))
+        )
+    )
