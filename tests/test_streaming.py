@@ -517,3 +517,36 @@ def test_stream_stream_full_outer_both_null_sets(spark):
     assert int(got["purchase_id"].isna().sum()) > 0, "no unmatched clicks"
     assert int(got["click_id"].isna().sum()) > 0, "no unmatched purchases"
     assert _frames_equal(got, want)
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas's state client needs google.protobuf"
+    " (absent in this container; installs pinned off)",
+)
+def test_session_timeout_tws_equals_apply_in_pandas_twin(spark):
+    """r13: the transformWithStateInPandas port must emit exactly the
+    applyInPandasWithState twin's rows (same replay, same semantics)."""
+    from cuny_courses_spark.registry import queries
+    from cuny_courses_spark.streaming.batch_twins import (
+        stream_session_timeout_tws,
+    )
+    from tests.conftest import SF_DIR
+
+    ref = sorted(
+        tuple(r)
+        for r in queries()["q_stream_session_timeout"](spark, SF_DIR).collect()
+    )
+    tws = sorted(
+        tuple(r) for r in stream_session_timeout_tws(spark, SF_DIR).collect()
+    )
+    assert tws == ref
