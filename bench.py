@@ -1338,7 +1338,16 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         heavy = factor >= 100 and name in (
                             DOC_EXT + GRAPH_EXT
                         )
-                        max_laps = op_laps + (3 if heavy else 0)
+                        # r13 (r12 verdict wrong #2): pagerank's r12 lap
+                        # spread [22-41 s] dated the recorded best —
+                        # restore the best-two-within-5% rule for it
+                        # with a larger extra-lap budget, so the artifact
+                        # records a best that REPRODUCED at 5%, not a
+                        # one-off. The 15% gate stays for the rest of
+                        # the heavy set (their laps converge already).
+                        tol = 1.05 if name == "q_graph_pagerank" else 1.15
+                        extra = 5 if name == "q_graph_pagerank" else 3
+                        max_laps = op_laps + (extra if heavy else 0)
                         done_laps = 0
                         while done_laps < max_laps:
                             # python gc FIRST (r10, r9 weak #1): py4j
@@ -1379,7 +1388,7 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                                 best_t = min(lap_times)
                                 close = sum(
                                     1 for t in lap_times
-                                    if t <= 1.15 * best_t
+                                    if t <= tol * best_t
                                 )
                                 if close >= 2 or (
                                     time.perf_counter() - t_start > budget
@@ -1415,6 +1424,12 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         # reads as (dispatch floor + real work), not as
                         # a plan defect. idf_top_terms 4.66× at ×100 is
                         # 0.72 s wall of which ~0.4-0.6 s is dispatch.
+                        # r13 (r12 verdict #6): the TPC-H band gets the
+                        # same attribution — q5/q18/q21 swung 20-45%
+                        # round-over-round on unchanged plans; jobs ×
+                        # empty_job_sec separates the dispatch floor
+                        # from real work so a regression is attributable
+                        # in-artifact instead of by box-noise appeal.
                         if (
                             name
                             in (
@@ -1424,8 +1439,8 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                                 "q_text_contamination",
                                 "q_text_rarity_score",
                             )
-                            and factor >= 100
-                        ):
+                            or name in TPCH_EXT
+                        ) and factor >= 100:
                             before_j = set(tracker.getJobIdsForGroup())
                             fn(spark, d).toPandas()
                             njobs = len(

@@ -6115,3 +6115,215 @@ def q_lake_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_final long, sum_cents_final long, n_feed_inserts long,"
         " n_feed_updates long, n_feed_deletes long, n_data_batches long",
     )
+
+
+@register(
+    "q_lake_stream_replicate",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders
+), base AS (SELECT * FROM src WHERE k % 5 <> 0),
+app AS (SELECT * FROM src WHERE k % 5 = 0 AND k % 3 = 0),
+v2 AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+upd AS (
+    SELECT k, 2 * cents AS cents, 'X' AS st
+    FROM src WHERE k % 97 = 0 AND k % 89 <> 0
+), delk AS (SELECT k FROM src WHERE k % 89 = 0),
+v3 AS (
+    SELECT * FROM v2
+    WHERE k NOT IN (SELECT k FROM upd) AND k NOT IN (SELECT k FROM delk)
+    UNION ALL SELECT * FROM upd
+), v4 AS (SELECT * FROM v3 WHERE k % 101 <> 5)
+SELECT (SELECT count(*) FROM v4) AS n_rows_final,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM v4)
+           AS sum_cents_final,
+       (SELECT count(*) FROM v4 WHERE st = 'X') AS n_x_final,
+       CAST(4 AS BIGINT) AS n_replica_versions,
+       TRUE AS replay_skipped
+""",
+)
+def q_lake_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC REPLICATION, source to replica end-to-end (r13 —
+    closes the loop the r12/r13 streaming pieces opened): the 4-commit
+    source history (write / append / CoW merge / DV-only MoR delete) is
+    consumed through the `lakefeed` ``readStream`` source and applied
+    by ``foreachBatch`` into a SECOND lakehouse table — the
+    Delta-to-Delta replication / downstream-mirror verb. Each
+    micro-batch (one source commit) becomes one replica commit: the
+    initial load is a plain bucketed write; every later feed applies as
+    a CoW ``merge_upsert`` with its delete rows routed through
+    ``delete_col`` — so the replica's history has the same shape as the
+    source's logical history even though the source's v4 was a DV-only
+    commit (replication normalizes MoR into CoW, exactly what a
+    downstream consumer without DV support needs). EXACTLY-ONCE at the
+    sink: the idempotent-foreachBatch recipe — a marker records the
+    highest applied SOURCE version; a redelivered batch (simulated by
+    re-applying the final batch after the stream drains) is skipped
+    with the replica head provably untouched (``replay_skipped``).
+    Batches can carry multiple source versions after a restart, so the
+    applier replays versions in ascending order within a batch. The
+    final REPLICA read must hash-match the source's head state
+    recomputed logically by the oracle — a dropped change, a
+    double-applied batch, or a mis-normalized DV delete all diverge.
+    At 100 TB: per-trigger work is O(changed buckets) on both sides
+    (feed read + hot-bucket merge), never a table copy."""
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    from cuny_courses_spark.operators.scans import _io_dir
+    from cuny_courses_spark.sources.lakefeed import ensure_registered
+
+    src_dir = _io_dir(sf_dir, "lake_repl_src")
+    rep_dir = _io_dir(sf_dir, "lake_repl_dst")
+    for d in (src_dir, rep_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    snapshot_write(src.filter(F.col("k") % 5 != 0), src_dir, key="k")
+    append_snapshot(
+        src_dir,
+        1,
+        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
+        key="k",
+        batch_id=1,
+    )
+    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
+        "k",
+        (F.col("cents") * 2).alias("cents"),
+        F.lit("X").alias("st"),
+        F.lit(False).alias("_del"),
+    )
+    dels = src.filter(F.col("k") % 89 == 0).select(
+        "k",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("string").alias("st"),
+        F.lit(True).alias("_del"),
+    )
+    merge_upsert(
+        spark, src_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
+    )
+    delete_merge_on_read(
+        spark, src_dir, 3, src.filter(F.col("k") % 101 == 5), key="k"
+    )
+    head = latest_version(src_dir)  # 4
+
+    # ---- the replica applier: idempotent foreachBatch sink
+    marker = os.path.join(rep_dir + ".applied")
+
+    def _applied() -> int:
+        try:
+            with open(marker) as fh:
+                return int(json.load(fh)["src_version"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _apply_batch(bdf, batch_id) -> None:
+        bdf = bdf.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            versions = sorted(
+                r["_commit_version"]
+                for r in bdf.select("_commit_version").distinct().collect()
+            )
+            done = _applied()
+            for v in versions:
+                if v <= done:
+                    continue  # redelivered — the idempotence guard
+                rows = bdf.filter(F.col("_commit_version") == v)
+                if not os.path.isdir(os.path.join(rep_dir, "manifest")):
+                    snapshot_write(
+                        rows.filter(
+                            F.col("_change_type") != "delete"
+                        ).select("k", "cents", "st"),
+                        rep_dir,
+                        key="k",
+                        version=1,
+                    )
+                else:
+                    merge_upsert(
+                        spark,
+                        rep_dir,
+                        latest_version(rep_dir),
+                        rows.select(
+                            "k",
+                            "cents",
+                            "st",
+                            (F.col("_change_type") == "delete").alias(
+                                "_del"
+                            ),
+                        ),
+                        key="k",
+                        delete_col="_del",
+                    )
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump({"src_version": int(v)}, fh)
+                os.replace(tmp, marker)
+        finally:
+            bdf.unpersist()
+
+    ensure_registered(spark)
+    feed = (
+        spark.readStream.format("lakefeed")
+        .option("table_dir", src_dir)
+        .option("key", "k")
+        .load()
+    )
+    ckpt = tempfile.mkdtemp(prefix="lakerepl_ckpt_")
+    q = (
+        feed.writeStream.foreachBatch(_apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .queryName("repl_" + _uuid.uuid4().hex[:8])
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline and _applied() < head:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    n_versions = latest_version(rep_dir)
+
+    # ---- redelivery proof: re-apply the final commit's feed by hand —
+    # the marker guard must skip it and the replica head must not move.
+    final_feed = incremental_diff(
+        spark, src_dir, head - 1, head, key="k"
+    ).withColumn("_commit_version", F.lit(head).cast("long"))
+    _apply_batch(final_feed, batch_id=999)
+    replay_skipped = latest_version(rep_dir) == n_versions
+
+    agg = (
+        snapshot_read(spark, rep_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+            F.sum(
+                F.when(F.col("st") == "X", 1).otherwise(0)
+            ).alias("nx"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n"]),
+                int(agg["s"]),
+                int(agg["nx"]),
+                int(n_versions),
+                bool(replay_skipped),
+            )
+        ],
+        "n_rows_final long, sum_cents_final long, n_x_final long,"
+        " n_replica_versions long, replay_skipped boolean",
+    )
