@@ -1006,3 +1006,72 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.min_by("value", key), "first_value"),
         r4(F.max_by("value", key), "last_value"),
     )
+
+
+@register(
+    "q_agg_linear_regression",
+    oracle="""
+WITH m AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sx,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+                    * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             / n / 100.0, 4) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+""",
+)
+def q_agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares regression of price on quantity per returnflag
+    (the regr_slope / regr_intercept / regr_r2 family) from EXACT
+    integer co-moments — q_agg_corr_exact's determinism recipe: the
+    built-in regr_* aggregates stream merge-order-dependent double
+    co-moments that cannot hash-match an oracle; here all five sums are
+    order-independent integers on exact cents images (decimal(38,0)
+    accumulators), and the closed-form finish is a fixed sequence of
+    IEEE double ops on identical inputs, so both engines round
+    identically. Slope is cents-per-cent (dimensionless, 6 dp);
+    intercept is rescaled back to currency units (4 dp). One
+    map-side-combined pass — the same plan regr_slope would get, with
+    integer determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    x = fp("l_quantity")
+    y = fp("l_extendedprice")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n") / F.lit(100.0),
+            4,
+        ).alias("intercept"),
+        F.round(
+            num * num
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )
