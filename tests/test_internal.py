@@ -540,3 +540,30 @@ def test_footer_rows_seed_matches_actual_and_safe_on_missing():
     assert n == pq.read_table(f"{SF_DIR}/customer.parquet").num_rows
     assert _footer_rows(SF_DIR, "no_such_table") is None
     assert _footer_rows("/nonexistent/dir", "customer") is None
+
+
+def test_ivf_adaptive_k_law_and_trainer_determinism(spark):
+    """r13: the coarse quantizer's k follows max(8, n // 125) — the
+    oracle recomputes the same integer formula, so the law must hold at
+    every corpus size — and the bounded id-ordered trainer is
+    bit-deterministic across calls (the cross-session soundness
+    condition for persisted indexes)."""
+    import numpy as np
+
+    from cuny_courses_spark.operators.similarity import (
+        _IVF_TARGET_LIST_ROWS,
+        ivf_train_centroids,
+    )
+    from cuny_courses_spark.sources.loaders import load
+
+    assert max(8, 500 // _IVF_TARGET_LIST_ROWS) == 8  # sf0.001/sf0.01
+    assert max(8, 2000 // _IVF_TARGET_LIST_ROWS) == 16  # sf0.1 grows
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a = ivf_train_centroids(e, 8, spark).collect()
+    b = ivf_train_centroids(e, 8, spark).collect()
+    assert len(a) == 8
+    ca = np.array(sorted([r["centroid"] for r in a]))
+    cb = np.array(sorted([r["centroid"] for r in b]))
+    assert np.array_equal(ca, cb)
