@@ -1144,6 +1144,7 @@ def snapshot_read(
     empty_schema: str | None = None,
     key_range: tuple | None = None,
     col_range: tuple | None = None,
+    buckets: set | None = None,
 ) -> DataFrame:
     """Time-travel read: exactly the files snapshot ``version`` lists —
     or, with ``key_range=(lo, hi)``, only the files whose manifest stats
@@ -1174,8 +1175,21 @@ def snapshot_read(
         version = latest_version(table_dir)
     doc = _read_manifest_doc(table_dir, version)
     files = doc["files"]
+    if buckets is not None:
+        # BUCKET-SET prune (r13): a hash-bucketed probe (gram postings,
+        # IVF lists) knows exactly which buckets its keys can live in —
+        # select only those buckets' files. Sound by the layout
+        # invariant (every writer buckets with the table's recorded
+        # modulus), and exact (not an over-approximation): a key's
+        # bucket is a function of the key. At 100 TB this is what makes
+        # an incremental probe O(probed buckets), not O(table files).
+        bset = {int(b) for b in buckets}
+        bucket_sel = {p for p in files if _bucket_of_path(p) in bset}
+        files = [p for p in files if p in bucket_sel]
     if key_range is not None:
         files, _ = prune_files(table_dir, version, key_range[0], key_range[1])
+        if buckets is not None:  # composes by intersection
+            files = [p for p in files if p in bucket_sel]
     if col_range is not None:
         # (col, lo, hi) — non-key column prune via the ``cols`` stats
         # sub-map; composes with key_range by intersection.

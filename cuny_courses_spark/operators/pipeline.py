@@ -1078,7 +1078,21 @@ def q_pipeline_incremental_spans(
     from pyspark.storagelevel import StorageLevel
 
     bg = post(batch).persist(StorageLevel.MEMORY_AND_DISK)
-    index = snapshot_read(spark, table_dir, 1)
+    # BUCKET-PRUNED probe (r13): the postings table is hash-bucketed on
+    # gh, so the batch's gram hashes name exactly the buckets any hit
+    # can live in — read only those (snapshot_read(buckets=...)). A
+    # corpus-sized batch probes all buckets (a no-op prune, as here); a
+    # small batch against a many-bucket 100 TB index reads O(probed
+    # buckets) files instead of the whole index.
+    from cuny_courses_spark.operators.lakehouse import _N_BUCKETS
+
+    probe_buckets = {
+        r["b"]
+        for r in bg.select(F.pmod("gh", F.lit(_N_BUCKETS)).alias("b"))
+        .distinct()
+        .collect()
+    }
+    index = snapshot_read(spark, table_dir, 1, buckets=probe_buckets)
     hits = bg.join(
         index.select("gh", "g"), ["gh", "g"], "left_semi"
     ).select("doc_id", "pos")

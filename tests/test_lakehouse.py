@@ -1667,3 +1667,21 @@ def test_lakefeed_reader_surfaces_dv_only_commit(spark, tmp_path):
         for r in o.filter(F.col("k") % 101 == 5).collect()
     }
     assert {(r[0], r[1]) for r in rows} == exp
+
+
+def test_snapshot_read_bucket_set_prune(spark, tmp_path):
+    """r13: buckets= selects exactly the named buckets' files — the
+    probe-side prune for hash-bucketed secondary indexes."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    full = lh.snapshot_read(spark, table_dir)
+    sub = lh.snapshot_read(spark, table_dir, buckets={3, 7})
+    exp = full.filter(F.pmod("k", F.lit(16)).isin(3, 7))
+    assert sub.count() == exp.count()
+    assert sorted(r["k"] for r in sub.collect()) == sorted(
+        r["k"] for r in exp.collect()
+    )
+    # empty bucket set reads an empty frame of the manifest schema
+    empty = lh.snapshot_read(spark, table_dir, buckets=set())
+    assert empty.count() == 0 and empty.columns == full.columns
