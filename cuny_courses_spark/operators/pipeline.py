@@ -98,6 +98,7 @@ def index_probe_read(
     index_dir: str,
     corpus_dir: str | None = None,
     on: str | None = None,
+    buckets: set | None = None,
 ) -> DataFrame:
     """HEAD read of a persisted secondary index (ANN lists, MinHash band
     rows) made DELETE-CONSISTENT with its corpus table (r11 verdict
@@ -109,13 +110,16 @@ def index_probe_read(
     the read is a plain snapshot read — callers fold the index itself
     first (``q_pipeline_index_delete``'s merge_full_sync pass) so
     nothing resurfaces. ``corpus_dir=None`` = no delete source (an
-    immutable corpus, e.g. the raw parquet testdata)."""
+    immutable corpus, e.g. the raw parquet testdata). ``buckets``
+    (r13) passes the probe's known bucket set through to
+    ``snapshot_read``'s bucket prune — an index probe that knows its
+    keys reads O(probed buckets), not the whole index."""
     from cuny_courses_spark.operators.lakehouse import (
         pending_dv_keys,
         snapshot_read,
     )
 
-    df = snapshot_read(spark, index_dir)
+    df = snapshot_read(spark, index_dir, buckets=buckets)
     if corpus_dir is not None:
         tomb = pending_dv_keys(spark, corpus_dir)
         if tomb is not None:
@@ -448,8 +452,19 @@ def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "eq", "cluster")
     )
     # HEAD = v2, init + late; DV-aware seam (immutable corpus here —
-    # q_pipeline_index_delete drives it with real tombstones)
-    lists = index_probe_read(spark, lists_dir, on="vec_id")
+    # q_pipeline_index_delete drives it with real tombstones). The
+    # probed-cluster set is tiny (queries × nprobe rows), so collecting
+    # it buys the bucket-pruned lists read (r13): O(probed buckets)
+    # files instead of the whole inverted index.
+    from cuny_courses_spark.operators.lakehouse import _N_BUCKETS
+
+    probe_bkts = {
+        int(r["cluster"]) % _N_BUCKETS
+        for r in probe_clusters.select("cluster").distinct().collect()
+    }
+    lists = index_probe_read(
+        spark, lists_dir, on="vec_id", buckets=probe_bkts
+    )
     wd = Window.partitionBy("q_id").orderBy(
         F.col("dot").desc(), F.col("vec_id").asc()
     )
