@@ -1637,6 +1637,63 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     entry["q_sql_q13_bucketed"] = (
                         f"error: {type(exc).__name__}"
                     )
+            # r13 (r12 verdict #6 follow-through): the same physical
+            # A/B for Q18 — the round's worst TPC-H ratio (6.64× at
+            # ×100). lineitem+orders co-bucketed on the ORDER key turn
+            # the per-order quantity aggregate AND the big⋈orders join
+            # exchange-free (the 20-row customer probe was already a
+            # broadcast); what remains vs DuckDB is the scan-decode
+            # floor, and this sidecar quantifies exactly how much of
+            # the 6.64× the shuffle accounted for.
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.operators.tpch_sql import _Q18
+                    from cuny_courses_spark.sources.loaders import (
+                        load as _ldb,
+                    )
+
+                    import shutil as _sh
+                    from urllib.parse import urlparse as _up
+
+                    t0 = time.perf_counter()
+                    wh = _up(
+                        spark.conf.get("spark.sql.warehouse.dir", "")
+                    ).path
+                    for tname in ("bkt_lineitem", "bkt_orders_ok"):
+                        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+                        if wh:
+                            _sh.rmtree(
+                                os.path.join(wh, tname), ignore_errors=True
+                            )
+                    _ldb(spark, gdir, "lineitem").select(
+                        "l_orderkey", "l_quantity"
+                    ).write.bucketBy(32, "l_orderkey").sortBy(
+                        "l_orderkey"
+                    ).mode("overwrite").saveAsTable("bkt_lineitem")
+                    _ldb(spark, gdir, "orders").write.bucketBy(
+                        32, "o_orderkey"
+                    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(
+                        "bkt_orders_ok"
+                    )
+                    entry["q_sql_q18_bucketed_layout_sec"] = round(
+                        time.perf_counter() - t0, 4
+                    )
+                    q18b = _Q18.replace(
+                        "FROM lineitem", "FROM bkt_lineitem"
+                    ).replace(
+                        "JOIN orders ON", "JOIN bkt_orders_ok ON"
+                    )
+                    spark.sql(q18b).toPandas()  # warm
+                    entry["q_sql_q18_bucketed"] = _time_best(
+                        lambda: spark.sql(q18b).toPandas(),
+                        laps + 1 if factor >= 100 else laps,
+                    )
+                except Exception as exc:
+                    entry["q_sql_q18_bucketed"] = (
+                        f"error: {type(exc).__name__}"
+                    )
             # Text/sampling twins run on the DOCS corpus connection (the
             # gdir twin loop above can't serve them — different files).
             if ddir != sf_dir:
