@@ -5841,9 +5841,11 @@ WITH src AS (
     FROM src s LEFT JOIN upd u USING (k)
 ), hot AS (SELECT DISTINCT k % 16 AS b FROM upd)
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM src) AS clone_rows,
-       (SELECT CAST(sum(cents) AS BIGINT) FROM src) AS clone_cents,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM src)
+           AS clone_cents,
        (SELECT CAST(count(*) AS BIGINT) FROM v2) AS src_rows,
-       (SELECT CAST(sum(cents) AS BIGINT) FROM v2) AS src_cents,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM v2)
+           AS src_cents,
        (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_superseded_files,
        (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_protected_alive,
        (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_reclaimed_after_drop,
@@ -5900,12 +5902,18 @@ def q_lake_clone_protected_vacuum(
     n_protected_alive = sum(1 for p in superseded if os.path.exists(p))
     clone_agg = (
         snapshot_read(spark, dst_dir)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+        )
         .collect()[0]
     )
     src_agg = (
         snapshot_read(spark, src_dir)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+        )
         .collect()[0]
     )
     src_head = latest_version(src_dir)
@@ -6196,6 +6204,13 @@ def q_lake_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (src_dir, rep_dir):
         if os.path.isdir(d):
             shutil.rmtree(d)
+    # the applied-version marker lives BESIDE the replica dir (it is the
+    # consumer's durable cursor, not table data) — reset it with the rest
+    # of the fixture or a stale cursor skips every batch of the re-run
+    try:
+        os.unlink(rep_dir + ".applied")
+    except FileNotFoundError:
+        pass
     src = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         fp("o_totalprice").alias("cents"),
@@ -6299,15 +6314,43 @@ def q_lake_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="0 seconds")
         .start()
     )
+    def _offsets_reached_head() -> bool:
+        # Drain on the CHECKPOINT's committed offsets (the cdc_feed
+        # pattern), not the applied marker: an all-empty history (empty
+        # source tables exist operationally) commits its batches without
+        # ever advancing the marker.
+        odir = os.path.join(ckpt, "offsets")
+        cdir = os.path.join(ckpt, "commits")
+        if not (os.path.isdir(odir) and os.path.isdir(cdir)):
+            return False
+        for f in os.listdir(odir):
+            if not f.isdigit():
+                continue
+            with open(os.path.join(odir, f)) as fh:
+                lines = [
+                    ln for ln in fh.read().splitlines() if ln.strip()
+                ]
+            off = json.loads(lines[-1])
+            if isinstance(off, str):
+                off = json.loads(off)
+            if int(off.get("version", -1)) == head and os.path.exists(
+                os.path.join(cdir, f)
+            ):
+                return True
+        return False
+
     try:
         deadline = time.time() + 180
-        while time.time() < deadline and _applied() < head:
+        while time.time() < deadline and not _offsets_reached_head():
             time.sleep(0.2)
     finally:
         q.stop()
         q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    n_versions = latest_version(rep_dir)
+    # An all-empty history applies no change and creates no replica —
+    # the 0-row-input contract is "empty out, no throw".
+    has_replica = os.path.isdir(os.path.join(rep_dir, "manifest"))
+    n_versions = latest_version(rep_dir) if has_replica else 0
 
     # ---- redelivery proof: re-apply the final commit's feed by hand —
     # the marker guard must skip it and the replica head must not move.
@@ -6315,19 +6358,25 @@ def q_lake_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src_dir, head - 1, head, key="k"
     ).withColumn("_commit_version", F.lit(head).cast("long"))
     _apply_batch(final_feed, batch_id=999)
-    replay_skipped = latest_version(rep_dir) == n_versions
+    replay_skipped = (
+        latest_version(rep_dir) if has_replica else 0
+    ) == n_versions
 
-    agg = (
-        snapshot_read(spark, rep_dir)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
-            F.sum(
-                F.when(F.col("st") == "X", 1).otherwise(0)
-            ).alias("nx"),
+    if not has_replica:
+        agg = {"n": 0, "s": 0, "nx": 0}
+    else:
+        agg = (
+            snapshot_read(spark, rep_dir)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+                F.coalesce(
+                    F.sum(F.when(F.col("st") == "X", 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("nx"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
     return spark.createDataFrame(
         [
             (
