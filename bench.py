@@ -1222,7 +1222,10 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
     # member) — measured 1.3-1.6× vs its DuckDB twin at ×100 on arrival.
     TEXT_EXT = ["q_text_contamination", "q_text_rarity_score",
                 "q_text_idf_top_terms", "q_text_pack_sequences",
-                "q_sample_importance_weighted", "q_text_perplexity"]
+                "q_sample_importance_weighted", "q_text_perplexity",
+                # r13: the mapInArrow tokenizer — the round's new
+                # Python-path operator gets a measured point on arrival
+                "q_text_bpe_tokens"]
     ext_sweep: dict[str, dict] = {}
     for factor, laps in ((10, 2), (100, 1)):
         point = f"sf{sf}x{factor}"
