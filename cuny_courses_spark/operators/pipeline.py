@@ -1140,3 +1140,90 @@ def q_pipeline_incremental_spans(
             "replay_skipped", F.lit(bool(committed and not replayed))
         )
     )
+
+
+@register(
+    "q_pipeline_shard_assignment",
+    oracle="""
+WITH ep AS (SELECT unnest([0, 1]) AS epoch),
+h AS (
+    SELECT d.doc_id, ep.epoch,
+           ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '|42|'
+                                  || CAST(ep.epoch AS VARCHAR)), 1, 8))::BIGINT
+               AS hv
+    FROM documents d CROSS JOIN ep
+),
+ranked AS (
+    SELECT epoch, hv % 8 AS shard, doc_id, hv,
+           row_number() OVER (PARTITION BY epoch, hv % 8
+                              ORDER BY hv, doc_id) AS rn
+    FROM h
+)
+SELECT epoch, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc
+FROM ranked
+GROUP BY epoch, shard
+""",
+)
+def q_pipeline_shard_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DETERMINISTIC TRAINING-SHARD ASSIGNMENT (the data-loader half of
+    the pipeline: which worker reads which docs, in which order, per
+    epoch): every doc is assigned shard = md5(doc_id || seed || epoch) %
+    n_shards and ordered WITHIN its shard by the same hash — a seeded
+    global shuffle with per-epoch reshuffling that needs NO global sort
+    and no coordination: membership and order are pure functions of
+    (doc_id, seed, epoch), so any worker, engine, or retry computes the
+    same shards byte-for-byte (the q_sample_hash_stratified portability
+    contract, extended to ordering). Emits per (epoch, shard): count,
+    id checksum, and the first doc in shard order — a shifted shard
+    boundary, a re-ordered shard, or an epoch that failed to reshuffle
+    all hash-fail.
+
+    Scale shape: one narrow map computes (epoch, shard, hash); the
+    per-shard order is `repartition(shard) + sortWithinPartitions
+    (hash)` at write time — each output shard is one partition's
+    locally-sorted stream, never a global orderBy. The 2-epoch explode
+    doubles rows here for the proof; a real loader materializes one
+    epoch at a time."""
+    from cuny_courses_spark.operators.sampling import _bucket
+
+    n_shards = 8
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    ep = d.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    )
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("|42|"),
+                        F.col("epoch").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
+    ranked = (
+        ep.withColumn("hv", hv)
+        .withColumn("shard", F.col("hv") % n_shards)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return ranked.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("first_doc"),
+    )
