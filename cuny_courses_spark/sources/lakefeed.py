@@ -186,6 +186,11 @@ class _LakeFeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         vs, ve = int(start["version"]), int(end["version"])
+        # Restart resync: a reader resumed from a checkpoint starts with
+        # _pos=0 while the engine replays from the committed cursor —
+        # adopt the real high-water so latestOffset never runs behind
+        # the checkpoint (which would stall batch planning).
+        self._pos = max(self._pos, ve)
         parts: list[_FeedPartition] = []
         for v in range(vs + 1, ve + 1):
             new_doc = _resolve(self.table_dir, v)
