@@ -1685,3 +1685,58 @@ def test_snapshot_read_bucket_set_prune(spark, tmp_path):
     # empty bucket set reads an empty frame of the manifest schema
     empty = lh.snapshot_read(spark, table_dir, buckets=set())
     assert empty.count() == 0 and empty.columns == full.columns
+
+
+def test_lakefeed_reader_equals_incremental_diff_every_commit(
+    spark, tmp_path
+):
+    """r13: the lakefeed stream reader's bucket-local diff must equal
+    incremental_diff row-for-row on every commit shape — append, CoW
+    merge (update+delete), and a DV-only MoR delete."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources import lakefeed as lf
+    from cuny_courses_spark.sources.loaders import load
+    from tests.conftest import SF_DIR
+
+    table_dir = str(tmp_path / "lake")
+    src = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    lh.snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
+    lh.append_snapshot(
+        table_dir,
+        1,
+        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
+        key="k",
+        batch_id=1,
+    )
+    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
+        "k", F.lit("X").alias("st"), F.lit(False).alias("_del")
+    )
+    dels = src.filter(F.col("k") % 89 == 0).select(
+        "k", F.lit(None).cast("string").alias("st"), F.lit(True).alias("_del")
+    )
+    lh.merge_upsert(
+        spark, table_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
+    )
+    lh.delete_merge_on_read(
+        spark, table_dir, 3, src.filter(F.col("k") % 101 == 5), key="k"
+    )
+
+    rdr = lf._LakeFeedStreamReader(
+        {"table_dir": table_dir, "key": "k"}, ["k", "st"]
+    )
+    for v in range(2, lh.latest_version(table_dir) + 1):
+        parts = rdr.partitions({"version": v - 1}, {"version": v})
+        got = sorted(
+            (r[0], r[1], r[2]) for p in parts for r in rdr.read(p)
+        )
+        exp = sorted(
+            (r["k"], r["st"], r["_change_type"])
+            for r in lh.incremental_diff(
+                spark, table_dir, v - 1, v, key="k"
+            ).collect()
+        )
+        assert got == exp, f"version {v} diff mismatch"
