@@ -6390,3 +6390,162 @@ def q_lake_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_final long, sum_cents_final long, n_x_final long,"
         " n_replica_versions long, replay_skipped boolean",
     )
+
+
+def set_masking_policy(
+    table_dir: str,
+    parent_version: int,
+    masks: dict,
+    exempt_roles: list[str] | None = None,
+) -> dict:
+    """COLUMN-MASKING POLICY as a METADATA-ONLY commit (Delta/Unity
+    column masks, reduced to this format's table-property machinery —
+    the rename_column pattern): ``masks`` maps a logical column to a
+    masking SQL expression over that column; ``exempt_roles`` may read
+    raw. The policy rides the manifest props, so it is SNAPSHOT-SCOPED
+    (time travel to v1 shows the pre-policy contract), versioned,
+    atomic (same fail-if-exists publish as any commit), and carried by
+    every later writer like constraints/colmap. Zero data moves:
+    masking is enforced at READ (``masked_read``) as a projection —
+    no rewrite of a 100 TB table to protect a column."""
+    parent = _read_manifest_doc(table_dir, parent_version)
+    props = dict(parent.get("props", {}))
+    props["masks"] = dict(masks)
+    props["mask_exempt_roles"] = sorted(exempt_roles or [])
+    return commit_snapshot(
+        table_dir,
+        parent_version + 1,
+        parent["files"],
+        stats=parent.get("stats"),
+        schema=parent.get("schema"),
+        dvs=parent.get("dvs"),
+        added=parent.get("added"),
+        props=props,
+        meta={"op": "set_masking_policy", "cols": sorted(masks)},
+    )
+
+
+def masked_read(
+    spark: SparkSession,
+    table_dir: str,
+    role: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Policy-enforcing read: the snapshot's ``masks`` property is
+    applied as a projection over the raw read unless ``role`` is in
+    the policy's exempt list. The projection composes with every other
+    read feature (column mapping, DVs, pruning) because it wraps
+    ``snapshot_read``'s output — one extra Project node, zero extra
+    passes. A masked column keeps its NAME (consumers' schemas don't
+    break) and gets the policy's expression; unmasked columns pass
+    through untouched."""
+    if version is None:
+        version = latest_version(table_dir)
+    doc = _read_manifest_doc(table_dir, version)
+    props = doc.get("props", {}) or {}
+    df = snapshot_read(spark, table_dir, version)
+    masks = props.get("masks") or {}
+    if not masks or role in set(props.get("mask_exempt_roles", [])):
+        return df
+    cols = [
+        F.expr(masks[c]).alias(c) if c in masks else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)
+
+
+@register(
+    "q_lake_column_masking",
+    oracle="""
+WITH src AS (
+    SELECT c_custkey AS k, c_name AS name,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+           c_mktsegment AS seg
+    FROM customer
+), masked AS (
+    SELECT k,
+           'xxx-' || substring(md5(name), 1, 8) AS name,
+           CAST(cents - (cents % 1000) AS BIGINT) AS cents,
+           seg
+    FROM src
+)
+SELECT m.seg,
+       CAST(count(*) AS BIGINT) AS n,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM masked
+        WHERE seg = m.seg) AS sum_cents_masked,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM src
+        WHERE seg = m.seg) AS sum_cents_raw,
+       CAST(count(DISTINCT m.name) AS BIGINT) AS n_masked_names,
+       CAST(sum(CASE WHEN m.name LIKE 'xxx-%' THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_raw_leaks,
+       CAST(2 AS BIGINT) AS policy_version
+FROM masked m
+GROUP BY m.seg
+""",
+)
+def q_lake_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MASKING end-to-end (r13 — the read-time governance verb
+    next to r11's commit-time constraints): customer becomes a bucketed
+    table; a MASKING POLICY lands as a METADATA-ONLY commit
+    (``set_masking_policy`` — name → salted-hash token, cents →
+    floor-to-1000 bucketing; auditor exempt). The ANALYST read applies
+    the policy as a projection — per segment it emits the masked-cents
+    total (proving the mask transformed, not dropped, the column), the
+    distinct masked-name count (tokens stay join-/dedup-able — the
+    point of deterministic masking over NULLing), and a raw-leak
+    counter the oracle pins at 0 (a policy that leaks one raw name
+    hash-fails). The AUDITOR read on the SAME snapshot returns raw
+    cents (sum_cents_raw — emitted from the exempt read, so a policy
+    that wrongly masks the exempt role also fails). policy_version=2
+    pins the metadata-only commit. At 100 TB: protecting a column costs
+    one KB manifest write and one Project node per read — never a
+    table rewrite."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_mask")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        fp("c_acctbal").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    snapshot_write(src, table_dir, key="k", version=1)
+    set_masking_policy(
+        table_dir,
+        1,
+        masks={
+            "name": "concat('xxx-', substring(md5(name), 1, 8))",
+            "cents": "CAST(cents - (cents % 1000) AS BIGINT)",
+        },
+        exempt_roles=["auditor"],
+    )
+    analyst = masked_read(spark, table_dir, role="analyst")
+    auditor = masked_read(spark, table_dir, role="auditor")
+    raw_by_seg = auditor.groupBy("seg").agg(
+        F.sum("cents").alias("sum_cents_raw")
+    )
+    out = (
+        analyst.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents_masked"),
+            F.countDistinct("name").alias("n_masked_names"),
+            F.sum(
+                F.when(F.col("name").startswith("xxx-"), 0).otherwise(1)
+            ).alias("n_raw_leaks"),
+        )
+        .join(raw_by_seg, "seg")
+    )
+    return out.select(
+        "seg",
+        "n",
+        "sum_cents_masked",
+        "sum_cents_raw",
+        "n_masked_names",
+        F.col("n_raw_leaks").cast("long").alias("n_raw_leaks"),
+        F.lit(latest_version(table_dir)).cast("long").alias(
+            "policy_version"
+        ),
+    )
