@@ -6444,6 +6444,11 @@ def masked_read(
     doc = _read_manifest_doc(table_dir, version)
     props = doc.get("props", {}) or {}
     df = snapshot_read(spark, table_dir, version)
+    # Row policy FIRST (it predicates on raw values and pushes into the
+    # scan), masks second (a projection over the surviving rows).
+    rp = props.get("row_policy")
+    if rp and role not in set(props.get("row_policy_exempt_roles", [])):
+        df = df.filter(F.expr(rp))
     masks = props.get("masks") or {}
     if not masks or role in set(props.get("mask_exempt_roles", [])):
         return df
@@ -6548,4 +6553,108 @@ def q_lake_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(latest_version(table_dir)).cast("long").alias(
             "policy_version"
         ),
+    )
+
+
+def set_row_policy(
+    table_dir: str,
+    parent_version: int,
+    predicate: str,
+    exempt_roles: list[str] | None = None,
+) -> dict:
+    """ROW ACCESS POLICY as a METADATA-ONLY commit (the row-level
+    sibling of ``set_masking_policy``): non-exempt readers see only
+    rows satisfying ``predicate`` (a SQL boolean over the table's
+    logical columns). Enforced in ``masked_read`` as a plain Filter —
+    which Catalyst pushes into the scan like any predicate, so policy
+    enforcement PRUNES files/row-groups instead of costing a pass."""
+    parent = _read_manifest_doc(table_dir, parent_version)
+    props = dict(parent.get("props", {}))
+    props["row_policy"] = predicate
+    props["row_policy_exempt_roles"] = sorted(exempt_roles or [])
+    return commit_snapshot(
+        table_dir,
+        parent_version + 1,
+        parent["files"],
+        stats=parent.get("stats"),
+        schema=parent.get("schema"),
+        dvs=parent.get("dvs"),
+        added=parent.get("added"),
+        props=props,
+        meta={"op": "set_row_policy"},
+    )
+
+
+@register(
+    "q_lake_row_policy",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders
+), visible AS (
+    SELECT * FROM src WHERE st <> 'F'
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM visible) AS n_visible,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM visible)
+           AS cents_visible,
+       (SELECT CAST(count(*) AS BIGINT) FROM src) AS n_admin,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM src)
+           AS cents_admin,
+       (SELECT CAST(count(*) AS BIGINT) FROM visible WHERE st = 'F')
+           AS n_policy_leaks,
+       CAST(2 AS BIGINT) AS policy_version
+""",
+)
+def q_lake_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL ACCESS POLICY end-to-end (r13 — the row sibling of
+    `q_lake_column_masking`): orders becomes a bucketed table; a policy
+    hiding finished orders (``st <> 'F'``) from non-exempt roles lands
+    as a METADATA-ONLY commit. The analyst read's aggregate and a
+    leak counter (rows with st='F' visible — oracle-pinned 0) prove
+    enforcement; the admin read on the SAME snapshot proves exemption.
+    Because enforcement is a plain Filter over the logical read,
+    Catalyst pushes it into the parquet scan — the policy PRUNES
+    instead of post-filtering (a policy-scan of a 100 TB table reads
+    only qualifying row groups), and it composes with DVs, column
+    mapping, and column masks."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_rowpolicy")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    snapshot_write(src, table_dir, key="k", version=1)
+    set_row_policy(table_dir, 1, "st <> 'F'", exempt_roles=["admin"])
+    analyst = masked_read(spark, table_dir, role="analyst")
+    admin = masked_read(spark, table_dir, role="admin")
+    a = analyst.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+        F.coalesce(
+            F.sum(F.when(F.col("st") == "F", 1).otherwise(0)), F.lit(0)
+        ).alias("leaks"),
+    ).collect()[0]
+    ad = admin.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(a["n"]),
+                int(a["s"]),
+                int(ad["n"]),
+                int(ad["s"]),
+                int(a["leaks"]),
+                int(latest_version(table_dir)),
+            )
+        ],
+        "n_visible long, cents_visible long, n_admin long,"
+        " cents_admin long, n_policy_leaks long, policy_version long",
     )
