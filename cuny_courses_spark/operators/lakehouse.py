@@ -99,7 +99,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -1428,8 +1428,13 @@ def snapshot_write(
     n_buckets: int = _N_BUCKETS,
     bucket_expr: str | None = None,
     constraints: list[str] | None = None,
+    extra_props: dict | None = None,
 ) -> list[str]:
     """Create snapshot ``version`` from scratch (full write, no parent).
+
+    ``extra_props`` (r13): caller-supplied TABLE PROPERTIES merged into
+    the commit (identity high-waters, policies) — the generic channel
+    the named kwargs (stats_cols/bucket_expr/constraints) special-case.
 
     ``bucket_expr`` is ``bucket_col`` as SQL TEXT — preferred for
     non-default layouts because it is also recorded as the
@@ -1487,7 +1492,7 @@ def snapshot_write(
         stats=_file_key_stats(files, key, extra_cols=stats_cols),
         schema=_schema_of(df),
         added={f: version for f in files},
-        props=props or None,
+        props={**props, **(extra_props or {})} or None,
     )
     return files
 
@@ -1859,6 +1864,7 @@ def append_snapshot(
     key: str,
     batch_id: int | None = None,
     branch: str | None = None,
+    props_update: dict | None = None,
 ) -> tuple[int, bool]:
     """INSERT-ONLY commit (the streaming-ingest fast path): write only the
     new rows' files and re-reference EVERY parent file — no CoW rewrite,
@@ -1942,7 +1948,15 @@ def append_snapshot(
             schema=_merge_schemas(parent.get("schema"), _schema_of(rows)),
             dvs=parent.get("dvs"),  # pending MoR deletes carry forward
             added=added,  # appended files post-date those DVs
-            props=parent.get("props"),
+            # props_update (r13): commit-scoped property overlay —
+            # identity high-waters advance ATOMICALLY with the rows
+            # they cover (two commits would leave a crash window where
+            # rows exist but the allocator would re-issue their ids).
+            props={
+                **(parent.get("props") or {}),
+                **(props_update or {}),
+            }
+            or None,
             rebase_from=parent_version,  # appends touch only new buckets
             branch=branch,  # WAP: stage on a branch ref, not a version
         )
@@ -6657,4 +6671,189 @@ def q_lake_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_visible long, cents_visible long, n_admin long,"
         " cents_admin long, n_policy_leaks long, policy_version long",
+    )
+
+
+def create_with_identity(
+    df: DataFrame,
+    table_dir: str,
+    key: str,
+    id_col: str,
+) -> int:
+    """CREATE a table with an IDENTITY COLUMN (Delta ``GENERATED ALWAYS
+    AS IDENTITY``, reduced): the engine allocates ``id_col`` — callers
+    may never supply it (refused, as Delta does for GENERATED ALWAYS).
+    Initial rows get ids 1..n in ``key`` order; the allocator
+    high-water (``identity.next``) is committed as a table property IN
+    THE SAME snapshot as the rows it covers. Returns n.
+
+    Allocation is a deterministic function of the batch (rank by key),
+    so any retry or engine recomputes identical ids — the property that
+    lets the oracle pin every id. The rank is a sort of THE BATCH
+    (bounded ingest unit), never of the table."""
+    if id_col in df.columns:
+        raise ValueError(
+            f"identity column {id_col!r} is GENERATED ALWAYS — "
+            "writers must not supply it"
+        )
+    n = df.count()
+    w = Window.orderBy(key)
+    out = df.withColumn(id_col, F.row_number().over(w).cast("long"))
+    snapshot_write(
+        out,
+        table_dir,
+        key=key,
+        version=1,
+        extra_props={"identity": {"col": id_col, "next": n + 1}},
+    )
+    return n
+
+
+def append_with_identity(
+    table_dir: str,
+    parent_version: int,
+    rows: DataFrame,
+    key: str,
+    batch_id: int | None = None,
+) -> tuple[int, bool]:
+    """APPEND to an identity table: ids ``next .. next+n-1`` are
+    allocated to the batch in ``key`` order and the high-water advances
+    ATOMICALLY with the commit (``props_update`` rides the same
+    manifest publish — no crash window where rows exist but their ids
+    could be re-issued). A replayed batch (same batch_id) is skipped by
+    the normal exactly-once guard and leaves the high-water untouched.
+    Gaps can exist across aborted attempts (Delta identity semantics);
+    ids never repeat."""
+    parent = _read_manifest_doc(table_dir, parent_version)
+    ident = (parent.get("props") or {}).get("identity")
+    if not ident:
+        raise ValueError(f"{table_dir} has no identity column")
+    id_col, start = ident["col"], int(ident["next"])
+    if id_col in rows.columns:
+        raise ValueError(
+            f"identity column {id_col!r} is GENERATED ALWAYS — "
+            "writers must not supply it"
+        )
+    n = rows.count()
+    w = Window.orderBy(key)
+    out = rows.withColumn(
+        id_col, (F.row_number().over(w) + start - 1).cast("long")
+    )
+    return append_snapshot(
+        table_dir,
+        parent_version,
+        out,
+        key=key,
+        batch_id=batch_id,
+        props_update={
+            "identity": {"col": id_col, "next": start + n}
+        },
+    )
+
+
+@register(
+    "q_lake_identity_column",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), base AS (SELECT * FROM src WHERE k % 5 <> 0),
+b1 AS (SELECT * FROM src WHERE k % 5 = 0 AND k % 3 = 0),
+ids0 AS (
+    SELECT k, CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rid
+    FROM base
+), ids1 AS (
+    SELECT k,
+           (SELECT count(*) FROM base)
+           + CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rid
+    FROM b1
+), allids AS (
+    SELECT * FROM ids0 UNION ALL SELECT * FROM ids1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT rid) AS BIGINT) AS n_distinct_ids,
+       CAST(COALESCE(min(rid), 0) AS BIGINT) AS min_id,
+       CAST(COALESCE(max(rid), 0) AS BIGINT) AS max_id,
+       CAST(COALESCE(sum(rid * (k % 97)), 0) AS BIGINT) AS id_key_checksum,
+       CAST((SELECT count(*) FROM allids) + 1 AS BIGINT) AS identity_next,
+       TRUE AS replay_skipped,
+       TRUE AS explicit_id_refused
+FROM allids
+""",
+)
+def q_lake_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMN across commits (Delta GENERATED ALWAYS AS
+    IDENTITY): the table is created with engine-allocated row ids
+    (1..n in key order), an append allocates the NEXT contiguous block
+    with the high-water advanced ATOMICALLY in the same commit
+    (``props_update`` — no two-commit crash window), a REPLAYED append
+    is skipped leaving the high-water untouched (``replay_skipped``),
+    and a writer supplying the identity column explicitly is REFUSED
+    (``explicit_id_refused`` — GENERATED ALWAYS semantics). The head
+    read proves global uniqueness (distinct = rows), exact coverage
+    (min 1, max n_total), and the id↔key binding via a checksum the
+    oracle recomputes from the same rank arithmetic; ``identity_next``
+    pins the carried allocator state. Allocation is a deterministic
+    rank of each BATCH by key — O(batch log batch), never a table scan
+    — which is what makes ids reproducible across engines and retries
+    (and what the hash oracle certifies)."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_identity")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+    )
+    create_with_identity(
+        src.filter(F.col("k") % 5 != 0), table_dir, key="k", id_col="rid"
+    )
+    batch = src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0))
+    _, committed = append_with_identity(
+        table_dir, 1, batch, key="k", batch_id=1
+    )
+    _, replayed = append_with_identity(
+        table_dir, 1, batch, key="k", batch_id=1
+    )
+    try:
+        append_with_identity(
+            table_dir,
+            latest_version(table_dir),
+            batch.withColumn("rid", F.lit(0).cast("long")),
+            key="k",
+        )
+        refused = False
+    except ValueError:
+        refused = True
+    head = snapshot_read(spark, table_dir)
+    ident = _read_manifest_doc(table_dir, latest_version(table_dir))[
+        "props"
+    ]["identity"]
+    agg = head.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("rid").alias("nd"),
+        F.coalesce(F.min("rid"), F.lit(0)).alias("mn"),
+        F.coalesce(F.max("rid"), F.lit(0)).alias("mx"),
+        F.coalesce(
+            F.sum(F.col("rid") * (F.col("k") % 97)), F.lit(0)
+        ).alias("ck"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n"]),
+                int(agg["nd"]),
+                int(agg["mn"]),
+                int(agg["mx"]),
+                int(agg["ck"]),
+                int(ident["next"]),
+                bool(committed and not replayed),
+                bool(refused),
+            )
+        ],
+        "n_rows long, n_distinct_ids long, min_id long, max_id long,"
+        " id_key_checksum long, identity_next long,"
+        " replay_skipped boolean, explicit_id_refused boolean",
     )
