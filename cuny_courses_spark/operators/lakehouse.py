@@ -6857,3 +6857,210 @@ def q_lake_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         " id_key_checksum long, identity_next long,"
         " replay_skipped boolean, explicit_id_refused boolean",
     )
+
+
+def _bloom_m_for(n_keys: int) -> int:
+    """SIZE-ADAPTIVE filter width: ~16 bits/key (fp ~= 0.24% at k=4),
+    byte-aligned, floor 1024 — a fixed m saturates as files grow (the
+    r13 lesson one SF up: 4.7k keys in 8192 bits => 90% of bits set,
+    fp ~= 65% — a bloom that prunes nothing). Deterministic from the
+    key count, so behavior stays reproducible everywhere."""
+    return max(1024, ((n_keys * 16 + 7) // 8) * 8)
+
+
+def _bloom_of_keys(keys, m: int, k: int = 4) -> str:
+    """Deterministic Bloom filter over ``keys`` as hex: k md5-derived
+    bit positions per key (portable across engines/sessions — the same
+    determinism contract as the md5-prefix sampling bucket)."""
+    import hashlib
+
+    bits = bytearray(m // 8)
+    for key in keys:
+        for i in range(k):
+            h = (
+                int(
+                    hashlib.md5(f"{key}|{i}".encode()).hexdigest()[:8], 16
+                )
+                % m
+            )
+            bits[h // 8] |= 1 << (h % 8)
+    return bits.hex()
+
+
+def add_bloom_index(
+    table_dir: str, parent_version: int, key: str, k: int = 4
+) -> dict:
+    """PER-FILE BLOOM INDEX as a metadata commit: one deterministic
+    Bloom filter per data file over its key values, stored in the
+    manifest props — the POINT-LOOKUP complement of min/max stats
+    (which prune nothing on a hash layout: every bucket file spans the
+    whole key range). A probe key's absent bit proves the file cannot
+    contain it — no false negatives, bounded false positives.
+
+    Placement note: here the blooms ride the manifest (KB per file —
+    fine at this table's file counts and demonstrable/prunable
+    driver-side); a 10⁷-file deployment seats them in the files' own
+    footers (Parquet bloom_filter pages — ``parquet.bloom.filter
+    .enabled#col`` at write) and the manifest keeps only the pointer;
+    the verb (membership-pruned point reads) is identical. The build
+    pass reads only the key column of each file (Arrow, column-pruned)."""
+    import pyarrow.parquet as pq
+
+    parent = _read_manifest_doc(table_dir, parent_version)
+    pk = _physical_key(key, _colmap(parent))
+    blooms = {}
+    for p in parent["files"]:
+        keys = pq.read_table(p, columns=[pk]).column(0).to_pylist()
+        m = _bloom_m_for(len(keys))
+        blooms[p] = {"m": m, "bits": _bloom_of_keys(keys, m, k)}
+    props = dict(parent.get("props", {}))
+    props["bloom"] = {"col": key, "k": k, "files": blooms}
+    return commit_snapshot(
+        table_dir,
+        parent_version + 1,
+        parent["files"],
+        stats=parent.get("stats"),
+        schema=parent.get("schema"),
+        dvs=parent.get("dvs"),
+        added=parent.get("added"),
+        props=props,
+        meta={"op": "add_bloom_index", "col": key},
+    )
+
+
+def bloom_point_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    values: list,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Membership-pruned point lookup: a file is read only if, for SOME
+    probe value, ALL of that value's bloom bits are set (files indexed
+    after the bloom commit—none here—would be scanned unconditionally:
+    pruning must stay sound, never guess). Returns (rows matching any
+    probe value, files_scanned, files_total)."""
+    import hashlib
+
+    if version is None:
+        version = latest_version(table_dir)
+    doc = _read_manifest_doc(table_dir, version)
+    bl = (doc.get("props") or {}).get("bloom")
+    files = doc["files"]
+    if not bl:
+        df = _read_snapshot_files(spark, doc, files)
+        return df.filter(F.col(key).isin(*values)), len(files), len(files)
+    k = int(bl["k"])
+    digests = [
+        [
+            int(hashlib.md5(f"{v}|{i}".encode()).hexdigest()[:8], 16)
+            for i in range(k)
+        ]
+        for v in values
+    ]
+
+    def _may_contain(entry: dict) -> bool:
+        m = int(entry["m"])
+        bits = bytes.fromhex(entry["bits"])
+        return any(
+            all(
+                bits[(d % m) // 8] & (1 << ((d % m) % 8)) for d in ds
+            )
+            for ds in digests
+        )
+
+    fb = bl["files"]
+    cand = [p for p in files if p not in fb or _may_contain(fb[p])]
+    if not cand:
+        sch = doc.get("schema")
+        from pyspark.sql import types as T
+
+        empty = spark.createDataFrame([], T.StructType.fromJson(sch))
+        return empty, 0, len(files)
+    df = _read_snapshot_files(spark, doc, cand)
+    return df.filter(F.col(key).isin(*values)), len(cand), len(files)
+
+
+@register(
+    "q_lake_bloom_index",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), probes AS (SELECT k FROM src WHERE k % 7 = 3 ORDER BY k LIMIT 8),
+hits AS (SELECT s.* FROM src s JOIN probes USING (k))
+SELECT CAST((SELECT count(*) FROM probes) AS BIGINT) AS n_probes,
+       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_found,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM hits)
+           AS cents_found,
+       TRUE AS no_false_negatives,
+       TRUE AS pruning_effective,
+       CAST(3 AS BIGINT) AS index_version
+""",
+)
+def q_lake_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FILE BLOOM-INDEXED POINT LOOKUP (r13 — the membership
+    complement of stats/z-order range pruning, which a HASH layout
+    defeats: every bucket file spans the full key range, so min/max
+    prunes nothing for `k = ?`): orders lands as 16 buckets, an append
+    doubles the per-bucket file count (so pruning has something to
+    prove), and `add_bloom_index` commits one deterministic md5-bit
+    Bloom per file as metadata (v3). An 8-key probe set then reads ONLY
+    files whose blooms admit some probe: `pruning_effective` pins
+    files_scanned < files_total (8 probes truly hit at most 8 of the
+    ~32 files, and the SIZE-ADAPTIVE width — 16 bits/key, fp ≈ 0.24%
+    per probe at k=4 — keeps expected false-positive files < 1 at
+    every SF; a fixed width saturated one SF up), and `no_false_negatives` +
+    hash-exact found-row aggregates pin soundness — a bloom that drops
+    a real key loses rows and fails the value hash, not just the flag.
+    At 100 TB the blooms live in parquet footers (placement note on
+    add_bloom_index); the pruning decision stays O(files × probes) bit
+    tests against KB-scale metadata."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_bloom")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+    )
+    snapshot_write(src.filter(F.col("k") % 2 == 0), table_dir, key="k")
+    append_snapshot(
+        table_dir,
+        1,
+        src.filter(F.col("k") % 2 == 1),
+        key="k",
+        batch_id=1,
+    )
+    add_bloom_index(table_dir, 2, key="k")
+    probe_vals = [
+        r["k"]
+        for r in src.filter(F.col("k") % 7 == 3)
+        .orderBy("k")
+        .limit(8)
+        .collect()
+    ]
+    found, n_scanned, n_total = bloom_point_lookup(
+        spark, table_dir, "k", probe_vals
+    )
+    agg = found.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                len(probe_vals),
+                int(agg["n"]),
+                int(agg["s"]),
+                bool(int(agg["n"]) == len(probe_vals)),
+                bool(n_scanned < n_total or n_total == 0),
+                int(latest_version(table_dir)),
+            )
+        ],
+        "n_probes long, n_found long, cents_found long,"
+        " no_false_negatives boolean, pruning_effective boolean,"
+        " index_version long",
+    )
