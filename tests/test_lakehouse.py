@@ -1740,3 +1740,93 @@ def test_lakefeed_reader_equals_incremental_diff_every_commit(
             ).collect()
         )
         assert got == exp, f"version {v} diff mismatch"
+
+
+def test_policies_compose_and_are_snapshot_scoped(spark, tmp_path):
+    """r13 governance verbs: row policy filters BEFORE masks project;
+    both are snapshot-scoped (time travel to v1 shows raw data)."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    lh.set_row_policy(table_dir, 1, "st <> 'F'", exempt_roles=["admin"])
+    lh.set_masking_policy(
+        table_dir,
+        2,
+        masks={"st": "concat('m-', substring(md5(st), 1, 4))"},
+        exempt_roles=["auditor"],
+    )
+    analyst = lh.masked_read(spark, table_dir, role="analyst")
+    # row policy applied on RAW st, then mask applied — no masked row
+    # may correspond to a raw 'F' row
+    masked_f = "m-" + __import__("hashlib").md5(b"F").hexdigest()[:4]
+    assert analyst.filter(F.col("st") == masked_f).count() == 0
+    assert analyst.filter(~F.col("st").startswith("m-")).count() == 0
+    # auditor: rows filtered (not exempt from row policy) but unmasked
+    auditor = lh.masked_read(spark, table_dir, role="auditor")
+    assert auditor.filter(F.col("st") == "F").count() == 0
+    assert auditor.filter(F.col("st").startswith("m-")).count() == 0
+    # admin is exempt from the row policy but NOT from masks
+    admin = lh.masked_read(spark, table_dir, role="admin")
+    assert admin.filter(F.col("st") == masked_f).count() > 0
+    # snapshot-scoped: v1 read is raw and unfiltered
+    v1 = lh.masked_read(spark, table_dir, role="analyst", version=1)
+    assert v1.filter(F.col("st") == "F").count() > 0
+
+
+def test_identity_blocks_are_disjoint_and_replay_safe(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources.loaders import load
+
+    table_dir = str(tmp_path / "lake")
+    o = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    n0 = lh.create_with_identity(
+        o.filter(F.col("k") % 3 == 0), table_dir, key="k", id_col="rid"
+    )
+    _, c1 = lh.append_with_identity(
+        table_dir, 1, o.filter(F.col("k") % 3 == 1), key="k", batch_id=1
+    )
+    _, c2 = lh.append_with_identity(
+        table_dir, 2, o.filter(F.col("k") % 3 == 2), key="k", batch_id=2
+    )
+    assert c1 and c2
+    head = lh.snapshot_read(spark, table_dir)
+    n = head.count()
+    ids = head.agg(
+        F.countDistinct("rid"), F.min("rid"), F.max("rid")
+    ).collect()[0]
+    assert (ids[0], ids[1], ids[2]) == (n, 1, n)  # unique, 1..n exactly
+    # replay of batch 2 must not re-issue or advance
+    _, c2r = lh.append_with_identity(
+        table_dir, 2, o.filter(F.col("k") % 3 == 2), key="k", batch_id=2
+    )
+    assert not c2r
+    ident = lh._read_manifest_doc(
+        table_dir, lh.latest_version(table_dir)
+    )["props"]["identity"]
+    assert ident["next"] == n + 1
+
+
+def test_bloom_lookup_absent_key_scans_nothing(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources.loaders import load
+
+    table_dir = str(tmp_path / "lake")
+    o = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    lh.snapshot_write(o, table_dir, key="k", version=1)
+    lh.add_bloom_index(table_dir, 1, key="k")
+    # a key far outside the domain: blooms should exclude every file
+    df, scanned, total = lh.bloom_point_lookup(
+        spark, table_dir, "k", [10**15 + 7]
+    )
+    assert df.count() == 0
+    assert scanned <= max(1, total // 4)  # fp-only; typically 0
+    # soundness: every real key of one file is found
+    some = [r["k"] for r in o.limit(5).collect()]
+    df2, s2, t2 = lh.bloom_point_lookup(spark, table_dir, "k", some)
+    assert df2.count() == len(some)
