@@ -637,3 +637,45 @@ def test_mixture_weights_invariants(spark):
     for k, r in rows.items():
         assert r["tokens_kept"] <= r["tokens_total"]
         assert r["f_ppm"] == totals[binding] * 1_000_000 // totals[k]
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=0,
+        max_size=400,
+    ),
+    extra=st.integers(min_value=-(10**12), max_value=10**12),
+)
+@settings(max_examples=60, deadline=None)
+def test_bloom_filter_never_false_negative(keys, extra):
+    """r13 bloom index: membership of every inserted key is always
+    admitted (pruning soundness is absolute; only false POSITIVES are
+    allowed), the filter is deterministic, and the adaptive width is a
+    pure function of the key count."""
+    import hashlib
+
+    from cuny_courses_spark.operators.lakehouse import (
+        _bloom_m_for,
+        _bloom_of_keys,
+    )
+
+    m = _bloom_m_for(len(keys))
+    assert m == _bloom_m_for(len(keys)) and m % 8 == 0 and m >= 1024
+    hexbits = _bloom_of_keys(keys, m)
+    assert hexbits == _bloom_of_keys(keys, m)  # deterministic
+    bits = bytes.fromhex(hexbits)
+
+    def admitted(v) -> bool:
+        return all(
+            bits[h // 8] & (1 << (h % 8))
+            for h in (
+                int(hashlib.md5(f"{v}|{i}".encode()).hexdigest()[:8], 16)
+                % m
+                for i in range(4)
+            )
+        )
+
+    assert all(admitted(v) for v in keys)  # zero false negatives
+    if not keys:  # empty filter admits nothing
+        assert not admitted(extra)
