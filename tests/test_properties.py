@@ -679,3 +679,27 @@ def test_bloom_filter_never_false_negative(keys, extra):
     assert all(admitted(v) for v in keys)  # zero false negatives
     if not keys:  # empty filter admits nothing
         assert not admitted(extra)
+
+
+def test_identity_allocation_partition_independent(spark, tmp_path):
+    """r13 identity columns: allocated ids are a pure function of the
+    batch CONTENT (rank by key) — any input partitioning yields the
+    identical (key, id) assignment."""
+    from cuny_courses_spark.operators import lakehouse as lh
+
+    o = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    assignments = []
+    for i, n in enumerate((1, 7, 32)):
+        td = str(tmp_path / f"t{i}")
+        lh.create_with_identity(
+            o.repartition(n), td, key="k", id_col="rid"
+        )
+        assignments.append(
+            sorted(
+                (r["k"], r["rid"])
+                for r in lh.snapshot_read(spark, td).collect()
+            )
+        )
+    assert assignments[0] == assignments[1] == assignments[2]
