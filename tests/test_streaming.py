@@ -550,3 +550,103 @@ def test_session_timeout_tws_equals_apply_in_pandas_twin(spark):
         tuple(r) for r in stream_session_timeout_tws(spark, SF_DIR).collect()
     )
     assert tws == ref
+
+
+def test_lakefeed_restart_resumes_from_checkpoint(spark, tmp_path):
+    """r13 lakefeed: a second readStream run over the SAME checkpoint
+    must resume at the committed version cursor — the four commits land
+    in the sink exactly once across the restart (two runs, no overlap,
+    no gap)."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.operators import lakehouse as lh
+    from cuny_courses_spark.sources.lakefeed import ensure_registered
+    from cuny_courses_spark.sources.loaders import load
+    from tests.conftest import SF_DIR
+
+    table_dir = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    src = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    lh.snapshot_write(src.filter(F.col("k") % 4 == 0), table_dir, key="k")
+    lh.append_snapshot(
+        table_dir, 1, src.filter(F.col("k") % 4 == 1), key="k", batch_id=1
+    )
+
+    ensure_registered(spark)
+    out_dir = str(tmp_path / "sink")
+
+    def _drain_to(head: int) -> None:
+        feed = (
+            spark.readStream.format("lakefeed")
+            .option("table_dir", table_dir)
+            .option("key", "k")
+            .load()
+        )
+        # memory sink cannot recover from a checkpoint — the restart
+        # test needs the fault-tolerant parquet file sink
+        q = (
+            feed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            odir, cdir = os.path.join(ckpt, "offsets"), os.path.join(
+                ckpt, "commits"
+            )
+
+            def done() -> bool:
+                if not (os.path.isdir(odir) and os.path.isdir(cdir)):
+                    return False
+                for f in os.listdir(odir):
+                    if not f.isdigit():
+                        continue
+                    with open(os.path.join(odir, f)) as fh:
+                        ls = [
+                            x for x in fh.read().splitlines() if x.strip()
+                        ]
+                    off = json.loads(ls[-1])
+                    if isinstance(off, str):
+                        off = json.loads(off)
+                    if int(off.get("version", -1)) == head and os.path.exists(
+                        os.path.join(cdir, f)
+                    ):
+                        return True
+                return False
+
+            deadline = time.time() + 120
+            while time.time() < deadline and not done():
+                time.sleep(0.2)
+            assert done(), "stream never drained to head"
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    _drain_to(2)  # run 1: v1 snapshot + v2 append
+    # table grows while the consumer is OFFLINE
+    lh.append_snapshot(
+        table_dir, 2, src.filter(F.col("k") % 4 == 2), key="k", batch_id=2
+    )
+    lh.append_snapshot(
+        table_dir, 3, src.filter(F.col("k") % 4 == 3), key="k", batch_id=3
+    )
+    _drain_to(4)  # run 2: resumes at v2 cursor, consumes v3+v4 only
+
+    sink = spark.read.parquet(out_dir)
+    # exactly once across the restart: every source row appears exactly
+    # once as an insert, nothing twice, nothing missing
+    assert sink.groupBy("k").count().filter("count > 1").count() == 0
+    assert sink.count() == src.count()
+    assert set(
+        r["_commit_version"]
+        for r in sink.select("_commit_version").distinct().collect()
+    ) == {1, 2, 3, 4}
