@@ -7064,3 +7064,202 @@ def q_lake_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         " no_false_negatives boolean, pruning_effective boolean,"
         " index_version long",
     )
+
+
+def optimize_small_files(
+    spark: SparkSession,
+    table_dir: str,
+    parent_version: int,
+    key: str,
+    threshold_rows: int,
+) -> tuple[list[str], list[str]]:
+    """TARGETED small-file compaction (Delta's OPTIMIZE with a file-size
+    floor; ``optimize_compact`` is the full bin-pack): per bucket, only
+    files whose MANIFEST-STATS row count is under ``threshold_rows``
+    coalesce (when ≥2 — one small file gains nothing), and every large
+    file is RE-REFERENCED untouched. The selection reads zero data —
+    footer-row stats already live in the manifest — so deciding what to
+    compact on a 10⁷-file table is a metadata scan, and the rewrite
+    volume is exactly the small-file backlog (the steady-state cost of
+    minute-cadence appends), never the table. Pending DVs stay correct
+    on both sides: rewritten fragments fold their applicable DVs in
+    (the new file's added-version post-dates them), untouched files
+    keep the ledger pending. Returns (reused, new_files)."""
+    parent = _read_manifest_doc(table_dir, parent_version)
+    parent_stats = parent.get("stats", {})
+    by_bucket: dict[int, list[str]] = {}
+    for p in parent["files"]:
+        by_bucket.setdefault(_bucket_of_path(p), []).append(p)
+
+    def _rows(p: str) -> int:
+        return int((parent_stats.get(p) or {}).get("rows") or 0)
+
+    reused: list[str] = []
+    frag: dict[int, list[str]] = {}
+    for b, ps in by_bucket.items():
+        smalls = [p for p in ps if _rows(p) < threshold_rows]
+        if len(smalls) >= 2:
+            frag[b] = smalls
+            reused.extend(p for p in ps if p not in smalls)
+        else:
+            reused.extend(ps)
+    if frag:
+        parts = [
+            _read_snapshot_files(spark, parent, ps).withColumn(
+                "_b", F.lit(b)
+            )
+            for b, ps in frag.items()
+        ]
+        merged = parts[0]
+        for d in parts[1:]:
+            merged = merged.unionByName(d)
+        staging = os.path.join(
+            table_dir,
+            "data",
+            f"v{parent_version + 1}_{uuid.uuid4().hex[:8]}",
+        )
+        new_files = _write_buckets(
+            _to_physical(merged, _colmap(parent)),
+            staging,
+            _table_n_buckets(parent),
+        )
+    else:
+        staging = None
+        new_files = []
+    stats = {p: parent_stats[p] for p in reused if p in parent_stats}
+    stats.update(
+        _file_key_stats(
+            new_files,
+            _physical_key(key, _colmap(parent)),
+            extra_cols=parent.get("props", {}).get("stats_cols"),
+        )
+    )
+    parent_added = parent.get("added", {})
+    added = {p: parent_added.get(p, 0) for p in reused}
+    added.update({p: parent_version + 1 for p in new_files})
+    try:
+        commit_snapshot(
+            table_dir,
+            parent_version + 1,
+            reused + new_files,
+            stats=stats,
+            schema=parent.get("schema"),
+            dvs=parent.get("dvs"),  # pending for untouched files
+            added=added,
+            props=parent.get("props"),
+            rebase_from=parent_version,
+        )
+    except FileExistsError:
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return reused, new_files
+
+
+@register(
+    "q_lake_optimize_small_files",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), a1 AS (SELECT k + 10000000 AS k, cents FROM src WHERE k % 101 = 0),
+a2 AS (SELECT k + 20000000 AS k, cents FROM src WHERE k % 103 = 0),
+a3 AS (SELECT k + 30000000 AS k, cents FROM src WHERE k % 107 = 0),
+state AS (
+    SELECT * FROM src UNION ALL SELECT * FROM a1
+    UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+), base_buckets AS (SELECT DISTINCT k % 16 AS b FROM src),
+small AS (
+    SELECT k % 16 AS b, 1 AS f FROM (SELECT DISTINCT k % 16 AS k FROM a1)
+    UNION ALL
+    SELECT k % 16 AS b, 1 AS f FROM (SELECT DISTINCT k % 16 AS k FROM a2)
+    UNION ALL
+    SELECT k % 16 AS b, 1 AS f FROM (SELECT DISTINCT k % 16 AS k FROM a3)
+), per_bucket AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS s FROM small GROUP BY b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM base_buckets)
+       + (SELECT COALESCE(CAST(sum(s) AS BIGINT), 0) FROM per_bucket)
+           AS n_files_before,
+       (SELECT CAST(count(*) AS BIGINT) FROM base_buckets)
+       + (SELECT COALESCE(CAST(sum(CASE WHEN s >= 2 THEN 1 ELSE s END)
+                               AS BIGINT), 0) FROM per_bucket)
+           AS n_files_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM base_buckets)
+           AS n_big_reused,
+       (SELECT CAST(count(*) AS BIGINT) FROM state) AS n_rows,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM state)
+           AS sum_cents,
+       CAST(5 AS BIGINT) AS head_version
+""",
+)
+def q_lake_optimize_small_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SMALL-FILE COMPACTION, stats-driven (r13 — the minute-cadence
+    ops verb next to the full bin-pack `q_lake_optimize_compact`):
+    three tiny appends fragment the 16-bucket base table (the classic
+    streaming-ingest small-file problem); `optimize_small_files` then
+    coalesces, per bucket, ONLY the fragments whose manifest-stats row
+    counts sit under the threshold (base_rows/32 — base files are ~2×
+    above it at every SF) and ≥2 of them exist. The pins prove the
+    selective part: `n_big_reused` counts v1 base files REFERENCED BY
+    IDENTITY in the optimized manifest (a rewrite of one big file
+    breaks it), file counts before/after are recomputed by the oracle
+    from pure bucket arithmetic over the appends' key sets, and the
+    full post-optimize state is hash-exact. Selection reads ZERO data
+    (footer stats already in the manifest) — at 100 TB, deciding what
+    to compact is a metadata scan and the rewrite bill is exactly the
+    small-file backlog."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_smallfiles")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+    )
+    n_base = src.count()
+    snapshot_write(src, table_dir, key="k", version=1)
+    v1_files = set(_read_manifest_doc(table_dir, 1)["files"])
+    for i, mod in enumerate((101, 103, 107), start=1):
+        append_snapshot(
+            table_dir,
+            i,
+            src.filter(F.col("k") % mod == 0).select(
+                (F.col("k") + i * 10_000_000).alias("k"), "cents"
+            ),
+            key="k",
+            batch_id=i,
+        )
+    n_before = len(_read_manifest_doc(table_dir, 4)["files"])
+    reused, new_files = optimize_small_files(
+        spark, table_dir, 4, key="k", threshold_rows=max(1, n_base // 32)
+    )
+    head_doc = _read_manifest_doc(table_dir, 5)
+    n_after = len(head_doc["files"])
+    n_big_reused = len(v1_files & set(head_doc["files"]))
+    agg = (
+        snapshot_read(spark, table_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_before,
+                n_after,
+                n_big_reused,
+                int(agg["n"]),
+                int(agg["s"]),
+                latest_version(table_dir),
+            )
+        ],
+        "n_files_before long, n_files_after long, n_big_reused long,"
+        " n_rows long, sum_cents long, head_version long",
+    )
