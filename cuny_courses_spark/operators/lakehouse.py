@@ -7263,3 +7263,153 @@ def q_lake_optimize_small_files(
         "n_files_before long, n_files_after long, n_big_reused long,"
         " n_rows long, sum_cents long, head_version long",
     )
+
+
+def _apply_generated(rows: DataFrame, props: dict | None) -> DataFrame:
+    """Enforce GENERATED ALWAYS AS (expr) columns on a write batch
+    (Delta generated columns): an absent generated column is COMPUTED;
+    a present one is VALIDATED — every row must equal the expression
+    (one aggregate over the batch, the _validate_constraints shape) or
+    the write is refused. NULL-safe equality, so an expression yielding
+    null only matches an explicit null."""
+    gen = (props or {}).get("generated") or {}
+    for col, expr in gen.items():
+        if col not in rows.columns:
+            rows = rows.withColumn(col, F.expr(expr))
+            continue
+        bad = rows.filter(
+            ~F.col(col).eqNullSafe(F.expr(expr))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"generated column {col!r}: {bad} row(s) do not match "
+                f"GENERATED ALWAYS AS ({expr})"
+            )
+    return rows
+
+
+def create_with_generated(
+    df: DataFrame,
+    table_dir: str,
+    key: str,
+    generated: dict,
+) -> None:
+    """CREATE a table with GENERATED columns: ``generated`` maps column
+    → SQL expression over the other columns; the policy is committed as
+    a table property so every later writer computes-or-validates it
+    (``append_with_generated``). The classic use is a derived partition
+    key (day from a timestamp) that writers can never get wrong."""
+    props = {"generated": dict(generated)}
+    out = _apply_generated(df, props)
+    snapshot_write(out, table_dir, key=key, version=1, extra_props=props)
+
+
+def append_with_generated(
+    table_dir: str,
+    parent_version: int,
+    rows: DataFrame,
+    key: str,
+    batch_id: int | None = None,
+) -> tuple[int, bool]:
+    """APPEND to a generated-columns table: absent generated columns
+    are computed, present ones validated row-for-row against the stored
+    expressions — a mismatching batch is refused before staging."""
+    parent = _read_manifest_doc(table_dir, parent_version)
+    rows = _apply_generated(rows, parent.get("props"))
+    return append_snapshot(
+        table_dir, parent_version, rows, key=key, batch_id=batch_id
+    )
+
+
+@register(
+    "q_lake_generated_column",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderdate AS odate
+    FROM orders
+), state AS (
+    SELECT *, substring(CAST(odate AS VARCHAR), 1, 7) AS omonth
+    FROM src
+)
+SELECT omonth,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       TRUE AS explicit_match_accepted,
+       TRUE AS mismatch_refused
+FROM state
+GROUP BY omonth
+""",
+)
+def q_lake_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS (Delta GENERATED ALWAYS AS (expr)): the table
+    carries `omonth = substring(CAST(odate AS STRING), 1, 7)` as a
+    stored expression — the derived-partition-key pattern writers can
+    never get wrong. Three write shapes are proven: (1) creation and an
+    append WITHOUT the column — the engine computes it; (2) an append
+    supplying CORRECT explicit values — validated row-for-row and
+    accepted (Delta's allowance); (3) an append supplying a WRONG value
+    — REFUSED before staging, head provably unmoved. The final
+    per-month rollup is hash-exact against the oracle's recomputation
+    of the same expression over all accepted rows, so a computed column
+    that drifted from the stored expression fails on values, not just
+    flags. Validation is ONE filter-count over the batch (never a table
+    scan); computation is a narrow projection."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_generated")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    gen = {"omonth": "substring(CAST(odate AS STRING), 1, 7)"}
+    create_with_generated(
+        src.filter(F.col("k") % 3 == 0), table_dir, key="k", generated=gen
+    )
+    # append WITHOUT the column — computed
+    append_with_generated(
+        table_dir, 1, src.filter(F.col("k") % 3 == 1), key="k", batch_id=1
+    )
+    # append WITH correct explicit values — validated, accepted
+    explicit = src.filter(F.col("k") % 3 == 2).withColumn(
+        "omonth", F.expr("substring(CAST(odate AS STRING), 1, 7)")
+    )
+    v3, accepted = append_with_generated(
+        table_dir, 2, explicit, key="k", batch_id=2
+    )
+    # append with a WRONG value — refused, head unmoved
+    head_before = latest_version(table_dir)
+    try:
+        append_with_generated(
+            table_dir,
+            head_before,
+            src.filter(F.col("k") % 3 == 2)
+            .limit(5)
+            .select(
+                (F.col("k") + 90_000_000).alias("k"),
+                "cents",
+                "odate",
+            )
+            .withColumn("omonth", F.lit("9999-99")),
+            key="k",
+        )
+        refused = False
+    except ValueError:
+        refused = True
+    refused = refused and latest_version(table_dir) == head_before
+    return (
+        snapshot_read(spark, table_dir)
+        .groupBy("omonth")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn(
+            "explicit_match_accepted", F.lit(bool(accepted))
+        )
+        .withColumn("mismatch_refused", F.lit(bool(refused)))
+    )
