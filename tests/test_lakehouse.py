@@ -1830,3 +1830,64 @@ def test_bloom_lookup_absent_key_scans_nothing(spark, tmp_path):
     some = [r["k"] for r in o.limit(5).collect()]
     df2, s2, t2 = lh.bloom_point_lookup(spark, table_dir, "k", some)
     assert df2.count() == len(some)
+
+
+def test_optimize_small_files_dv_interplay(spark, tmp_path):
+    """r13 small-file compaction with a pending MoR delete: rewritten
+    fragments FOLD their applicable DVs (deleted keys gone from the new
+    file), untouched big files keep the ledger PENDING — and the head
+    read is identical before and after."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources.loaders import load
+
+    table_dir = str(tmp_path / "lake")
+    o = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    lh.snapshot_write(o.filter(F.col("k") % 3 != 0), table_dir, key="k")
+    # two tiny appends fragment the buckets
+    lh.append_snapshot(
+        table_dir,
+        1,
+        o.filter(F.col("k") % 3 == 0).select(
+            (F.col("k") + 10_000_000).alias("k")
+        ),
+        key="k",
+        batch_id=1,
+    )
+    lh.append_snapshot(
+        table_dir,
+        2,
+        o.filter(F.col("k") % 3 == 0).select(
+            (F.col("k") + 20_000_000).alias("k")
+        ),
+        key="k",
+        batch_id=2,
+    )
+    # MoR delete hitting BOTH a base key and an appended key
+    dels = o.filter(F.col("k") % 97 == 1).select("k").unionByName(
+        o.filter(F.col("k") % 97 == 0).select(
+            (F.col("k") + 10_000_000).alias("k")
+        )
+    )
+    lh.delete_merge_on_read(spark, table_dir, 3, dels, key="k")
+    before = sorted(
+        r["k"] for r in lh.snapshot_read(spark, table_dir).collect()
+    )
+    n_base = o.filter(F.col("k") % 3 != 0).count()
+    lh.optimize_small_files(
+        spark, table_dir, 4, key="k", threshold_rows=max(1, n_base // 32)
+    )
+    after_doc = lh._read_manifest_doc(
+        table_dir, lh.latest_version(table_dir)
+    )
+    after = sorted(
+        r["k"] for r in lh.snapshot_read(spark, table_dir).collect()
+    )
+    assert after == before  # state identical across the compaction
+    # the big base files kept their pending DVs (ledger survives for
+    # untouched files), and new compacted files exist
+    assert after_doc.get("dvs"), "pending DV ledger must survive"
+    v1_files = set(lh.read_manifest(table_dir, 1))
+    assert v1_files & set(after_doc["files"])  # big files untouched
