@@ -3629,42 +3629,9 @@ def q_lake_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuny_courses_spark.operators.scans import _io_dir
 
     table_dir = _io_dir(sf_dir, "lake_stream_src")
-    if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
-    src = load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        fp("o_totalprice").alias("cents"),
-        F.col("o_orderstatus").alias("st"),
-    )
-    snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
-    append_snapshot(
-        table_dir,
-        1,
-        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
-        key="k",
-        batch_id=1,
-    )
-    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
-        "k",
-        (F.col("cents") * 2).alias("cents"),
-        F.lit("X").alias("st"),
-        F.lit(False).alias("_del"),
-    )
-    dels = src.filter(F.col("k") % 89 == 0).select(
-        "k",
-        F.lit(None).cast("long").alias("cents"),
-        F.lit(None).cast("string").alias("st"),
-        F.lit(True).alias("_del"),
-    )
-    merge_upsert(
-        spark, table_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
-    )
-    delete_merge_on_read(
-        spark, table_dir, 3, src.filter(F.col("k") % 101 == 5), key="k"
-    )
+    head = _cdc_history_fixture(spark, sf_dir, table_dir)
 
     # ---- the consumer: initial snapshot + one change feed per version
-    head = latest_version(table_dir)
     state = snapshot_read(spark, table_dir, 1)
     n_ins = n_upd = n_del = 0
     for v in range(2, head + 1):
@@ -5953,6 +5920,53 @@ def q_lake_clone_protected_vacuum(
     )
 
 
+
+def _cdc_history_fixture(
+    spark: SparkSession, sf_dir: str, table_dir: str
+) -> int:
+    """The shared 4-commit CDC test history (r13, factored per review —
+    q_lake_stream_source / q_lake_stream_cdc_feed / q_lake_stream_replicate
+    must stay in LOCKSTEP with their oracles\' common CTE pyramid): v1
+    write (k%5≠0), v2 append (k%5=0 ∧ k%3=0), v3 CoW merge (2× cents on
+    k%97=0∧k%89≠0, delete k%89=0), v4 merge-on-read delete (k%101=5 —
+    the DV-only commit). Returns the head version (4)."""
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
+    append_snapshot(
+        table_dir,
+        1,
+        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
+        key="k",
+        batch_id=1,
+    )
+    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
+        "k",
+        (F.col("cents") * 2).alias("cents"),
+        F.lit("X").alias("st"),
+        F.lit(False).alias("_del"),
+    )
+    dels = src.filter(F.col("k") % 89 == 0).select(
+        "k",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("string").alias("st"),
+        F.lit(True).alias("_del"),
+    )
+    merge_upsert(
+        spark, table_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
+    )
+    delete_merge_on_read(
+        spark, table_dir, 3, src.filter(F.col("k") % 101 == 5), key="k"
+    )
+    return latest_version(table_dir)
+
+
+
 @register(
     "q_lake_stream_cdc_feed",
     oracle="""
@@ -6016,42 +6030,13 @@ def q_lake_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cuny_courses_spark.operators.scans import _io_dir
     from cuny_courses_spark.sources.lakefeed import ensure_registered
+    from cuny_courses_spark.streaming.offsets import (
+        committed_batch_reached,
+        n_advancing_batches,
+    )
 
     table_dir = _io_dir(sf_dir, "lake_stream_cdc")
-    if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
-    src = load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        fp("o_totalprice").alias("cents"),
-        F.col("o_orderstatus").alias("st"),
-    )
-    snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
-    append_snapshot(
-        table_dir,
-        1,
-        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
-        key="k",
-        batch_id=1,
-    )
-    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
-        "k",
-        (F.col("cents") * 2).alias("cents"),
-        F.lit("X").alias("st"),
-        F.lit(False).alias("_del"),
-    )
-    dels = src.filter(F.col("k") % 89 == 0).select(
-        "k",
-        F.lit(None).cast("long").alias("cents"),
-        F.lit(None).cast("string").alias("st"),
-        F.lit(True).alias("_del"),
-    )
-    merge_upsert(
-        spark, table_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
-    )
-    delete_merge_on_read(
-        spark, table_dir, 3, src.filter(F.col("k") % 101 == 5), key="k"
-    )
-    head = latest_version(table_dir)  # 4
+    head = _cdc_history_fixture(spark, sf_dir, table_dir)  # 4
 
     # ---- the REAL stream: one commit per trigger into a memory sink
     ensure_registered(spark)
@@ -6064,25 +6049,6 @@ def q_lake_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "cdc_sink_" + _uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="lakefeed_ckpt_")
 
-    def _head_committed() -> bool:
-        odir = os.path.join(ckpt, "offsets")
-        cdir = os.path.join(ckpt, "commits")
-        if not (os.path.isdir(odir) and os.path.isdir(cdir)):
-            return False
-        for f in os.listdir(odir):
-            if not f.isdigit():
-                continue
-            with open(os.path.join(odir, f)) as fh:
-                lines = [ln for ln in fh.read().splitlines() if ln.strip()]
-            off = json.loads(lines[-1])
-            if isinstance(off, str):
-                off = json.loads(off)
-            if int(off.get("version", -1)) == head and os.path.exists(
-                os.path.join(cdir, f)
-            ):
-                return True
-        return False
-
     q = (
         feed.writeStream.format("memory")
         .queryName(name)
@@ -6093,25 +6059,14 @@ def q_lake_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         deadline = time.time() + 180
-        while time.time() < deadline and not _head_committed():
+        while time.time() < deadline and not committed_batch_reached(
+            ckpt, "version", head
+        ):
             time.sleep(0.2)
     finally:
         q.stop()
         q.awaitTermination()
-    n_data_batches, prev_v = 0, 0
-    odir = os.path.join(ckpt, "offsets")
-    for f in sorted(
-        (f for f in os.listdir(odir) if f.isdigit()), key=int
-    ):
-        with open(os.path.join(odir, f)) as fh:
-            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
-        off = json.loads(lines[-1])
-        if isinstance(off, str):
-            off = json.loads(off)
-        v = int(off.get("version", 0))
-        if v > prev_v:
-            n_data_batches += 1
-        prev_v = v
+    n_data_batches = n_advancing_batches(ckpt, "version")
     shutil.rmtree(ckpt, ignore_errors=True)
 
     # ---- rebuild the head state from the SINK alone (exactly-once
@@ -6215,9 +6170,8 @@ def q_lake_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src_dir = _io_dir(sf_dir, "lake_repl_src")
     rep_dir = _io_dir(sf_dir, "lake_repl_dst")
-    for d in (src_dir, rep_dir):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    if os.path.isdir(rep_dir):
+        shutil.rmtree(rep_dir)
     # the applied-version marker lives BESIDE the replica dir (it is the
     # consumer's durable cursor, not table data) — reset it with the rest
     # of the fixture or a stale cursor skips every batch of the re-run
@@ -6225,38 +6179,7 @@ def q_lake_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.unlink(rep_dir + ".applied")
     except FileNotFoundError:
         pass
-    src = load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        fp("o_totalprice").alias("cents"),
-        F.col("o_orderstatus").alias("st"),
-    )
-    snapshot_write(src.filter(F.col("k") % 5 != 0), src_dir, key="k")
-    append_snapshot(
-        src_dir,
-        1,
-        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
-        key="k",
-        batch_id=1,
-    )
-    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
-        "k",
-        (F.col("cents") * 2).alias("cents"),
-        F.lit("X").alias("st"),
-        F.lit(False).alias("_del"),
-    )
-    dels = src.filter(F.col("k") % 89 == 0).select(
-        "k",
-        F.lit(None).cast("long").alias("cents"),
-        F.lit(None).cast("string").alias("st"),
-        F.lit(True).alias("_del"),
-    )
-    merge_upsert(
-        spark, src_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
-    )
-    delete_merge_on_read(
-        spark, src_dir, 3, src.filter(F.col("k") % 101 == 5), key="k"
-    )
-    head = latest_version(src_dir)  # 4
+    head = _cdc_history_fixture(spark, sf_dir, src_dir)  # 4
 
     # ---- the replica applier: idempotent foreachBatch sink
     marker = os.path.join(rep_dir + ".applied")
@@ -6328,34 +6251,19 @@ def q_lake_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="0 seconds")
         .start()
     )
-    def _offsets_reached_head() -> bool:
+    from cuny_courses_spark.streaming.offsets import (
+        committed_batch_reached,
+    )
+
+    try:
         # Drain on the CHECKPOINT's committed offsets (the cdc_feed
         # pattern), not the applied marker: an all-empty history (empty
         # source tables exist operationally) commits its batches without
         # ever advancing the marker.
-        odir = os.path.join(ckpt, "offsets")
-        cdir = os.path.join(ckpt, "commits")
-        if not (os.path.isdir(odir) and os.path.isdir(cdir)):
-            return False
-        for f in os.listdir(odir):
-            if not f.isdigit():
-                continue
-            with open(os.path.join(odir, f)) as fh:
-                lines = [
-                    ln for ln in fh.read().splitlines() if ln.strip()
-                ]
-            off = json.loads(lines[-1])
-            if isinstance(off, str):
-                off = json.loads(off)
-            if int(off.get("version", -1)) == head and os.path.exists(
-                os.path.join(cdir, f)
-            ):
-                return True
-        return False
-
-    try:
         deadline = time.time() + 180
-        while time.time() < deadline and not _offsets_reached_head():
+        while time.time() < deadline and not committed_batch_reached(
+            ckpt, "version", head
+        ):
             time.sleep(0.2)
     finally:
         q.stop()

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
 from cuny_courses_spark.common import O_davg, davg
 from cuny_courses_spark.registry import register
 from cuny_courses_spark.sources.loaders import load
@@ -322,8 +324,9 @@ SELECT q.vec_id AS q_id,
              p -> p[1]::DOUBLE * p[2]::DOUBLE))), 4) AS top1_cos,
        TRUE AS recall_floor_met,
        CAST(2 AS BIGINT) AS index_version,
-       CAST(greatest(8, (SELECT count(*) FROM embeddings
-                         WHERE vec_id % 10 BETWEEN 1 AND 7) // 125)
+       CAST(greatest(8, least((SELECT count(*) FROM embeddings
+                               WHERE vec_id % 10 BETWEEN 1 AND 7) // 125,
+                              4096))
             AS BIGINT) AS n_centroids
 FROM q, c
 GROUP BY q.vec_id
@@ -368,8 +371,8 @@ def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cuny_courses_spark.operators.scans import _io_dir
     from cuny_courses_spark.operators.similarity import (
-        _IVF_TARGET_LIST_ROWS,
         _dot,
+        ivf_adaptive_k,
         ivf_train_centroids,
     )
 
@@ -400,7 +403,16 @@ def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # initial corpus is the SAME broadcast argmax-affinity pass the late
     # batch uses — one distributed rule everywhere.
     n_init = init.count()
-    k = max(8, n_init // _IVF_TARGET_LIST_ROWS)
+    if n_init == 0:
+        # non-empty corpus with no initial-batch rows: nothing to train
+        # on — the 0-row contract is empty-out, never a crash (r13
+        # review: the e.isEmpty() guard alone missed this slice)
+        return spark.createDataFrame(
+            [],
+            "q_id long, top1_cos double, recall_floor_met boolean,"
+            " index_version long, n_centroids long",
+        )
+    k = ivf_adaptive_k(n_init)
     nprobe = k - max(1, k // 8)
     cent_df = ivf_train_centroids(init, k, spark).select(
         F.col("cluster").cast("long").alias("cluster"),
@@ -458,6 +470,7 @@ def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files instead of the whole inverted index.
     from cuny_courses_spark.operators.lakehouse import _N_BUCKETS
 
+    probe_clusters = probe_clusters.persist(StorageLevel.MEMORY_AND_DISK)
     probe_bkts = {
         int(r["cluster"]) % _N_BUCKETS
         for r in probe_clusters.select("cluster").distinct().collect()
@@ -510,6 +523,7 @@ def q_pipeline_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.count()  # materialize before unpersisting the input
     finally:
         exact.unpersist()
+        probe_clusters.unpersist()
     return out
 
 
@@ -1090,8 +1104,6 @@ def q_pipeline_incremental_spans(
     n_index_rows = snapshot_read(spark, table_dir, 1).count()
 
     # ---- incremental phase: gram the BATCH only, probe stored postings
-    from pyspark.storagelevel import StorageLevel
-
     bg = post(batch).persist(StorageLevel.MEMORY_AND_DISK)
     # BUCKET-PRUNED probe (r13): the postings table is hash-bucketed on
     # gh, so the batch's gram hashes name exactly the buckets any hit
@@ -1189,8 +1201,6 @@ def q_pipeline_shard_assignment(
     locally-sorted stream, never a global orderBy. The 2-epoch explode
     doubles rows here for the proof; a real loader materializes one
     epoch at a time."""
-    from cuny_courses_spark.operators.sampling import _bucket
-
     n_shards = 8
     d = load(spark, sf_dir, "documents").select("doc_id")
     ep = d.select(

@@ -327,9 +327,6 @@ def q_scan_python_datasource_stream(
     batch executes (so it exists whenever the sink shows the rows), one
     file per constructed batch, and a batch advanced the cursor iff its
     ``pos`` exceeds the previous file's."""
-    import glob as _glob
-    import json as _json
-    import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
     import time as _time
@@ -363,28 +360,11 @@ def q_scan_python_datasource_stream(
     finally:
         q.stop()
         q.awaitTermination()
-    # One offsets file per constructed micro-batch, named by batch id;
-    # the last line is the source's offset JSON ({"pos": N} for seqgen).
-    # Data batches = files whose cursor advanced past the previous one.
-    n_data_batches, prev_pos = 0, 0
-    offset_files = sorted(
-        (
-            f
-            for f in _glob.glob(_os.path.join(ckpt, "offsets", "*"))
-            if _os.path.basename(f).isdigit()
-        ),
-        key=lambda f: int(_os.path.basename(f)),
-    )
-    for f in offset_files:
-        with open(f) as fh:
-            last = [ln for ln in fh.read().splitlines() if ln.strip()][-1]
-        off = _json.loads(last)
-        if isinstance(off, str):  # some wrappers double-encode the dict
-            off = _json.loads(off)
-        pos = int(off["pos"])
-        if pos > prev_pos:
-            n_data_batches += 1
-        prev_pos = pos
+    # Data batches from the offsets log (streaming/offsets.py): one
+    # file per constructed batch, written before execution — race-free.
+    from cuny_courses_spark.streaming.offsets import n_advancing_batches
+
+    n_data_batches = n_advancing_batches(ckpt, "pos")
     _shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.table(name)

@@ -380,7 +380,8 @@ SELECT q.vec_id AS q_id,
        round(max({_O_DOT.format(a='q.embedding', b='c.embedding')}), 4)
            AS top1_cos,
        TRUE AS recall_floor_met,
-       CAST(greatest(8, (SELECT count(*) FROM embeddings) // 125) AS BIGINT)
+       CAST(greatest(8, least((SELECT count(*) FROM embeddings) // 125,
+                              4096)) AS BIGINT)
            AS n_centroids
 FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
 WHERE q.vec_id < 10
@@ -401,7 +402,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula from count(*), so a silent fallback to fixed k hash-FAILs.
     Production path: ``ivf_topk``."""
     n = load(spark, sf_dir, "embeddings").count()
-    k = max(8, n // _IVF_TARGET_LIST_ROWS)
+    k = ivf_adaptive_k(n)
     return _topk_recall_certificate(
         spark, sf_dir, ivf_topk(spark, sf_dir)
     ).withColumn("n_centroids", F.lit(k).cast("long"))
@@ -420,11 +421,26 @@ _IVF_TARGET_LIST_ROWS = 125
 _IVF_TRAIN_SAMPLE = 4096
 
 
+def ivf_adaptive_k(n: int) -> int:
+    """The adaptive-centroid law, shared by code AND oracles:
+    k = max(8, min(n // target_list_rows, train_sample_cap)). The cap
+    (r13 review) keeps k trainable on the bounded sample — an uncapped
+    n//125 overtakes the 4096-row sample past n ≈ 512k and the stored
+    quantizer would silently hold fewer centroids than the formula the
+    oracle recomputes. SQL twin: greatest(8, least(n // 125, 4096))."""
+    return max(8, min(n // _IVF_TARGET_LIST_ROWS, _IVF_TRAIN_SAMPLE))
+
+
 def ivf_train_centroids(e: DataFrame, k: int, spark: SparkSession):
     """Train the coarse quantizer on the id-ordered bounded sample and
     return a tiny broadcastable DataFrame (cluster, centroid, half_sq) —
     half_sq = ‖c‖²/2 precomputed so assignment affinity is q·c − ‖c‖²/2
-    (the Euclidean-argmin rule for unit-norm-agnostic assignment)."""
+    (the Euclidean-argmin rule for unit-norm-agnostic assignment).
+    Trains EXACTLY k centroids even when the corpus has fewer rows
+    (k-means++ picks with replacement; duplicated centroids tie-break
+    deterministically to the lowest cluster id and leave empty lists) —
+    so the stored quantizer count always equals the formula the oracle
+    pins (r13 review: a min(k, |sample|) cap diverged below n = 8)."""
     import numpy as np
 
     sample = np.array(
@@ -437,7 +453,7 @@ def ivf_train_centroids(e: DataFrame, k: int, spark: SparkSession):
         ],
         dtype=np.float64,
     )
-    C = _np_kmeans(sample, min(k, len(sample)), seed=42)
+    C = _np_kmeans(sample, k, seed=42)
     rows = [
         (ci, [float(x) for x in c], float((c * c).sum()) / 2.0)
         for ci, c in enumerate(C)
@@ -472,7 +488,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if e.isEmpty():  # quantizer cannot train on zero rows (r3 verdict #6)
         return spark.createDataFrame([], "q_id long, n_id long, cos double")
     n = e.count()
-    k = max(8, n // _IVF_TARGET_LIST_ROWS)
+    k = ivf_adaptive_k(n)
     nprobe = k - (k + 3) // 4  # ≈3k/4 lists probed; k=8 → 6 (r12 ratio)
     cent_df = ivf_train_centroids(e, k, spark)
 

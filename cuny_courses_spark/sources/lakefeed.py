@@ -150,7 +150,11 @@ class _FeedPartition(InputPartition):
 
 def _load_side(pairs, cols, key):
     """One bucket side as {key: row-tuple}: Arrow parquet decode, DV
-    keys subtracted per file (DV sidecars store the key column)."""
+    keys subtracted per file (DV sidecars store the key column).
+    Schema evolution (r13 review): a file written before an additive
+    widen lacks the newer columns — read the intersection and null-fill
+    the rest, exactly as the lakehouse's manifest-schema read path
+    does (a column can't exist in data that predates it)."""
     import pyarrow.parquet as pq
 
     rows: dict = {}
@@ -158,10 +162,15 @@ def _load_side(pairs, cols, key):
         dead = set()
         for dv in dvs:
             dead.update(pq.read_table(dv).column(0).to_pylist())
-        t = pq.read_table(path, columns=list(cols))
-        data = [t.column(c).to_pylist() for c in cols]
+        have = set(pq.read_schema(path).names)
+        t = pq.read_table(path, columns=[c for c in cols if c in have])
+        n = t.num_rows
+        data = [
+            t.column(c).to_pylist() if c in have else [None] * n
+            for c in cols
+        ]
         kidx = cols.index(key)
-        for i in range(t.num_rows):
+        for i in range(n):
             kv = data[kidx][i]
             if kv in dead:
                 continue
@@ -273,12 +282,10 @@ class LakeFeedDataSource(DataSource):
         return _LakeFeedStreamReader(self.options, cols)
 
 
-_REGISTERED: set[int] = set()
-
-
 def ensure_registered(spark) -> None:
-    """Idempotent per-session registration of the lakefeed source."""
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(LakeFeedDataSource)
-        _REGISTERED.add(key)
+    """Register the lakefeed source with this session. Unconditional:
+    ``dataSource.register`` is an idempotent overwrite, and caching on
+    ``id(spark)`` is unsound — CPython recycles addresses, so a new
+    session allocated where a dead one lived would silently skip
+    registration (r13 review)."""
+    spark.dataSource.register(LakeFeedDataSource)

@@ -65,15 +65,13 @@ class SeqDataSource(DataSource):
         return _SeqStreamReader(self.options)
 
 
-_REGISTERED: set[int] = set()
-
-
 def ensure_registered(spark) -> None:
-    """Idempotent per-session registration of the seqgen source."""
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(SeqDataSource)
-        _REGISTERED.add(key)
+    """Register the seqgen source with this session. Unconditional:
+    ``dataSource.register`` is an idempotent overwrite, and caching on
+    ``id(spark)`` is unsound — CPython recycles addresses, so a new
+    session allocated where a dead one lived would silently skip
+    registration (r13 review)."""
+    spark.dataSource.register(SeqDataSource)
 
 
 class _SeqStreamReader(DataSourceStreamReader):

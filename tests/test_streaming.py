@@ -600,28 +600,12 @@ def test_lakefeed_restart_resumes_from_checkpoint(spark, tmp_path):
             .start()
         )
         try:
-            odir, cdir = os.path.join(ckpt, "offsets"), os.path.join(
-                ckpt, "commits"
+            from cuny_courses_spark.streaming.offsets import (
+                committed_batch_reached,
             )
 
             def done() -> bool:
-                if not (os.path.isdir(odir) and os.path.isdir(cdir)):
-                    return False
-                for f in os.listdir(odir):
-                    if not f.isdigit():
-                        continue
-                    with open(os.path.join(odir, f)) as fh:
-                        ls = [
-                            x for x in fh.read().splitlines() if x.strip()
-                        ]
-                    off = json.loads(ls[-1])
-                    if isinstance(off, str):
-                        off = json.loads(off)
-                    if int(off.get("version", -1)) == head and os.path.exists(
-                        os.path.join(cdir, f)
-                    ):
-                        return True
-                return False
+                return committed_batch_reached(ckpt, "version", head)
 
             deadline = time.time() + 120
             while time.time() < deadline and not done():
