@@ -1891,3 +1891,49 @@ def test_optimize_small_files_dv_interplay(spark, tmp_path):
     assert after_doc.get("dvs"), "pending DV ledger must survive"
     v1_files = set(lh.read_manifest(table_dir, 1))
     assert v1_files & set(after_doc["files"])  # big files untouched
+
+
+def test_lakefeed_reader_handles_schema_widening(spark, tmp_path):
+    """r13 review fix: a stream over a table widened by a later append
+    must null-fill the new column for pre-widening files instead of
+    crashing in the Arrow read — including delete rows carrying OLD
+    values from a pre-widening file."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources import lakefeed as lf
+    from cuny_courses_spark.sources.loaders import load
+
+    table_dir = str(tmp_path / "lake")
+    o = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    lh.snapshot_write(o.filter(F.col("k") % 2 == 0), table_dir, key="k")
+    # additive widen: the append carries an extra column
+    lh.append_snapshot(
+        table_dir,
+        1,
+        o.filter(F.col("k") % 2 == 1).withColumn(
+            "extra", (F.col("k") * 2)
+        ),
+        key="k",
+        batch_id=1,
+    )
+    # MoR delete of PRE-widening keys: their delete rows read from v1
+    # files that lack `extra`
+    lh.delete_merge_on_read(
+        spark, table_dir, 2, o.filter(F.col("k") % 14 == 0), key="k"
+    )
+    cols = ["k", "extra"]
+    rdr = lf._LakeFeedStreamReader(
+        {"table_dir": table_dir, "key": "k"}, cols
+    )
+    all_rows = []
+    for v in (1, 2, 3):
+        parts = rdr.partitions({"version": v - 1}, {"version": v})
+        all_rows += [r for p in parts for r in rdr.read(p)]
+    v1_inserts = [r for r in all_rows if r[3] == 1]
+    dels = [r for r in all_rows if r[2] == "delete"]
+    assert v1_inserts and all(r[1] is None for r in v1_inserts)
+    assert dels and all(r[1] is None for r in dels)
+    v2_inserts = [r for r in all_rows if r[3] == 2]
+    assert v2_inserts and all(r[1] == r[0] * 2 for r in v2_inserts)
