@@ -551,13 +551,15 @@ def test_ivf_adaptive_k_law_and_trainer_determinism(spark):
     import numpy as np
 
     from cuny_courses_spark.operators.similarity import (
-        _IVF_TARGET_LIST_ROWS,
+        ivf_adaptive_k,
         ivf_train_centroids,
     )
     from cuny_courses_spark.sources.loaders import load
 
-    assert max(8, 500 // _IVF_TARGET_LIST_ROWS) == 8  # sf0.001/sf0.01
-    assert max(8, 2000 // _IVF_TARGET_LIST_ROWS) == 16  # sf0.1 grows
+    assert ivf_adaptive_k(500) == 8  # sf0.001/sf0.01
+    assert ivf_adaptive_k(2000) == 16  # sf0.1 grows
+    assert ivf_adaptive_k(3) == 8  # floor holds below 8 rows
+    assert ivf_adaptive_k(10**9) == 4096  # capped at the train sample
     e = load(spark, SF_DIR, "embeddings").select(
         "vec_id", "embedding"
     )
