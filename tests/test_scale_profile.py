@@ -217,3 +217,60 @@ def test_neardup_lsh_band_adaptivity_recall(spark):
     assert len(expected) >= 10, "fixture degenerate: too few true pairs"
     hit = sum(1 for p in expected if p in pairs)
     assert hit >= 0.8 * len(expected), (hit, len(expected))
+
+
+def test_lakefeed_diff_is_arrow_native_and_chunk_bounded(spark, tmp_path):
+    """r14 (r13 verdict wrong #1 done-criterion): diffing an amplified
+    hot bucket must never materialize Python row objects — the read path
+    is pyarrow joins end to end and yields bounded RecordBatches, so
+    worker memory is the columnar bucket footprint, not per-row tuples."""
+    import inspect
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    import cuny_courses_spark.operators.lakehouse as lh
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    # structural: no Python-row materialization anywhere on the
+    # production read path (feed_rows is a test-only helper)
+    for obj in (
+        lf._load_side,
+        lf._changed_mask,
+        lf._emit,
+        lf._LakeFeedStreamReader,
+        lf._LakeFeedStreamWriter,
+    ):
+        assert "to_pylist" not in inspect.getsource(obj), obj
+        assert "to_pydict" not in inspect.getsource(obj), obj
+
+    # functional: one hot bucket (every key ≡ 0 mod 16), fully rewritten
+    n = 150_000
+    table_dir = str(tmp_path / "hot")
+    base = spark.range(n).select(
+        (F.col("id") * 16).alias("k"), (F.col("id") % 997).alias("v")
+    )
+    lh.snapshot_write(base, table_dir, key="k", version=1)
+    lh.merge_upsert(
+        spark,
+        table_dir,
+        1,
+        base.select("k", (F.col("v") + 1).alias("v")),
+        key="k",
+    )
+    rdr = lf._LakeFeedStreamReader(
+        {"table_dir": table_dir, "key": "k"}, ["k", "v"]
+    )
+    parts = rdr.partitions({"version": 1}, {"version": 2})
+    assert len(parts) == 1  # one changed bucket → one InputPartition
+    total, batches = 0, 0
+    for b in rdr.read(parts[0]):
+        assert isinstance(b, pa.RecordBatch)
+        assert b.num_rows <= lf._EMIT_CHUNK
+        assert set(b.schema.names) == {
+            "k", "v", "_change_type", "_commit_version",
+        }
+        total += b.num_rows
+        batches += 1
+    assert total == n  # every row updated exactly once
+    assert batches >= (n // lf._EMIT_CHUNK)  # chunking actually happened
