@@ -291,7 +291,9 @@ def _changed_mask(both, val_cols: list[str]):
 
 
 class _FeedPartition(InputPartition):
-    def __init__(self, version, key, phys, names, types, old, new):
+    def __init__(
+        self, version, key, phys, names, types, old, new, preimages=False
+    ):
         self.version = version  # the commit this batch slice belongs to
         self.key = key  # PHYSICAL key column name
         self.phys = phys  # physical data column names, output order
@@ -299,6 +301,7 @@ class _FeedPartition(InputPartition):
         self.types = types  # pyarrow types, same order
         self.old = old  # [(file, (dv, ...)), ...] — start-version side
         self.new = new  # [(file, (dv, ...)), ...] — end-version side
+        self.preimages = preimages  # emit update_preimage rows too
 
 
 class _LakeFeedStreamReader(DataSourceStreamReader):
@@ -306,17 +309,28 @@ class _LakeFeedStreamReader(DataSourceStreamReader):
         self.table_dir = options["table_dir"]
         self.key = options["key"]
         self.cols = list(cols)  # LOGICAL names (declared stream schema)
-        self._pos = 0
+        # startingVersion=V (Delta CDF semantics): the FIRST commit whose
+        # changes appear in the feed; default 1 = initial load (the v1
+        # snapshot as inserts). The offset cursor starts at V−1.
+        self._start = max(0, int(_opt(options, "startingVersion", 1)) - 1)
+        self._pos = self._start
         self.max_versions = max(
             1, int(_opt(options, "maxVersionsPerTrigger", 1))
         )
         self.coalesce = (
             str(_opt(options, "coalesceCatchup", "false")).lower() == "true"
         )
+        # preimages=true adds Delta-CDF ``update_preimage`` rows (the OLD
+        # values of each updated key) — what retraction-capable consumers
+        # (incremental aggregates / MV maintenance) subtract before
+        # adding the postimage. Deletes already carry old values.
+        self.preimages = (
+            str(_opt(options, "preimages", "false")).lower() == "true"
+        )
         self._phys = None  # lazy: resolved once per reader lifecycle
 
     def initialOffset(self):
-        return {"version": 0}
+        return {"version": self._start}
 
     def latestOffset(self):
         head = _latest_version(self.table_dir)
@@ -395,6 +409,7 @@ class _LakeFeedStreamReader(DataSourceStreamReader):
                             self._types,
                             sorted(old),
                             sorted(new),
+                            preimages=self.preimages,
                         )
                     )
         if not parts:  # Spark requires ≥1 partition per planned batch
@@ -428,15 +443,27 @@ class _LakeFeedStreamReader(DataSourceStreamReader):
             both = new.join(
                 old, keys=p.key, join_type="inner", right_suffix="__o"
             )
-            updates = both.filter(_changed_mask(both, val_cols))
+            changed = both.filter(_changed_mask(both, val_cols))
+            updates = changed.select(p.phys)
+            if p.preimages:
+                # OLD values of the same changed keys (Delta CDF
+                # update_preimage): the key column + the __o-suffixed
+                # value columns, renamed back into the output shape.
+                pre = changed.select(
+                    [p.key] + [c + "__o" for c in val_cols]
+                ).rename_columns([p.key] + val_cols).select(p.phys)
+            else:
+                pre = target.empty_table()
         else:
             # key-only table degrades to pure insert/delete (a rewritten
             # key present on both sides is vacuously unchanged)
             updates = target.empty_table()
+            pre = target.empty_table()
         for tbl, ctype in (
             (inserts, "insert"),
             (deletes, "delete"),  # deletes carry OLD values
             (updates, "update_postimage"),
+            (pre, "update_preimage"),
         ):
             yield from _emit(tbl, p, ctype)
 
