@@ -1225,7 +1225,9 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                 "q_sample_importance_weighted", "q_text_perplexity",
                 # r13: the mapInArrow tokenizer — the round's new
                 # Python-path operator gets a measured point on arrival
-                "q_text_bpe_tokens"]
+                "q_text_bpe_tokens",
+                # r14: the ranked-merge BPE sibling, same harness
+                "q_text_bpe_merges"]
     ext_sweep: dict[str, dict] = {}
     for factor, laps in ((10, 2), (100, 1)):
         point = f"sf{sf}x{factor}"
@@ -1260,6 +1262,10 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                 # x100 would spend its budget on quantizer training
                 # (8 fits over 500 k rows) for no added plan signal.
                 + ([("q_sim_pq_adc", ddir)] if factor == 10 else [])
+                # IVFxPQ composed index at x10 only (r14): same budget
+                # reasoning as pq_adc — the x100 point would spend its
+                # wall on quantizer training for no added plan signal.
+                + ([("q_sim_ivfpq_topk", ddir)] if factor == 10 else [])
                 + [(n, ddir) for n in DOC_EXT]
                 + [(n, gdir) for n in GRAPH_EXT]
             ):

@@ -1996,3 +1996,115 @@ def test_lakefeed_reads_across_rename_commit(spark, tmp_path):
         assert got == exp, f"v{hi} mismatch across the rename"
     assert {r[2] for r in by_v[4]} == {"update_postimage"}
     assert all(r[1] == "X" for r in by_v[4])
+
+
+def _mk_writer(table_dir, names=("k", "cents", "st"), **opts):
+    from pyspark.sql import types as T
+
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    typ = {"k": T.LongType(), "cents": T.LongType(), "st": T.StringType()}
+    schema = T.StructType([T.StructField(n, typ[n]) for n in names])
+    return lf._LakeFeedStreamWriter(
+        {"table_dir": table_dir, "key": "k", **opts}, schema
+    )
+
+
+def test_lakefeed_sink_writer_protocol(spark, tmp_path):
+    """r14 native sink internals, driven without a stream: incremental
+    per-bucket staging (one file per occupied bucket per task, stats
+    harvested across batches), batch-id idempotent commits, abort
+    cleanup, and the layout-change refusal."""
+    import pyarrow as pa
+
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    table_dir = str(tmp_path / "mirror")
+    w = _mk_writer(table_dir)
+    batches = [
+        pa.RecordBatch.from_pydict(
+            {
+                "k": [i, i + 16, i + 32],
+                "cents": [10 * i, 11 * i, 12 * i],
+                "st": ["a", "b", "c"],
+            }
+        )
+        for i in (1, 2, 1)  # bucket 1 twice, bucket 2 once
+    ]
+    msg = w.write(iter(batches))
+    # one file per OCCUPIED bucket even across multiple batches
+    assert len(msg.files) == 2
+    by_bucket = {lf._bucket_of(p): (p, mn, mx, n) for p, mn, mx, n in msg.files}
+    assert by_bucket[1][3] == 6 and by_bucket[2][3] == 3
+    assert by_bucket[1][1] == 1 and by_bucket[1][2] == 33  # cross-batch stats
+    w.commit([msg], batchId=0)
+    assert lf._latest_version(table_dir) == 1
+    head = lh.snapshot_read(spark, table_dir)
+    assert head.count() == 9
+
+    # redelivery of the SAME batch id: skipped, duplicates dropped
+    msg2 = w.write(iter(batches))
+    dup_paths = [p for p, *_ in msg2.files]
+    w.commit([msg2], batchId=0)
+    assert lf._latest_version(table_dir) == 1
+    assert not any(os.path.exists(p) for p in dup_paths)
+    assert lh.snapshot_read(spark, table_dir).count() == 9
+
+    # a NEW batch id appends one version
+    msg3 = w.write(
+        iter(
+            [
+                pa.RecordBatch.from_pydict(
+                    {"k": [100], "cents": [1], "st": ["z"]}
+                )
+            ]
+        )
+    )
+    w.commit([msg3], batchId=1)
+    assert lf._latest_version(table_dir) == 2
+    assert lh.snapshot_read(spark, table_dir).count() == 10
+
+    # abort drops staged files without touching the table
+    msg4 = w.write(
+        iter(
+            [pa.RecordBatch.from_pydict({"k": [5], "cents": [2], "st": ["y"]})]
+        )
+    )
+    w.abort([msg4], batchId=2)
+    assert not any(os.path.exists(p) for p, *_ in msg4.files)
+    assert lf._latest_version(table_dir) == 2
+
+    # layout change under a live sink: refused loudly at commit
+    lh.rebucket(spark, table_dir, 2, key="k", n_buckets=8)
+    msg5 = w.write(
+        iter(
+            [pa.RecordBatch.from_pydict({"k": [6], "cents": [3], "st": ["x"]})]
+        )
+    )
+    with pytest.raises(ValueError, match="changed under a live"):
+        w.commit([msg5], batchId=3)
+
+
+def test_lakefeed_sink_refuses_unsupported_tables(spark, tmp_path):
+    """The sink cannot evaluate CHECK constraints / identity / generated
+    columns in the runner process — stream start must refuse loudly."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources.loaders import load
+
+    table_dir = str(tmp_path / "lake")
+    o = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 100).alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    lh.snapshot_write(
+        o, table_dir, key="k", constraints=["cents >= 0"]
+    )
+    with pytest.raises(ValueError, match="constraints"):
+        _mk_writer(table_dir)
+    # schema mismatch is refused too (append-only exact-schema sink)
+    t2 = str(tmp_path / "lake2")
+    lh.snapshot_write(o.select("k", "cents"), t2, key="k")
+    with pytest.raises(ValueError, match="exact schema"):
+        _mk_writer(t2)

@@ -339,6 +339,8 @@ def test_plan_hygiene_no_unbounded_pair_scans(spark):
         "q_pipeline_semantic_dedup",  # corpus × 8-row stored-centroid broadcast (linear assignment scan) + 1-row cert flags
         "q_sim_ann_lsh",           # exact-twin bounded query set + 1-row cert flags
         "q_sim_pq_adc",            # bounded query LUTs (10 rows, KB each) × coded corpus — the ADC scan is the linear pass + exact-twin cert flags
+        "q_sim_ivfpq_topk",        # corpus × broadcast k-row quantizer (linear assignment) + bounded query LUTs × probed lists + 1-row cert flags
+        "q_pipeline_incremental_semantic",  # corpus/batch × broadcast k-row stored centroids (linear assignment scans)
         "q_sim_neardup_lsh",       # 1-row certificate-flag crossJoins (scalar)
         "q_dedup_minhash_lsh",     # 1-row certificate-flag crossJoins (scalar)
         "q_graph_triangles",       # 1-row scalar total broadcast
