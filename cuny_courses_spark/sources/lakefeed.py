@@ -670,23 +670,43 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
                 )
             self.colmap = _colmap_of(doc)
             self.n_buckets = int(props.get("n_buckets", 16))
-            phys_in = {self.colmap.get(n, n) for n in self.names}
+            phys_of = {n: self.colmap.get(n, n) for n in self.names}
+            phys_in = set(phys_of.values())
             dropped = phys_in & set(props.get("dropped_phys") or [])
             if dropped:
                 raise ValueError(
                     f"batch re-introduces dropped column(s) {sorted(dropped)}"
                 )
-            manifest_phys = {
-                f["name"] for f in (doc.get("schema") or {"fields": []})[
-                    "fields"
-                ]
-            }
-            if phys_in != manifest_phys:
+            mfields = (doc.get("schema") or {"fields": []})["fields"]
+            manifest_phys = {f["name"] for f in mfields}
+            if not manifest_phys <= phys_in:
                 raise ValueError(
-                    "lakefeed sink is append-only with an exact schema "
-                    f"match: stream writes {sorted(phys_in)}, table has "
-                    f"{sorted(manifest_phys)} — widen via the batch API"
+                    "lakefeed sink is append-only and ADDITIVE: the "
+                    f"stream omits table column(s) "
+                    f"{sorted(manifest_phys - phys_in)} — a narrowed "
+                    "write would hide existing data"
                 )
+            # shared columns must keep their types (no silent retype)
+            stream_fields = {
+                phys_of[f["name"]]: f
+                for f in schema.jsonValue()["fields"]
+            }
+            for f in mfields:
+                sf_ = stream_fields.get(f["name"])
+                if sf_ is not None and sf_["type"] != f["type"]:
+                    raise ValueError(
+                        f"column {f['name']!r} retyped "
+                        f"{f['type']!r} → {sf_['type']!r} — refused "
+                        "(the additive-evolution contract)"
+                    )
+            # ADDITIVE WIDEN (the format's evolution contract): columns
+            # the stream carries beyond the manifest schema are appended
+            # to it on this sink's first commit; parent files read the
+            # new columns as null through the manifest-schema read path.
+            self._extra_fields = [
+                dict(stream_fields[p], name=p)
+                for p in sorted(phys_in - manifest_phys)
+            ]
             self.props = props or None
             self.schema_json = doc.get("schema")
         else:
@@ -698,6 +718,7 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
                 else None
             )
             self.schema_json = schema.jsonValue()
+            self._extra_fields = []
         self.key_phys = self.colmap.get(self.key, self.key)
 
     # -- executor side -----------------------------------------------------
@@ -811,6 +832,19 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
                 added.update({p: head + 1 for p in new_files})
                 dvs = parent.get("dvs")
                 schema = parent.get("schema")
+                if self._extra_fields and schema is not None:
+                    # additive widen: append the stream's new columns to
+                    # the manifest schema once (older files null-fill)
+                    have = {f["name"] for f in schema["fields"]}
+                    add = [
+                        f
+                        for f in self._extra_fields
+                        if f["name"] not in have
+                    ]
+                    if add:
+                        schema = dict(
+                            schema, fields=schema["fields"] + add
+                        )
                 props = parent.get("props") or None
                 pgroups = _read_list(self.table_dir, head).get("groups")
             else:

@@ -2103,8 +2103,57 @@ def test_lakefeed_sink_refuses_unsupported_tables(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="constraints"):
         _mk_writer(table_dir)
-    # schema mismatch is refused too (append-only exact-schema sink)
+    # NARROWING is refused (a write omitting a table column would hide
+    # existing data); retypes are refused too
     t2 = str(tmp_path / "lake2")
-    lh.snapshot_write(o.select("k", "cents"), t2, key="k")
-    with pytest.raises(ValueError, match="exact schema"):
-        _mk_writer(t2)
+    lh.snapshot_write(o, t2, key="k")
+    with pytest.raises(ValueError, match="omits"):
+        _mk_writer(t2, names=("k", "cents"))
+    from pyspark.sql import types as T
+
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    with pytest.raises(ValueError, match="retyped"):
+        lf._LakeFeedStreamWriter(
+            {"table_dir": t2, "key": "k"},
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField("cents", T.StringType()),  # retype
+                    T.StructField("st", T.StringType()),
+                ]
+            ),
+        )
+
+
+def test_lakefeed_sink_additive_widen(spark, tmp_path):
+    """r14: a sink stream carrying NEW columns widens the manifest
+    schema additively on its first commit — parent files read the new
+    column as null (the format's evolution contract, now owned by the
+    connector instead of refused)."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "lake")
+    base = spark.range(20).select(
+        (F.col("id") + 1).alias("k"), (F.col("id") * 10).alias("cents")
+    )
+    lh.snapshot_write(base, table_dir, key="k")
+    w = _mk_writer(table_dir)  # stream schema (k, cents, st) ⊃ table
+    msg = w.write(
+        iter(
+            [
+                pa.RecordBatch.from_pydict(
+                    {"k": [100, 101], "cents": [7, 8], "st": ["n", "n"]}
+                )
+            ]
+        )
+    )
+    w.commit([msg], batchId=0)
+    head = lh.snapshot_read(spark, table_dir)
+    assert set(head.columns) == {"k", "cents", "st"}
+    assert head.count() == 22
+    # pre-widen rows null-fill the new column; new rows carry it
+    assert head.filter(F.col("st").isNull()).count() == 20
+    assert head.filter(F.col("st") == "n").count() == 2
