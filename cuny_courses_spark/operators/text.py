@@ -1201,6 +1201,11 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def tokenize_batches(batches):
         def word_tokens(w: str) -> int:
+            if not w:
+                # consecutive-delimiter empty word: DuckDB's
+                # string_split('', '') is [''] — one (empty) token, not
+                # zero; mirror it so double-space corpora stay hash-equal
+                return 1
             toks = list(w)
             while len(toks) > 1:
                 best_rank, best_i = None, -1

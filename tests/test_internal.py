@@ -580,3 +580,39 @@ def test_ivf_adaptive_k_law_and_trainer_determinism(spark):
     ca = np.array(sorted([r["centroid"] for r in a]))
     cb = np.array(sorted([r["centroid"] for r in b]))
     assert np.array_equal(ca, cb)
+
+
+def test_bpe_merges_agrees_with_duckdb_on_empty_words(spark):
+    """r14 self-review: consecutive delimiters produce EMPTY words —
+    DuckDB's string_split('', '') is [''] (one empty token) while
+    Python's list('') is []. Both engines must agree on a corpus that
+    actually contains double spaces (the driver corpus happens not to)."""
+    import tempfile
+
+    import pandas as pd
+
+    from cuny_courses_spark.oracle import duck_con
+    from cuny_courses_spark.registry import oracles
+
+    d = tempfile.mkdtemp(prefix="bpe_edge_")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["the  cat", " leading and trailing "],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    got = (
+        _QS["q_text_bpe_merges"](spark, d)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duck_con(d)
+        .execute(oracles()["q_text_bpe_merges"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_bpe_tokens"].tolist() == exp["n_bpe_tokens"].tolist()
+    assert got["n_ws_tokens"].tolist() == exp["n_ws_tokens"].tolist()
