@@ -99,11 +99,6 @@ SMALL_INPUT_BYTES = 4 << 30  # 4 GiB
 # LARGE profile, which is the safe direction).
 SMALL_INPUT_ROWS = 25_000_000
 
-# Above this row count the shuffle-partition count steps 32 -> 64 (the
-# "huge" local tier — see tune_for_input's sweep note; the x50/x100
-# amplified layouts land here, the driver SFs and x10/x20 never do).
-HUGE_INPUT_ROWS = 40_000_000
-
 # Effective-size multiplier for the documents table (see _input_stats):
 # shingle/token-index operators turn each text byte into roughly
 # tokens/byte (~0.2) × shingle-string bytes (~24) × self-join fan-out
@@ -245,28 +240,18 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     itself. Runtime-settable, so it works on driver-owned sessions too.
     """
     small = is_small_input(sf_dir)
-    # Partition count is a 3-level switch (8 small / 32 large / 64 huge):
-    # a controlled in-process sweep of {8,16,32} at the ×10 and ×20 bench
-    # points showed the 8-vs-32 knob is BELOW the run-to-run noise floor
-    # there — same conclusion as BASELINE.md's row-group × partitions
-    # sweep — but at the ×100 point (≥ 40M input rows) 64 partitions won
-    # consistently on every heavy query tested (r14: q16 −33%, q21 −22%,
-    # q18 −13%, ewma −12%, stream_session/median/q13 neutral-to-better):
-    # with 32 threads, 32 heavy partitions finish in one skew-exposed
-    # wave, while 64 gives the scheduler a second wave to rebalance.
-    # On a real cluster cluster_confs() sizes partitions from input
-    # bytes instead.
-    _b, n_rows = _input_stats(sf_dir)
+    # Partition count stays a 2-level switch (8 small / 32 large): a
+    # controlled in-process sweep of {8,16,32} at the ×10 and ×20 bench
+    # points showed the knob is BELOW the run-to-run noise floor (a
+    # repeated parts=8 lap beat the parts=32 lap that had just beaten the
+    # first parts=8 lap) — same conclusion as BASELINE.md's row-group ×
+    # partitions sweep. Graduating it by row count adds plan churn for
+    # no measurable win at local scale; on a real cluster
+    # cluster_confs() sizes partitions from input bytes instead.
     want = {
         "spark.sql.adaptive.enabled": "false" if small else "true",
         "spark.sql.shuffle.partitions": (
-            "8"
-            if small
-            else (
-                "64"
-                if n_rows >= HUGE_INPUT_ROWS
-                else RUNTIME_CONFS["spark.sql.shuffle.partitions"]
-            )
+            "8" if small else RUNTIME_CONFS["spark.sql.shuffle.partitions"]
         ),
     }
     for k, v in want.items():
