@@ -375,3 +375,93 @@ def q_scan_python_datasource_stream(
         )
         .withColumn("n_data_batches", F.lit(n_data_batches).cast("long"))
     )
+
+
+@register(
+    "q_scan_xml",
+    oracle="SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip of ``supplier`` via Spark 4's NATIVE XML source
+    (spark-xml graduated into core): write with rowTag elements, read
+    back under an EXPLICIT schema (no inference — the same typed-at-the-
+    boundary posture as the CSV/JSON scans). XML is the remaining
+    enterprise interchange format the engine speaks after
+    csv/json/orc/parquet/text/binary; the oracle reads the parquet view,
+    so values must survive the markup round-trip (incl. entity escaping)
+    bit-exactly. Spark parallelizes the read per file; at 100 TB the
+    row-tag splitter streams within files too."""
+    from pyspark.sql import types as T
+
+    out = _io_dir(sf_dir, "supplier_xml")
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    s.write.mode("overwrite").format("xml").option(
+        "rowTag", "supplier"
+    ).option("rootTag", "suppliers").save(out)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.LongType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schema)
+        .load(out)
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+@register(
+    "q_scan_binaryfile",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id % 50 = 1
+""",
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPAQUE-FILE INGESTION via the ``binaryFile`` source — the scan
+    half of the multimodal story (§2 K2 treats image/audio/video as
+    binary columns; THIS is how those bytes enter the engine from a
+    directory of media files): each file becomes one row of (path,
+    modificationTime, length, content), here a deterministic slice of
+    ``documents`` materialized as one .bin file per doc (utf-8 bytes).
+    The query recovers the doc id from the file NAME, the byte length
+    from the source's own ``length`` column (never len(content) — the
+    column is the metadata the source contracts to supply), and an md5
+    of the content bytes JVM-side. The oracle recomputes length + md5
+    from the parquet text — so a truncated read, an encoding mangle, or
+    a path-to-id mix-up all hash-FAIL. At 100 TB: files are split-free
+    units, listed and read in parallel; pair with mapInPandas decoders
+    (functions/multimodal.py) for the feature-extraction stage."""
+    import os as _os
+    import shutil as _shutil2
+
+    out = _io_dir(sf_dir, "docs_bin")
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 1
+    )
+    _shutil2.rmtree(out, ignore_errors=True)  # no stale-file carryover
+    _os.makedirs(out, exist_ok=True)
+    # deterministic tiny fixture (bounded slice): one file per doc,
+    # written driver-side — the ingest direction under test is READ
+    for r in docs.select("doc_id", "text").collect():
+        with open(_os.path.join(out, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(out)
+    return back.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"doc_(\d+)\.bin", 1
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
