@@ -404,7 +404,7 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("s_suppkey", T.LongType()),
             T.StructField("s_name", T.StringType()),
-            T.StructField("s_nationkey", T.LongType()),
+            T.StructField("s_nationkey", T.IntegerType()),
         ]
     )
     return (
