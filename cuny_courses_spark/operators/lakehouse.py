@@ -6044,6 +6044,9 @@ def q_lake_stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("lakefeed")
         .option("table_dir", table_dir)
         .option("key", "k")
+        # pin one-commit-per-batch CDC slices (the source defaults to
+        # the ecosystem drain-all-available rate control, r14)
+        .option("maxVersionsPerTrigger", "1")
         .load()
     )
     name = "cdc_sink_" + _uuid.uuid4().hex[:12]
@@ -6397,6 +6400,8 @@ def q_lake_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.format("lakefeed")
             .option("table_dir", src_dir)
             .option("key", "k")
+            .option("maxVersionsPerTrigger", "1")  # one mirror snapshot
+            # per source commit (the source defaults to drain-all, r14)
             .load()
             .writeStream.format("lakefeed")
             .option("table_dir", mir_dir)
@@ -6703,6 +6708,7 @@ def q_lake_stream_preimages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("key", "k")
         .option("preimages", "true")
         .option("startingVersion", "2")
+        .option("maxVersionsPerTrigger", "1")  # pins n_batches = 3
         .load()
         .writeStream.format("memory")
         .queryName(name)

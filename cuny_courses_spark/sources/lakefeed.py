@@ -7,15 +7,19 @@ READ — ``spark.readStream.format("lakefeed").option("table_dir", d)
 micro-batched change feed:
 
 - **offsets = snapshot versions.** ``initialOffset`` is version 0
-  (nothing consumed); ``latestOffset`` advances up to
-  ``maxVersionsPerTrigger`` versions per trigger (default 1) toward the
-  table's HEAD (pointer + forward probe — the same O(1) resolution main
-  readers use). Batch 1 is the v1 snapshot as inserts (Delta's
-  ``startingVersion=0`` initial load). ``coalesceCatchup=true`` adds the
-  cold-start fast path: a batch spanning k versions is computed as ONE
-  signature diff v_start→v_end (net changes, ``_commit_version`` =
-  v_end) instead of k per-version diffs — intermediate states cancel,
-  which is exactly what a consumer 10,000 commits behind wants.
+  (nothing consumed) or ``startingVersion − 1``; ``latestOffset``
+  advances toward the table's HEAD (pointer + forward probe — the same
+  O(1) resolution main readers use), consuming EVERYTHING available per
+  trigger by default — the Delta/Kafka rate-control contract, and the
+  behavior that makes ``trigger(availableNow=True)`` drain fully.
+  ``maxVersionsPerTrigger=N`` caps a trigger at N commits (N=1 pins
+  one-commit-per-batch CDC slices). The initial load is the v1 snapshot
+  as inserts (Delta's ``startingVersion=0``). ``coalesceCatchup=true``
+  adds the cold-start fast path: a batch spanning k versions is
+  computed as ONE signature diff v_start→v_end (net changes,
+  ``_commit_version`` = v_end) instead of k per-version diffs —
+  intermediate states cancel, which is exactly what a consumer 10,000
+  commits behind wants.
 - **partitions = changed buckets of (v−1, v].** The table is
   hash-bucketed by key, so a bucket's old and new files cover the same
   key space — the row-level diff is PARTITION-LOCAL: one InputPartition
@@ -314,9 +318,15 @@ class _LakeFeedStreamReader(DataSourceStreamReader):
         # snapshot as inserts). The offset cursor starts at V−1.
         self._start = max(0, int(_opt(options, "startingVersion", 1)) - 1)
         self._pos = self._start
-        self.max_versions = max(
-            1, int(_opt(options, "maxVersionsPerTrigger", 1))
-        )
+        # Rate control, the ecosystem default (Delta maxFilesPerTrigger
+        # unset / Kafka maxOffsetsPerTrigger unset): consume EVERYTHING
+        # available per trigger. 0/unset = unbounded — which is also
+        # what makes ``trigger(availableNow=True)`` correct (its end
+        # offset is captured from ONE latestOffset call; a rate-limited
+        # default would silently under-drain it, r14 probe). Set
+        # maxVersionsPerTrigger=1 to pin one-commit-per-batch CDC
+        # consumption.
+        self.max_versions = int(_opt(options, "maxVersionsPerTrigger", 0) or 0)
         self.coalesce = (
             str(_opt(options, "coalesceCatchup", "false")).lower() == "true"
         )
@@ -334,9 +344,12 @@ class _LakeFeedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         head = _latest_version(self.table_dir)
-        self._pos = max(
-            self._pos, min(self._pos + self.max_versions, head)
+        nxt = (
+            head
+            if self.max_versions <= 0
+            else min(self._pos + self.max_versions, head)
         )
+        self._pos = max(self._pos, nxt)
         return {"version": self._pos}
 
     def _ensure_resolved(self) -> None:

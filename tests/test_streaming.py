@@ -634,3 +634,52 @@ def test_lakefeed_restart_resumes_from_checkpoint(spark, tmp_path):
         r["_commit_version"]
         for r in sink.select("_commit_version").distinct().collect()
     ) == {1, 2, 3, 4}
+
+
+def test_lakefeed_available_now_drains_fully(spark, tmp_path):
+    """r14: the source defaults to drain-all-available rate control
+    (Delta/Kafka contract) — so ``trigger(availableNow=True)`` captures
+    the TRUE head in its one latestOffset call, processes every commit,
+    and terminates. Under the old one-version-per-trigger default this
+    silently under-drained (only v1 arrived)."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.operators import lakehouse as lh
+    from cuny_courses_spark.sources.lakefeed import ensure_registered
+    from cuny_courses_spark.sources.loaders import load
+    from tests.conftest import SF_DIR
+
+    table_dir = str(tmp_path / "lake")
+    src = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st")
+    )
+    lh.snapshot_write(src.filter(F.col("k") % 3 == 0), table_dir, key="k")
+    lh.append_snapshot(
+        table_dir, 1, src.filter(F.col("k") % 3 == 1), key="k", batch_id=1
+    )
+    lh.append_snapshot(
+        table_dir, 2, src.filter(F.col("k") % 3 == 2), key="k", batch_id=2
+    )
+    ensure_registered(spark)
+    name = "an_full_drain"
+    q = (
+        spark.readStream.format("lakefeed")
+        .option("table_dir", table_dir)
+        .option("key", "k")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query must terminate"
+    sink = spark.table(name)
+    assert sink.count() == src.count()  # ALL three commits arrived
+    assert {
+        r["_commit_version"]
+        for r in sink.select("_commit_version").distinct().collect()
+    } == {1, 2, 3}
