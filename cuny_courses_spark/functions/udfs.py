@@ -245,3 +245,57 @@ def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n"),
         F.sum("c_sum").cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "q_udf_apply_in_arrow",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5),
+             4) AS median_cents
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` — Spark 4's GROUPED Arrow-native UDF
+    (the fifth Python execution mode, completing the M family next to
+    pandas_udf / applyInPandas / mapInPandas / mapInArrow): each group
+    arrives as ONE ``pyarrow.Table`` with zero pandas materialization,
+    the shape for per-group logic that needs the WHOLE group and speaks
+    columnar — here an exact per-status median of fixed-point cents
+    (medians are the canonical can't-partial-aggregate statistic). The
+    median of int64 cents has at most a .5 fraction, exactly
+    representable — so numpy's linear interpolation and DuckDB's
+    quantile_cont agree bit-for-bit and the hash comparison is sound.
+    At 100 TB: one shuffle on the group key, each group processed
+    columnar in a single worker pass; groups must fit a task (the same
+    contract as any grouped-map UDF — salt or pre-aggregate when they
+    don't)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(
+                    [t.column("o_orderstatus")[0].as_py()], pa.string()
+                ),
+                "n": pa.array([len(cents)], pa.int64()),
+                "median_cents": pa.array(
+                    [float(np.median(cents))], pa.float64()
+                ),
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    return o.groupBy("o_orderstatus").applyInArrow(
+        stats, "o_orderstatus string, n long, median_cents double"
+    )
