@@ -1458,3 +1458,101 @@ def q_pipeline_shard_assignment(
         .cast("long")
         .alias("first_doc"),
     )
+
+
+@register(
+    "q_pipeline_multimodal_ingest",
+    oracle="""
+WITH files AS (
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname, text
+    FROM documents WHERE doc_id % 20 = 3
+    UNION ALL
+    SELECT 'dup_' || CAST(doc_id AS VARCHAR) || '.bin', text
+    FROM documents WHERE doc_id % 40 = 3
+), hashed AS (
+    SELECT fname, md5(text) AS h, strlen(text) AS nb FROM files
+), canon AS (
+    SELECT h, count(*) AS n_files, min(nb) AS nb
+    FROM hashed GROUP BY h
+)
+SELECT CAST(('0x' || substring(h, 1, 8))::BIGINT % 8 AS BIGINT) AS shard,
+       CAST(sum(n_files) AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n_files) - count(*) AS BIGINT) AS n_dupes_removed,
+       CAST(sum(nb) AS BIGINT) AS sum_bytes
+FROM canon GROUP BY shard
+""",
+)
+def q_pipeline_multimodal_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END MULTIMODAL INGEST (r14, beyond the verdict list —
+    stitches the K2 story into one declarative pipeline): a directory of
+    opaque media files (here .bin blobs, incl. planted DUPLICATE copies
+    under different names — the re-crawled-asset reality) flows through
+
+    · the ``binaryFile`` source (one row per file: path/length/content),
+    · content fingerprinting (md5 of the BYTES, JVM-side),
+    · exact content dedup (groupBy hash — a re-uploaded copy under a
+      new name is the same asset),
+    · deterministic shard assignment via the repo's portable md5-prefix
+      hash contract (same content → same shard, on any engine, any
+      partitioning — the q_pipeline_shard_assignment law applied to
+      content hashes),
+
+    emitting per-shard file/unique/dupe counts and unique byte volume —
+    the manifest a downstream decode/feature-extract stage
+    (functions/multimodal.py's mapInPandas seam) consumes. The oracle
+    recomputes everything from the parquet text, so a truncated read, a
+    hash mismatch, a dedup miss, or a shard-law drift all hash-FAIL.
+    At 100 TB: files never shuffle — only (hash, length) pairs do; the
+    content bytes stay in the scan stage."""
+    import os as _os
+    import shutil as _shutil
+
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    out = _io_dir(sf_dir, "mm_ingest")
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 3
+    )
+    _shutil.rmtree(out, ignore_errors=True)
+    _os.makedirs(out, exist_ok=True)
+    # bounded fixture write (the ingest direction under test is READ):
+    # one file per doc + a duplicate COPY under a different name for
+    # every second doc — same bytes, new name, the recrawl shape
+    for r in docs.select("doc_id", "text").collect():
+        data = r["text"].encode("utf-8")
+        with open(_os.path.join(out, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(data)
+        if r["doc_id"] % 40 == 3:
+            with open(
+                _os.path.join(out, f"dup_{r['doc_id']}.bin"), "wb"
+            ) as f:
+                f.write(data)
+    hashed = (
+        spark.read.format("binaryFile")
+        .load(out)
+        .select(
+            F.md5("content").alias("h"),
+            F.col("length").alias("nb"),
+        )
+    )
+    canon = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_files"), F.min("nb").alias("nb")
+    )
+    shard = (
+        F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long") % 8
+    ).alias("shard")
+    return (
+        canon.select(shard, "n_files", "nb")
+        .groupBy("shard")
+        .agg(
+            F.sum("n_files").cast("long").alias("n_files"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (F.sum("n_files") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_dupes_removed"),
+            F.sum("nb").cast("long").alias("sum_bytes"),
+        )
+    )
