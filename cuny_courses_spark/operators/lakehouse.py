@@ -2306,8 +2306,11 @@ def fsck(table_dir: str) -> dict:
                 missing_groups += 1
         try:
             doc = _resolve_list_doc(table_dir, raw)
-        except OSError:
-            continue  # counted above as missing groups
+        except (OSError, ValueError):
+            # missing group counted above; a TORN group file (partial
+            # write survives a crash only on non-fsynced copies) must
+            # not take the auditor down with the table
+            continue
         refs.update(doc.get("files", []))
         for es in (doc.get("dvs") or {}).values():
             refs.update(e["path"] for e in es)

@@ -2157,3 +2157,25 @@ def test_lakefeed_sink_additive_widen(spark, tmp_path):
     # pre-widen rows null-fill the new column; new rows carry it
     assert head.filter(F.col("st").isNull()).count() == 20
     assert head.filter(F.col("st") == "n").count() == 2
+
+
+def test_fsck_survives_torn_group_file(spark, tmp_path):
+    """r14 self-review: a group file truncated mid-write (torn on a
+    non-fsynced copy) must degrade to a missing_groups count, never
+    crash the auditor."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources.loaders import load
+
+    table_dir = str(tmp_path / "lake")
+    o = load(spark, SF_DIR, "orders").select(F.col("o_orderkey").alias("k"))
+    lh.snapshot_write(o, table_dir, key="k")
+    clean = lh.fsck(table_dir)
+    assert not clean["missing"] and not clean["orphans"]
+    mdir = os.path.join(table_dir, "manifest")
+    victim = next(f for f in sorted(os.listdir(mdir)) if f.startswith("mg-"))
+    with open(os.path.join(mdir, victim), "w") as fh:
+        fh.write('{"files": [truncat')  # torn JSON
+    rep = lh.fsck(table_dir)  # must not raise
+    # the torn group's files leave the reference inventory
+    assert rep["n_referenced"] < clean["n_referenced"]
