@@ -616,3 +616,29 @@ def test_bpe_merges_agrees_with_duckdb_on_empty_words(spark):
     )
     assert got["n_bpe_tokens"].tolist() == exp["n_bpe_tokens"].tolist()
     assert got["n_ws_tokens"].tolist() == exp["n_ws_tokens"].tolist()
+
+
+def test_np_kmeans_big_large_k_path_deterministic_and_exact_k():
+    """r14: the large-k trainer branch (seeded random init above k=256,
+    float32 GEMM assignment) must be deterministic across calls, emit
+    EXACTLY k centroids even when the corpus has fewer rows than k
+    (padding with replacement), and produce no NaNs."""
+    import numpy as np
+
+    from cuny_courses_spark.operators.similarity import _np_kmeans_big
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((2000, 16))
+    a = _np_kmeans_big(X, 300, seed=42)
+    b = _np_kmeans_big(X, 300, seed=42)
+    assert a.shape == (300, 16)
+    assert np.array_equal(a, b)
+    assert np.isfinite(a).all()
+    # small-k branch (incremental k-means++) same contracts
+    c = _np_kmeans_big(X, 16, seed=42)
+    assert c.shape == (16, 16) and np.isfinite(c).all()
+    assert np.array_equal(c, _np_kmeans_big(X, 16, seed=42))
+    # corpus smaller than k: padded with replacement, still exactly k
+    small = rng.standard_normal((50, 16))
+    d = _np_kmeans_big(small, 300, seed=42)
+    assert d.shape == (300, 16) and np.isfinite(d).all()

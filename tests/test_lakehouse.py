@@ -2179,3 +2179,62 @@ def test_fsck_survives_torn_group_file(spark, tmp_path):
     rep = lh.fsck(table_dir)  # must not raise
     # the torn group's files leave the reference inventory
     assert rep["n_referenced"] < clean["n_referenced"]
+
+
+def test_lakefeed_coalesced_diff_equals_incremental_diff_endpoints(
+    spark, tmp_path
+):
+    """r14: coalesceCatchup's one-shot batch (signature diff of the
+    batch ENDPOINTS) must equal incremental_diff(v_start, v_end) row
+    for row — including across a CoW merge AND a DV-only MoR delete
+    whose intermediate states cancel."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources import lakefeed as lf
+    from cuny_courses_spark.sources.loaders import load
+
+    table_dir = str(tmp_path / "lake")
+    src = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st")
+    )
+    lh.snapshot_write(src.filter(F.col("k") % 5 != 0), table_dir, key="k")
+    lh.append_snapshot(
+        table_dir,
+        1,
+        src.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 == 0)),
+        key="k",
+        batch_id=1,
+    )
+    upd = src.filter((F.col("k") % 97 == 0) & (F.col("k") % 89 != 0)).select(
+        "k", F.lit("X").alias("st"), F.lit(False).alias("_del")
+    )
+    dels = src.filter(F.col("k") % 89 == 0).select(
+        "k", F.lit(None).cast("string").alias("st"), F.lit(True).alias("_del")
+    )
+    lh.merge_upsert(
+        spark, table_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
+    )
+    lh.delete_merge_on_read(
+        spark, table_dir, 3, src.filter(F.col("k") % 101 == 5), key="k"
+    )
+    rdr = lf._LakeFeedStreamReader(
+        {
+            "table_dir": table_dir,
+            "key": "k",
+            "coalesceCatchup": "true",
+        },
+        ["k", "st"],
+    )
+    parts = rdr.partitions({"version": 1}, {"version": 4})
+    rows = lf.feed_rows(rdr, parts)
+    assert rows, "coalesced batch must carry the net changes"
+    # every coalesced row is stamped with the END version
+    assert {r[3] for r in rows} == {4}
+    got = sorted((r[0], r[1], r[2]) for r in rows)
+    exp = sorted(
+        (r["k"], r["st"], r["_change_type"])
+        for r in lh.incremental_diff(
+            spark, table_dir, 1, 4, key="k"
+        ).collect()
+    )
+    assert got == exp
