@@ -683,3 +683,52 @@ def test_lakefeed_available_now_drains_fully(spark, tmp_path):
         r["_commit_version"]
         for r in sink.select("_commit_version").distinct().collect()
     } == {1, 2, 3}
+
+
+def test_lakefeed_available_now_through_native_sink(spark, tmp_path):
+    """r14: the one-shot mirror job — readStream(lakefeed) →
+    writeStream(lakefeed) under trigger(availableNow=True) — drains the
+    whole source history, commits it through the connector, terminates,
+    and a SECOND one-shot run (fresh checkpoint, same sink_id) is fully
+    idempotent: the rerun redelivers everything and the stamps skip it."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.operators import lakehouse as lh
+    from cuny_courses_spark.sources.lakefeed import ensure_registered
+    from cuny_courses_spark.sources.loaders import load
+    from tests.conftest import SF_DIR
+
+    src_dir = str(tmp_path / "src")
+    mir_dir = str(tmp_path / "mirror")
+    src = load(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st")
+    )
+    lh.snapshot_write(src.filter(F.col("k") % 3 == 0), src_dir, key="k")
+    lh.append_snapshot(
+        src_dir, 1, src.filter(F.col("k") % 3 != 0), key="k", batch_id=1
+    )
+    ensure_registered(spark)
+
+    def _one_shot(ckpt: str) -> None:
+        q = (
+            spark.readStream.format("lakefeed")
+            .option("table_dir", src_dir)
+            .option("key", "k")
+            .load()
+            .writeStream.format("lakefeed")
+            .option("table_dir", mir_dir)
+            .option("key", "k")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "one-shot mirror must terminate"
+
+    _one_shot("ckpt1")
+    v1 = lh.latest_version(mir_dir)
+    n1 = lh.snapshot_read(spark, mir_dir).count()
+    assert n1 == src.count()  # both commits drained in the one shot
+    _one_shot("ckpt2")  # full redelivery from a fresh checkpoint
+    assert lh.latest_version(mir_dir) == v1  # stamps skipped everything
+    assert lh.snapshot_read(spark, mir_dir).count() == n1
