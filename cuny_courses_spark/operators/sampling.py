@@ -292,3 +292,67 @@ def q_sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n_docs_kept"),
         F.coalesce("t", F.lit(0)).cast("long").alias("tokens_kept"),
     )
+
+
+@register(
+    "q_sample_temperature_mix",
+    oracle="""
+WITH by_lang AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS tokens_total
+    FROM documents GROUP BY lang
+), z AS (
+    SELECT sum(CAST(tokens_total AS DOUBLE)) AS tot,
+           sum(pow(CAST(tokens_total AS DOUBLE), 0.3)) AS zt
+    FROM by_lang
+)
+SELECT lang, n_docs, tokens_total,
+       round(tokens_total / tot, 4) AS p_raw,
+       round(pow(CAST(tokens_total AS DOUBLE), 0.3) / zt, 4) AS p_alpha,
+       round((pow(CAST(tokens_total AS DOUBLE), 0.3) / zt)
+             / (tokens_total / tot), 4) AS boost
+FROM by_lang, z
+""",
+)
+def q_sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED MIXTURE PLANNING (the mC4/PaLM α-sampling
+    law, α = 0.3): the sampling proportion of language i becomes
+    p_i ∝ tokens_i^α — flattening the natural distribution so
+    low-resource languages are up-weighted without going uniform. This
+    is the PLANNER half of mixture construction (what proportions to
+    train on); the EXECUTION half — integer-exact ppm keep fractions
+    per language — is ``q_sample_mixture_weights``. Emitted per
+    language: exact integer corpus stats, the natural share, the
+    α-share, and the boost factor p_α/p_raw (the number a mixing run
+    multiplies each language's sampling rate by). Float columns follow
+    the text family's precedent (4-dp rounding; libm-vs-JVM pow drift
+    is ~1 ulp, far below the grain). One tiny shuffle (|langs| groups);
+    corpus rows are touched once, map-side."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias(
+            "ntok"
+        ),
+    )
+    by_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("tokens_total"),
+    )
+    z = by_lang.agg(
+        F.sum(F.col("tokens_total").cast("double")).alias("tot"),
+        F.sum(F.pow(F.col("tokens_total").cast("double"), 0.3)).alias(
+            "zt"
+        ),
+    )
+    p_raw = F.col("tokens_total") / F.col("tot")
+    p_alpha = F.pow(F.col("tokens_total").cast("double"), 0.3) / F.col("zt")
+    return by_lang.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "tokens_total",
+        F.round(p_raw, 4).alias("p_raw"),
+        F.round(p_alpha, 4).alias("p_alpha"),
+        F.round(p_alpha / p_raw, 4).alias("boost"),
+    )

@@ -349,6 +349,7 @@ def test_plan_hygiene_no_unbounded_pair_scans(spark):
         "q_dedup_substring_spans",  # 1-row corpus-total broadcasts (scalar)
         "q_text_perplexity",       # 1-row vocab-size V broadcast (scalar)
         "q_sample_mixture_weights",  # 1-row min-tokens budget broadcast (scalar)
+        "q_sample_temperature_mix",  # 1-row (tot, z_alpha) normalizer broadcast (scalar)
     }
     offenders = {}
     for name, fn in _QS.items():
