@@ -39,6 +39,12 @@ SHOW = [
      "r8 zero-exchange Q7: all builds broadcast; one agg exchange total"),
     ("q_sql_q5_local_volume",
      "r8 zero-exchange Q5: bounded oc broadcast; one agg exchange total"),
+    ("q_text_idf_top_terms",
+     "r14 Arrow-local preagg: tokenize+posting reduce inside one "
+     "mapInArrow stage; the single exchange is vocabulary-sized"),
+    ("q_pipeline_multimodal_ingest",
+     "r14 binaryFile ingest: content bytes stay in the scan stage; "
+     "only (hash, length) partials cross the exchanges"),
 ]
 
 KEY_LINES = re.compile(
