@@ -6575,6 +6575,10 @@ def q_lake_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.format("lakefeed")
             .option("table_dir", mir_dir)
             .option("key", "k")
+            # explicit sink id (Delta txnAppId posture): the r15 default
+            # is checkpoint-derived, so proving exactly-once across
+            # TOTAL checkpoint loss requires a user-pinned identity
+            .option("sinkId", "lakesink_mirror")
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .queryName("lakesink_" + _uuid.uuid4().hex[:8])

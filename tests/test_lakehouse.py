@@ -2159,6 +2159,162 @@ def test_lakefeed_sink_additive_widen(spark, tmp_path):
     assert head.filter(F.col("st") == "n").count() == 2
 
 
+def test_lakefeed_sink_commit_is_o1_manifest_reads(spark, tmp_path):
+    """r15 (r14 verdict wrong #1): replay detection rides the
+    ``props.txn`` stamp carried forward in every snapshot — commit cost
+    in manifest reads must stay CONSTANT as the table's history grows
+    (the r14 design re-read every version-list per commit: O(history²)
+    over a stream's lifetime)."""
+    import pyarrow as pa
+
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    table_dir = str(tmp_path / "mirror")
+    w = _mk_writer(table_dir)
+
+    def _commit_one(i: int) -> None:
+        msg = w.write(
+            iter(
+                [
+                    pa.RecordBatch.from_pydict(
+                        {"k": [i], "cents": [i], "st": ["s"]}
+                    )
+                ]
+            )
+        )
+        w.commit([msg], batchId=i)
+
+    reads_at: dict[int, int] = {}
+    real_read_list = lf._read_list
+    counter = {"n": 0}
+
+    def _counting(table_dir, v):
+        counter["n"] += 1
+        return real_read_list(table_dir, v)
+
+    lf._read_list = _counting
+    try:
+        for i in range(40):
+            if i in (5, 39):
+                counter["n"] = 0
+                _commit_one(i)
+                reads_at[i] = counter["n"]
+            else:
+                _commit_one(i)
+    finally:
+        lf._read_list = real_read_list
+    assert lf._latest_version(table_dir) == 40
+    # O(1): the 40th commit reads no more manifests than the 6th
+    assert reads_at[39] <= reads_at[5] <= 4, reads_at
+
+    # and a replay against the 40-version table is ONE head read
+    msg = w.write(
+        iter([pa.RecordBatch.from_pydict({"k": [1], "cents": [1], "st": ["s"]})])
+    )
+    lf._read_list = _counting
+    counter["n"] = 0
+    try:
+        w.commit([msg], batchId=7)  # ≤ latest stamp (39) → replay
+    finally:
+        lf._read_list = real_read_list
+    assert lf._latest_version(table_dir) == 40  # head unmoved
+    assert counter["n"] <= 2, counter["n"]
+
+
+def test_lakefeed_sink_txn_stamp_survives_batch_writer_commits(
+    spark, tmp_path
+):
+    """The txn stamp must ride props THROUGH interleaved batch-writer
+    commits (they all carry parent props forward) — a sink replay after
+    another writer advanced the table is still detected."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    table_dir = str(tmp_path / "mirror")
+    w = _mk_writer(table_dir)
+    msg = w.write(
+        iter([pa.RecordBatch.from_pydict({"k": [1], "cents": [1], "st": ["a"]})])
+    )
+    w.commit([msg], batchId=0)
+    # a BATCH writer appends in between (carries props → txn forward)
+    extra = spark.range(5).select(
+        (F.col("id") + 100).alias("k"),
+        F.col("id").alias("cents"),
+        F.lit("b").alias("st"),
+    )
+    lh.append_snapshot(table_dir, 1, extra, key="k", batch_id=99)
+    assert lf._latest_version(table_dir) == 2
+    # replay of sink batch 0 must still be recognized
+    msg2 = w.write(
+        iter([pa.RecordBatch.from_pydict({"k": [1], "cents": [1], "st": ["a"]})])
+    )
+    w.commit([msg2], batchId=0)
+    assert lf._latest_version(table_dir) == 2  # skipped
+    assert lh.snapshot_read(spark, table_dir).count() == 6
+
+
+def test_lakefeed_sink_default_sink_id_is_per_checkpoint(tmp_path):
+    """r15 (r14 advice, medium): two different queries writing the same
+    table must NOT collide on idempotence stamps — the default sinkId
+    derives from checkpointLocation (stable across restarts of one
+    query, distinct across queries); an explicit sinkId wins."""
+    table_dir = str(tmp_path / "mirror")
+    w1 = _mk_writer(table_dir, checkpointLocation=str(tmp_path / "ck1"))
+    w1b = _mk_writer(table_dir, checkpointLocation=str(tmp_path / "ck1"))
+    w2 = _mk_writer(table_dir, checkpointLocation=str(tmp_path / "ck2"))
+    assert w1.sink_id == w1b.sink_id  # restart of the same query
+    assert w1.sink_id != w2.sink_id  # a different query
+    assert w1.sink_id.startswith("ckpt-")
+    w3 = _mk_writer(
+        table_dir,
+        checkpointLocation=str(tmp_path / "ck1"),
+        sinkId="pinned",
+    )
+    assert w3.sink_id == "pinned"  # explicit wins
+
+
+def test_lakefeed_sink_two_queries_do_not_collide(tmp_path):
+    """Two queries (distinct checkpoints) both at batch 0: the second
+    query's batch must COMMIT, not be skipped as the first's replay."""
+    import pyarrow as pa
+
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    table_dir = str(tmp_path / "mirror")
+    w1 = _mk_writer(table_dir, checkpointLocation=str(tmp_path / "ck1"))
+    w2 = _mk_writer(table_dir, checkpointLocation=str(tmp_path / "ck2"))
+    m1 = w1.write(
+        iter([pa.RecordBatch.from_pydict({"k": [1], "cents": [1], "st": ["a"]})])
+    )
+    w1.commit([m1], batchId=0)
+    m2 = w2.write(
+        iter([pa.RecordBatch.from_pydict({"k": [2], "cents": [2], "st": ["b"]})])
+    )
+    w2.commit([m2], batchId=0)  # same batch id, different query
+    assert lf._latest_version(table_dir) == 2  # BOTH landed
+
+
+def test_lakefeed_sink_abort_never_climbs_above_data_dir(tmp_path):
+    """r15 (r14 advice, low): dropping staged files prunes only the
+    staged ``_b=N``/``sink_*`` dirs — never data/ or the table root
+    (os.removedirs climbed every empty parent)."""
+    import pyarrow as pa
+
+    table_dir = str(tmp_path / "mirror")
+    w = _mk_writer(table_dir)
+    # fresh table: data/ contains ONLY the staged files — the worst case
+    msg = w.write(
+        iter([pa.RecordBatch.from_pydict({"k": [1], "cents": [1], "st": ["a"]})])
+    )
+    w.abort([msg], batchId=0)
+    assert not any(os.path.exists(p) for p, *_ in msg.files)
+    assert os.path.isdir(os.path.join(table_dir, "data"))
+    assert os.path.isdir(str(tmp_path))  # nothing climbed further
+
+
 def test_fsck_survives_torn_group_file(spark, tmp_path):
     """r14 self-review: a group file truncated mid-write (torn on a
     non-fsynced copy) must degrade to a missing_groups count, never

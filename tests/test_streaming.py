@@ -636,6 +636,154 @@ def test_lakefeed_restart_resumes_from_checkpoint(spark, tmp_path):
     ) == {1, 2, 3, 4}
 
 
+def _mini_lake(spark, tmp_path, versions: int = 2):
+    """A small k/st lakehouse table with ``versions`` commits (v1 is the
+    snapshot, v2.. are appends of 10 rows each)."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.operators import lakehouse as lh
+
+    table_dir = str(tmp_path / "minilake")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("v1").alias("st")
+    )
+    lh.snapshot_write(base, table_dir, key="k")
+    for v in range(2, versions + 1):
+        rows = spark.range(10).select(
+            (F.col("id") + 10 * (v - 1)).alias("k"),
+            F.lit(f"v{v}").alias("st"),
+        )
+        lh.append_snapshot(table_dir, v - 1, rows, key="k", batch_id=v)
+    return table_dir
+
+
+def test_lakefeed_capped_restart_replays_nothing(spark, tmp_path):
+    """r15 (r14 advice, HIGH): a RESTARTED capped reader (Spark replays
+    the cursor from its checkpoint; latestOffset is asked BEFORE the
+    reader can learn the cursor) answers min(start + cap, head) — which
+    may sit below the committed cursor. The r14 code then re-emitted
+    versions ≤ the cursor on subsequent triggers, breaking exactly-once.
+    Now the delivered floor learned from the first partitions() call
+    makes the regressed batch emit ZERO rows, and every later trigger
+    resumes forward from the cursor — this test walks the exact Spark
+    call sequence of a restart-after-commit."""
+    from cuny_courses_spark.operators import lakehouse as lh
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    table_dir = _mini_lake(spark, tmp_path, versions=5)
+    rdr = lf._LakeFeedStreamReader(
+        {"table_dir": table_dir, "key": "k", "maxVersionsPerTrigger": "1"},
+        ["k", "st"],
+    )
+    # restart: initialOffset is NOT called; the committed cursor (in
+    # Spark's checkpoint, invisible to the reader) is version 3
+    off = rdr.latestOffset()  # capped answer, regressed below cursor
+    assert off == {"version": 1}
+    # Spark plans (cursor, regressed] — MUST deliver zero rows
+    assert lf.feed_rows(rdr, rdr.partitions({"version": 3}, off)) == []
+    # forward progress resumes from the revealed cursor, still capped:
+    # each trigger advances exactly one version and never re-emits ≤ 3
+    seen: set[int] = set()
+    startv = 1  # the poisoned log's latest end becomes the next start
+    for _ in range(4):
+        nxt = rdr.latestOffset()
+        rows = lf.feed_rows(
+            rdr, rdr.partitions({"version": startv}, nxt)
+        )
+        seen |= {r[3] for r in rows}
+        startv = nxt["version"]
+    assert seen == {4, 5}  # versions 1..3 never replayed, none skipped
+
+
+def test_lakefeed_floor_suppresses_regressed_spans(spark, tmp_path):
+    """Defense in depth for the same advice item: if a regressed end
+    offset ever ENTERS the checkpoint log (planned as a batch), the
+    overlapping spans must emit ZERO rows — versions at or below the
+    delivered floor are never re-emitted, and forward progress resumes
+    above the floor."""
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    table_dir = _mini_lake(spark, tmp_path, versions=5)
+    rdr = lf._LakeFeedStreamReader(
+        {"table_dir": table_dir, "key": "k", "maxVersionsPerTrigger": "2"},
+        ["k", "st"],
+    )
+    # a batch planned with a regressed end (start=3 from the checkpoint,
+    # end=1 from a pre-fix latestOffset): nothing may be emitted
+    assert lf.feed_rows(rdr, rdr.partitions({"version": 3}, {"version": 1})) == []
+    # the poisoned log hands the NEXT batch start=1 — the floor (3)
+    # suppresses the already-delivered versions 2..3, emits only 4..5
+    rows = lf.feed_rows(rdr, rdr.partitions({"version": 1}, {"version": 5}))
+    assert {r[3] for r in rows} == {4, 5}
+    # and latestOffset never dips below the floor again
+    assert rdr.latestOffset()["version"] >= 5
+
+
+def test_lakefeed_capped_stream_restart_exactly_once(spark, tmp_path):
+    """r15 (the advice item's done-criterion): stop/resume a
+    maxVersionsPerTrigger=1 stream whose last batch was COMMITTED; the
+    resumed run must deliver only the new versions — no duplicates, no
+    gaps — through a REAL restarted query over the same checkpoint."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.operators import lakehouse as lh
+    from cuny_courses_spark.sources.lakefeed import ensure_registered
+    from cuny_courses_spark.streaming.offsets import committed_batch_reached
+
+    table_dir = _mini_lake(spark, tmp_path, versions=2)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "sink")
+    ensure_registered(spark)
+
+    def _drain_to(head: int) -> None:
+        q = (
+            spark.readStream.format("lakefeed")
+            .option("table_dir", table_dir)
+            .option("key", "k")
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and not committed_batch_reached(
+                ckpt, "version", head
+            ):
+                time.sleep(0.2)
+            assert committed_batch_reached(ckpt, "version", head)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    _drain_to(2)  # run 1 commits its final batch, then stops
+    for v in (3, 4):  # the table grows while the consumer is offline
+        lh.append_snapshot(
+            table_dir,
+            v - 1,
+            spark.range(5).select(
+                (F.col("id") + 100 * v).alias("k"), F.lit("x").alias("st")
+            ),
+            key="k",
+            batch_id=v,
+        )
+    _drain_to(4)  # run 2: the capped reader must resume, not regress
+
+    sink = spark.read.parquet(out_dir)
+    assert sink.groupBy("k").count().filter("count > 1").count() == 0
+    assert sink.count() == 30  # 10+10 from v1-2, 5+5 from v3-4
+    assert {
+        r["_commit_version"]
+        for r in sink.select("_commit_version").distinct().collect()
+    } == {1, 2, 3, 4}
+
+
 def test_lakefeed_available_now_drains_fully(spark, tmp_path):
     """r14: the source defaults to drain-all-available rate control
     (Delta/Kafka contract) — so ``trigger(availableNow=True)`` captures
@@ -718,6 +866,10 @@ def test_lakefeed_available_now_through_native_sink(spark, tmp_path):
             .writeStream.format("lakefeed")
             .option("table_dir", mir_dir)
             .option("key", "k")
+            # pinned EXPLICITLY: the default sink id is derived from the
+            # checkpoint location (r15), so replay detection across a
+            # FRESH checkpoint needs a user-owned id — Delta's txnAppId
+            .option("sinkId", "an_mirror_test")
             .outputMode("append")
             .option("checkpointLocation", str(tmp_path / ckpt))
             .trigger(availableNow=True)
