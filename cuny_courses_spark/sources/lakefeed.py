@@ -90,7 +90,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -686,6 +686,9 @@ def _commit_version(
 class _SinkFiles(WriterCommitMessage):
     # [(path, key_min, key_max, rows), ...] staged by one write task
     files: list
+    # [(bucket, dv_path), ...] — upsert mode's staged deletion-vector
+    # sidecars (empty in append mode)
+    dv_files: list = field(default_factory=list)
 
 
 class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
@@ -726,7 +729,44 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
             else:
                 sid = "lakefeed"
         self.sink_id = str(sid)
-        self.names = [f.name for f in schema.fields]
+        # mode=append (default): every row is a new row. mode=upsert
+        # (r14 verdict missing #1): every row REPLACES the table's row
+        # with the same key, resolved merge-on-read — the staged bucket
+        # files land next to a per-bucket DELETION-VECTOR sidecar of the
+        # upserted keys (applying only to files added BEFORE this
+        # commit, the format's resurrection guard), so an upsert batch
+        # costs O(batch) writes and zero parent-file rewrites: the
+        # Delta streaming-MERGE posture without foreachBatch glue.
+        # cdcApply=true additionally interprets a lakefeed change feed:
+        # ``delete`` rows contribute key-only DV entries (no data row),
+        # ``update_preimage`` rows are skipped, and the feed's
+        # _change_type/_commit_version metadata columns are dropped from
+        # the mirrored data — a source→replica CDC mirror becomes ONE
+        # writeStream with no driver-side applier. Within one
+        # micro-batch the per-key winner is undefined (Delta MERGE's
+        # duplicate-match posture): feed one commit per trigger
+        # (maxVersionsPerTrigger=1) or net changes (coalesceCatchup).
+        self.mode = str(_opt(options, "mode", "append")).lower()
+        if self.mode not in ("append", "upsert"):
+            raise ValueError(
+                f"lakefeed sink mode must be append or upsert, got "
+                f"{self.mode!r}"
+            )
+        self.cdc = str(_opt(options, "cdcApply", "false")).lower() == "true"
+        if self.cdc and self.mode != "upsert":
+            raise ValueError("cdcApply=true requires mode=upsert")
+        all_names = [f.name for f in schema.fields]
+        if self.cdc and "_change_type" not in all_names:
+            raise ValueError(
+                "cdcApply=true needs a _change_type column in the stream "
+                "(write the lakefeed readStream feed, or set the column)"
+            )
+        self._meta_cols = (
+            {"_change_type", "_commit_version"} & set(all_names)
+            if self.cdc
+            else set()
+        )
+        self.names = [n for n in all_names if n not in self._meta_cols]
         head = _latest_version(self.table_dir)
         if head:
             doc = _resolve(self.table_dir, head)
@@ -760,6 +800,7 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
             stream_fields = {
                 phys_of[f["name"]]: f
                 for f in schema.jsonValue()["fields"]
+                if f["name"] not in self._meta_cols
             }
             for f in mfields:
                 sf_ = stream_fields.get(f["name"])
@@ -787,32 +828,47 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
                 if self.n_buckets != 16
                 else None
             )
-            self.schema_json = schema.jsonValue()
+            sj = schema.jsonValue()
+            self.schema_json = dict(
+                sj,
+                fields=[
+                    f
+                    for f in sj["fields"]
+                    if f["name"] not in self._meta_cols
+                ],
+            )
             self._extra_fields = []
         self.key_phys = self.colmap.get(self.key, self.key)
+        self.phys_names = [self.colmap.get(n, n) for n in self.names]
 
     # -- executor side -----------------------------------------------------
     def write(self, iterator):
         """Bucket this task's Arrow batches by ``key % n_buckets`` and
         stage ONE parquet file per occupied bucket, harvesting min/max/
-        rows key stats in-flight. INCREMENTAL by construction (the same
-        100×-survival bar the read side's Arrow diff meets): each batch
-        is bucketed and appended to per-bucket ``ParquetWriter`` handles
-        as it arrives — task memory is ONE input batch plus k open
-        writers, never the task's whole input materialized."""
+        rows key stats in-flight. In upsert mode a per-bucket
+        DELETION-VECTOR sidecar of this task's touched keys is staged
+        the same way (cdcApply routes ``delete`` rows to the DV only
+        and skips ``update_preimage`` rows). INCREMENTAL by
+        construction (the same 100×-survival bar the read side's Arrow
+        diff meets): each batch is bucketed and appended to per-bucket
+        ``ParquetWriter`` handles as it arrives — task memory is ONE
+        input batch plus the open writers, never the task's whole input
+        materialized."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        staging = os.path.join(
-            self.table_dir, "data", f"sink_{uuid.uuid4().hex[:12]}"
-        )
+        token = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.table_dir, "data", f"sink_{token}")
+        dv_staging = os.path.join(self.table_dir, "dv", f"sink_{token}")
         writers: dict[int, pq.ParquetWriter] = {}
         paths: dict[int, str] = {}
         lo: dict[int, object] = {}
         hi: dict[int, object] = {}
         rows: dict[int, int] = {}
+        dv_writers: dict[int, pq.ParquetWriter] = {}
+        dv_paths: dict[int, str] = {}
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
@@ -820,41 +876,72 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
                 t = pa.Table.from_batches([batch]).rename_columns(
                     [self.colmap.get(n, n) for n in batch.schema.names]
                 )
-                keys = t.column(self.key_phys).to_numpy(
-                    zero_copy_only=False
-                )
-                if not np.issubdtype(keys.dtype, np.integer):
-                    raise ValueError(
-                        "the hash-bucketed layout needs an integral key "
-                        f"column; got {keys.dtype} for {self.key_phys!r}"
+                if self.cdc:
+                    ct = t.column("_change_type")
+                    data_mask = pc.is_in(
+                        ct, value_set=pa.array(["insert", "update_postimage"])
                     )
-                buckets = keys % self.n_buckets
-                for b in np.unique(buckets):
-                    b = int(b)
-                    sub = t.filter(pa.array(buckets == b))
-                    w = writers.get(b)
-                    if w is None:
-                        paths[b] = os.path.join(
-                            staging,
-                            f"_b={b}",
-                            f"part-{uuid.uuid4().hex[:8]}.parquet",
+                    # DV keys: every inserted/updated/deleted key (a DV
+                    # on an absent key is a read-time no-op, matching
+                    # SQL MERGE); preimage rows carry no state change
+                    dv_mask = pc.or_(data_mask, pc.equal(ct, "delete"))
+                    data_t = t.filter(data_mask).select(self.phys_names)
+                    dv_t = t.filter(dv_mask).select([self.key_phys])
+                elif self.mode == "upsert":
+                    data_t = t.select(self.phys_names)
+                    dv_t = t.select([self.key_phys])
+                else:
+                    data_t, dv_t = t, None
+                for part, tgt_writers, tgt_paths, root, is_data in (
+                    (data_t, writers, paths, staging, True),
+                    (dv_t, dv_writers, dv_paths, dv_staging, False),
+                ):
+                    if part is None or part.num_rows == 0:
+                        continue
+                    keys = part.column(self.key_phys).to_numpy(
+                        zero_copy_only=False
+                    )
+                    if not np.issubdtype(keys.dtype, np.integer):
+                        raise ValueError(
+                            "the hash-bucketed layout needs an integral "
+                            f"key column; got {keys.dtype} for "
+                            f"{self.key_phys!r}"
                         )
-                        os.makedirs(os.path.dirname(paths[b]), exist_ok=True)
-                        w = writers[b] = pq.ParquetWriter(
-                            paths[b], sub.schema
-                        )
-                        rows[b] = 0
-                    w.write_table(sub)
-                    mm = pc.min_max(sub.column(self.key_phys))
-                    mn, mx = mm["min"].as_py(), mm["max"].as_py()
-                    lo[b] = mn if b not in lo else min(lo[b], mn)
-                    hi[b] = mx if b not in hi else max(hi[b], mx)
-                    rows[b] += sub.num_rows
+                    buckets = keys % self.n_buckets
+                    for b in np.unique(buckets):
+                        b = int(b)
+                        sub = part.filter(pa.array(buckets == b))
+                        w = tgt_writers.get(b)
+                        if w is None:
+                            tgt_paths[b] = os.path.join(
+                                root,
+                                f"_b={b}",
+                                ("part-" if is_data else "dv-")
+                                + f"{uuid.uuid4().hex[:8]}.parquet",
+                            )
+                            os.makedirs(
+                                os.path.dirname(tgt_paths[b]), exist_ok=True
+                            )
+                            w = tgt_writers[b] = pq.ParquetWriter(
+                                tgt_paths[b], sub.schema
+                            )
+                            if is_data:
+                                rows[b] = 0
+                        w.write_table(sub)
+                        if is_data:
+                            mm = pc.min_max(sub.column(self.key_phys))
+                            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                            lo[b] = mn if b not in lo else min(lo[b], mn)
+                            hi[b] = mx if b not in hi else max(hi[b], mx)
+                            rows[b] += sub.num_rows
         finally:
             for w in writers.values():
                 w.close()
+            for w in dv_writers.values():
+                w.close()
         return _SinkFiles(
-            [(paths[b], lo[b], hi[b], rows[b]) for b in sorted(paths)]
+            [(paths[b], lo[b], hi[b], rows[b]) for b in sorted(paths)],
+            [(b, dv_paths[b]) for b in sorted(dv_paths)],
         )
 
     # -- driver side -------------------------------------------------------
@@ -873,6 +960,12 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
         shed in r13. Lost publish races retry against the new head (the
         staged data files never need re-staging)."""
         recs = [r for m in messages if m is not None for r in m.files]
+        dv_recs = [
+            r
+            for m in messages
+            if m is not None
+            for r in getattr(m, "dv_files", None) or []
+        ]
         new_files = sorted(r[0] for r in recs)
         new_stats = {
             p: {"min": lo, "max": hi, "rows": n} for p, lo, hi, n in recs
@@ -886,7 +979,10 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
                     self.sink_id
                 )
                 if last is not None and int(batchId) <= int(last):
-                    self._drop_staged(new_files)  # replay — duplicates
+                    # replay — drop the duplicate staged data AND DVs
+                    self._drop_staged(
+                        new_files + [p for _, p in dv_recs]
+                    )
                     return
                 if _colmap_of(parent) != self.colmap or (
                     int((parent.get("props") or {}).get("n_buckets", 16))
@@ -902,6 +998,22 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
                 added = dict(parent.get("added", {}))
                 added.update({p: head + 1 for p in new_files})
                 dvs = parent.get("dvs")
+                if dv_recs:
+                    # upsert resolution, merge-on-read: the staged DV
+                    # sidecars (this batch's touched keys) stack onto
+                    # the parent's pending vectors at v = head+1 — they
+                    # mask ONLY files added before this commit (the
+                    # added-version guard), so the batch's own rows
+                    # survive and every earlier version of an upserted
+                    # key is dead at read time. O(batch) writes, zero
+                    # parent-file rewrites; OPTIMIZE settles the ledger.
+                    dvs = {
+                        b: list(es) for b, es in (dvs or {}).items()
+                    }
+                    for b, p in dv_recs:
+                        dvs.setdefault(str(int(b)), []).append(
+                            {"path": p, "v": head + 1}
+                        )
                 schema = parent.get("schema")
                 if self._extra_fields and schema is not None:
                     # additive widen: append the stream's new columns to
@@ -926,6 +1038,12 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
                 }
                 pgroups = _read_list(self.table_dir, head).get("groups")
             else:
+                # first commit of a fresh table: there are no parent
+                # files for an upsert's DVs to mask — commit without
+                # them (the staged sidecars are dropped AFTER a
+                # successful publish; dropping earlier would lose the
+                # masks if this attempt loses the claim to a concurrent
+                # writer and retries against a non-empty head)
                 files, stats = list(new_files), dict(new_stats)
                 added = {p: 1 for p in new_files}
                 dvs, schema, pgroups = None, self.schema_json, None
@@ -948,6 +1066,8 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
                 )
             except FileExistsError:
                 continue  # lost the claim — re-resolve head and retry
+            if dv_recs and not head:
+                self._drop_staged([p for _, p in dv_recs])
             return
         raise FileExistsError(
             f"lakefeed sink lost 8 consecutive publish races on "
@@ -957,6 +1077,12 @@ class _LakeFeedStreamWriter(DataSourceStreamArrowWriter):
     def abort(self, messages, batchId: int) -> None:
         self._drop_staged(
             [r[0] for m in messages if m is not None for r in m.files]
+            + [
+                p
+                for m in messages
+                if m is not None
+                for _, p in getattr(m, "dv_files", None) or []
+            ]
         )
 
     @staticmethod

