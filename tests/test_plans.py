@@ -341,6 +341,8 @@ def test_plan_hygiene_no_unbounded_pair_scans(spark):
         "q_sim_pq_adc",            # bounded query LUTs (10 rows, KB each) × coded corpus — the ADC scan is the linear pass + exact-twin cert flags
         "q_sim_ivfpq_topk",        # corpus × broadcast k-row quantizer (linear assignment) + bounded query LUTs × probed lists + 1-row cert flags
         "q_pipeline_incremental_semantic",  # corpus/batch × broadcast k-row stored centroids (linear assignment scans)
+        "q_pipeline_ivfpq_increment",  # corpus/batch × broadcast k-row STORED quantizer (linear assignment) + bounded query LUTs × probed lists + 1-row cert flags (the q_sim_ivfpq_topk shape on the maintenance path)
+        "q_sim_ivfpq_residual",  # fixture × 8-row broadcast centers + corpus × broadcast k-row quantizer (linear) + bounded query set brute-force referee (the q_sim_topk_per_query shape)
         "q_sim_neardup_lsh",       # 1-row certificate-flag crossJoins (scalar)
         "q_dedup_minhash_lsh",     # 1-row certificate-flag crossJoins (scalar)
         "q_graph_triangles",       # 1-row scalar total broadcast
