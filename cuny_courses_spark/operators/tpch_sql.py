@@ -558,7 +558,8 @@ WITH big AS (
     FROM lineitem GROUP BY l_orderkey
     HAVING sum(CAST(l_quantity AS BIGINT)) > 300
 ), top AS (
-    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    SELECT /*+ SHUFFLE_HASH(big) */
+           o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
     FROM big JOIN orders ON o_orderkey = big.l_orderkey
     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey ASC
     LIMIT 20
@@ -594,8 +595,19 @@ def q_sql_q18_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     forced-decode scan + shuffle-agg floor (components at ×100: lineitem
     2-col scan 0.39 s + group/HAVING 1.84 s + orders 4-col scan 0.43 s +
     customer scan 0.23 s = 2.50 s ≈ the whole query; BASELINE.md round-7).
-    Broadcast/SHUFFLE_HASH hints on the orders join were A/B'd and added
-    nothing — the residual is scan decode, not exchange. o_totalprice
+
+    r15: the big⋈orders join gets SHUFFLE_HASH(big). AQE cannot convert
+    this SMJ to a broadcast because it only sees the PRE-HAVING shuffle
+    size (15 M partial-sum rows) — the post-HAVING cardinality (a few
+    thousand qualifying orders) is invisible until the final aggregate
+    runs INSIDE the join stage. The static hint replaces both SMJ sorts
+    (the 15 M-row orders sort dominated) with a per-partition hash
+    build on big — the provably smaller side in every partition at any
+    scale (big's keys ⊆ orders'), no broadcast-regime bound needed.
+    ×100 A/B (r15, quiet box): 2.55 → 2.13 s with tighter laps
+    (2.16/2.13/2.17 vs base 3.14/2.80/2.55); BROADCAST(big) measured
+    2.06 s but its build is only qty-threshold-bounded, not
+    scale-bounded — outside the repo's static-hint posture. o_totalprice
     passes through raw (same parquet double both engines); the ORDER BY
     sorts its exact cents image with a key tiebreak so the LIMIT is
     total-ordered, and re-sorting 20 joined rows in the outer query is
