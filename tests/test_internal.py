@@ -642,3 +642,55 @@ def test_np_kmeans_big_large_k_path_deterministic_and_exact_k():
     small = rng.standard_normal((50, 16))
     d = _np_kmeans_big(small, 300, seed=42)
     assert d.shape == (300, 16) and np.isfinite(d).all()
+
+
+def test_residual_index_supports_incremental_maintenance(spark, tmp_path):
+    """r15: the residual (IVFADC) index composes with incremental
+    maintenance exactly like the raw-code index — a batch encoded
+    against the STORED quantizer with residual=True appends into a
+    residual-built lists table, and the incremental state equals the
+    frozen-quantizer recompute over corpus ∪ batch (the
+    q_pipeline_ivfpq_increment lost-nothing proof on the residual leg)."""
+    import numpy as np
+
+    import cuny_courses_spark.operators.similarity as sim
+    from cuny_courses_spark.operators import lakehouse as lh
+    from cuny_courses_spark.sources.loaders import load
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    cent_dir = str(tmp_path / "cent")
+    cb_dir = str(tmp_path / "cb")
+    lists_dir = str(tmp_path / "lists")
+    sim._ivfpq_build(
+        spark, corpus, 8, 32, cent_dir, cb_dir, lists_dir, residual=True
+    )
+    cent_stored = lh.snapshot_read(spark, cent_dir)
+    cbrows = lh.snapshot_read(spark, cb_dir).orderBy("sub", "code").collect()
+    kc_eff = max(r["code"] for r in cbrows) + 1
+    cb = np.array(
+        [r["codeword"] for r in cbrows], dtype=np.float64
+    ).reshape(8, kc_eff, 8)
+    enc = sim._ivfpq_assign_encode(batch, cent_stored, cb, 8, residual=True)
+    _, committed = lh.append_snapshot(
+        lists_dir, 1, enc, key="cluster", batch_id=1
+    )
+    assert committed
+    _, committed2 = lh.append_snapshot(
+        lists_dir, 1, enc, key="cluster", batch_id=1
+    )
+    assert not committed2  # replay skipped
+    inc = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in lh.snapshot_read(spark, lists_dir).collect()
+    )
+    ref = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["codes"]))
+        for r in sim._ivfpq_assign_encode(
+            e, cent_stored, cb, 8, residual=True
+        ).collect()
+    )
+    assert inc == ref

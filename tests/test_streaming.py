@@ -939,3 +939,63 @@ def test_lakefeed_available_now_through_native_sink(spark, tmp_path):
     _one_shot("ckpt2")  # full redelivery from a fresh checkpoint
     assert lh.latest_version(mir_dir) == v1  # stamps skipped everything
     assert lh.snapshot_read(spark, mir_dir).count() == n1
+
+
+def test_upsert_sink_applies_coalesced_net_batch(spark, tmp_path):
+    """r15: the cdcApply upsert sink composes with coalesceCatchup — a
+    cold-start consumer's ONE net-change batch (keys unique by
+    construction: intermediate states cancel) mirrors the source head
+    in a single snapshot, value-equal to the source."""
+    from pyspark.sql import functions as F
+
+    from cuny_courses_spark.operators import lakehouse as lh
+    from cuny_courses_spark.sources.lakefeed import ensure_registered
+
+    src_dir = str(tmp_path / "src")
+    mir_dir = str(tmp_path / "mirror")
+    base = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("cents")
+    )
+    lh.snapshot_write(base.filter(F.col("k") < 30), src_dir, key="k")
+    lh.append_snapshot(
+        src_dir, 1, base.filter(F.col("k") >= 30), key="k", batch_id=1
+    )
+    upd = base.filter(F.col("k") % 7 == 0).select(
+        "k", (F.col("cents") * 2).alias("cents"), F.lit(False).alias("_del")
+    )
+    dels = base.filter(F.col("k") % 11 == 3).select(
+        "k", F.lit(None).cast("long").alias("cents"),
+        F.lit(True).alias("_del"),
+    )
+    lh.merge_upsert(
+        spark, src_dir, 2, upd.unionByName(dels), key="k", delete_col="_del"
+    )
+    ensure_registered(spark)
+    q = (
+        spark.readStream.format("lakefeed")
+        .option("table_dir", src_dir)
+        .option("key", "k")
+        .option("coalesceCatchup", "true")
+        .load()
+        .writeStream.format("lakefeed")
+        .option("table_dir", mir_dir)
+        .option("key", "k")
+        .option("mode", "upsert")
+        .option("cdcApply", "true")
+        .option("sinkId", "coalesced_mirror")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert lh.latest_version(mir_dir) == 1  # ONE net snapshot
+    mir = {
+        r["k"]: r["cents"]
+        for r in lh.snapshot_read(spark, mir_dir).collect()
+    }
+    src = {
+        r["k"]: r["cents"]
+        for r in lh.snapshot_read(spark, src_dir).collect()
+    }
+    assert mir == src  # value-equal to the source head
