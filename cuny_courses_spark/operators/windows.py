@@ -732,3 +732,89 @@ def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak").alias("longest_streak"),
         F.sum("streak").cast("long").alias("n_active_days"),
     )
+
+
+@register(
+    "q_win_cep_pattern",
+    oracle="""
+WITH seq AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(s, 'vc+p')) AS BIGINT) AS n_funnel,
+       CAST(CASE WHEN len(regexp_extract_all(s, 'vc+p')) > 0
+                 THEN strpos(s, regexp_extract(s, 'vc+p', 0))
+                 ELSE 0 END AS BIGINT) AS first_funnel_pos,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT) AS n_error_bursts,
+       CAST(len(s) AS BIGINT) AS n_events
+FROM seq
+""",
+)
+def q_win_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing PATTERN MATCHING (Flink CEP /
+    Trino-Oracle MATCH_RECOGNIZE, the regex-over-row-sequences operator
+    Spark lacks natively): each user's event history becomes one ordered
+    symbol string (one char per event type, total-ordered by ts with an
+    event_id tiebreak) and row patterns run as real REGEXES against it —
+    `vc+p` (view, one-or-more clicks, purchase: the quantified funnel a
+    stepwise min-ts funnel like q_win_funnel_steps cannot count, because
+    it needs EVERY non-overlapping occurrence, not first-occurrence
+    ordering) and `ee+` (error bursts: 2+ consecutive errors). Emitted
+    per user: non-overlapping match counts, the 1-based position of the
+    first funnel match (MATCH_RECOGNIZE's MATCH_NUMBER/FIRST semantics),
+    and the sequence length.
+
+    Both engines scan leftmost, greedy, non-overlapping (java.util.regex
+    ``find()`` ≡ DuckDB RE2 ``regexp_extract_all``; for these patterns
+    leftmost-first and leftmost-longest coincide — a `c+`/`e+` run admits
+    exactly one match length per start). The first-match position is
+    recovered via instr/strpos on the extracted match: regex matching
+    here is context-free, so the matched text's first occurrence IS the
+    match site (guarded to matched users — instr(s, '') is
+    engine-divergent).
+
+    Scale: ONE shuffle on user_id (collect_list + array_sort — no
+    per-user window sort pass), per-user state is the symbol string
+    (one byte per event — a 10k-event user is a 10 kB value), and the
+    regex scan is JVM-side whole-stage codegen over that string; at
+    100 TB the plan is the same keyed exchange as any per-user
+    aggregate. Order encoding uses struct sort (ts, event_id) — the
+    same total-order contract as the streak/funnel family."""
+    e = load(spark, sf_dir, "events")
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ch"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("rec")).alias("recs"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform("recs", lambda r: r["ch"]), ""
+            ).alias("s"),
+        )
+    )
+    n_funnel = F.size(F.expr("regexp_extract_all(s, 'vc+p', 0)"))
+    return seq.select(
+        "user_id",
+        n_funnel.cast("long").alias("n_funnel"),
+        F.when(
+            n_funnel > 0,
+            F.expr("instr(s, regexp_extract(s, 'vc+p', 0))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("first_funnel_pos"),
+        F.size(F.expr("regexp_extract_all(s, 'ee+', 0)"))
+        .cast("long")
+        .alias("n_error_bursts"),
+        F.length("s").cast("long").alias("n_events"),
+    )
