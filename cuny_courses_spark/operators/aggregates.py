@@ -1075,3 +1075,128 @@ def q_agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "q_agg_countmin_topk",
+    oracle="""
+WITH keys AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+    FROM events GROUP BY user_id
+), pairs AS (
+    SELECT r.r,
+           ('0x' || substring(
+               md5(CAST(user_id AS VARCHAR) || '|cm' || r.r), 1, 8)
+           )::BIGINT % 64 AS c
+    FROM events, (SELECT unnest(range(4)) AS r) r
+), sketch AS (
+    SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY r, c
+), probes AS (
+    SELECT k.user_id, r.r,
+           ('0x' || substring(
+               md5(CAST(k.user_id AS VARCHAR) || '|cm' || r.r), 1, 8)
+           )::BIGINT % 64 AS c
+    FROM keys k, (SELECT unnest(range(4)) AS r) r
+), est AS (
+    SELECT p.user_id, min(s.cnt) AS est_cnt
+    FROM probes p JOIN sketch s USING (r, c)
+    GROUP BY p.user_id
+)
+SELECT k.user_id, e.est_cnt, k.true_cnt,
+       e.est_cnt - k.true_cnt AS overcount
+FROM est e JOIN keys k USING (user_id)
+ORDER BY e.est_cnt DESC, k.user_id ASC
+LIMIT 10
+""",
+)
+def q_agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy hitters — the fixed-memory frequency
+    summary (Cormode-Muthukrishnan) every streaming/telemetry engine
+    ships: a d=4 × w=64 counter grid built in ONE pass (each event
+    increments cell (r, h_r(key)) for the 4 portable md5-prefix row
+    hashes — the engine-wide `_bucket` contract, so both engines build
+    the IDENTICAL sketch), point-queried as est(k) = min_r grid[r,
+    h_r(k)]. w=64 is deliberately small vs the key domain so collisions
+    are REAL at every SF: the emitted `overcount = est − true` is
+    nonzero where rows collide (and provably ≥ 0 — the CMS one-sided
+    error; a wrong hash, a lost increment, or a wrong min flips it
+    negative and the driver hash-FAILs). Top-10 keys by estimate with
+    the true count joined back for the error report.
+
+    Scale (why a sketch, not a groupBy): the grid aggregation's
+    map-side partial combine bounds every task's output at d·w = 256
+    cells REGARDLESS of input rows — a 100 TB scan shuffles ≤ 256·tasks
+    tiny rows and merges by cell addition (CMS is a commutative
+    monoid), where the exact groupBy shuffles one row per distinct key.
+    The probe side joins the ≤256-cell sketch BROADCAST against the
+    candidate keys; candidates here are the key domain itself (bounded:
+    users), which at open-domain 100 TB would come from a space-saving
+    pre-pass — the sketch build is unchanged either way. All-integer
+    output; top-k carries a (est DESC, user_id ASC) total tiebreak."""
+    d, w = 4, 64
+    e = load(spark, sf_dir, "events").select("user_id")
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cm_bucket(F.col("user_id"), r, w).alias("c"),
+                )
+                for r in range(d)
+            ]
+        )
+    ).alias("rc")
+    sketch = (
+        e.select(rc)
+        .groupBy("rc.r", "rc.c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    keys = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    probes = keys.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(F.col("user_id"), r, w).alias("c"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rc"),
+    ).select("user_id", "rc.r", "rc.c")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        est.join(keys, ["user_id"])
+        .select(
+            "user_id",
+            "est_cnt",
+            "true_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def _cm_bucket(key: F.Column, row: int, w: int) -> F.Column:
+    """Row-salted portable CMS column hash — the sampling-module
+    md5-prefix bucket contract with the row index folded into the salt."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f"|cm{row}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
