@@ -1249,3 +1249,103 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenize_batches,
         "doc_id long, n_bpe_tokens long, n_ws_tokens long",
     )
+
+
+@register(
+    "q_text_ccnet_buckets",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), idx AS (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t
+), bg AS (
+    SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur FROM idx
+), ctx AS (
+    SELECT prev, count(*) AS c_ctx FROM bg GROUP BY prev
+), bgc AS (
+    SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY prev, cur
+), v AS (
+    SELECT count(DISTINCT tok) AS nv
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+), lp AS (
+    SELECT bg.doc_id,
+           CAST(round(ln((bgc.c_bg + 1) / CAST(ctx.c_ctx + v.nv AS DOUBLE))
+                      * 1000000, 0) AS BIGINT) AS lp_unats
+    FROM bg JOIN bgc USING (prev, cur) JOIN ctx USING (prev), v
+), scored AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(-sum(lp_unats) AS BIGINT) AS nll_unats
+    FROM lp GROUP BY doc_id
+), binned AS (
+    SELECT d.lang, s.n_bigrams, s.nll_unats,
+           ntile(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY CAST(s.nll_unats AS DOUBLE) / s.n_bigrams ASC,
+                        s.doc_id ASC
+           ) AS bucket
+    FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll_unats) AS BIGINT) AS nll_unats,
+       CAST((2 * (sum(nll_unats) * 10000)
+             + (sum(n_bigrams) * 1000000))
+            // (2 * (sum(n_bigrams) * 1000000)) AS DOUBLE) / 10000.0
+           AS avg_nll4
+FROM binned GROUP BY lang, bucket
+""",
+)
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet HEAD/MIDDLE/TAIL quality bucketing — the data-selection
+    stage between perplexity scoring and mixture planning (CCNet/
+    LLaMA-style corpora keep "head", downsample "middle", drop "tail"):
+    every document's bigram-LM NLL (the q_text_perplexity model,
+    integer micro-nats — reused via ``bigram_perplexity``) ranks it
+    WITHIN ITS LANGUAGE, ntile(3) splits each language into equal-depth
+    perplexity tertiles (per-language, because perplexity is not
+    comparable across languages — CCNet's central design point), and
+    the report aggregates per (lang, bucket): doc count, bigram mass,
+    exact integer NLL total, and the half-up 4-dp average NLL via the
+    integer-division ratio contract (S_r4_ratio — no float rounding
+    boundary can split the engines).
+
+    Ordering contract: tertile assignment sorts on the rational
+    nll/n_bigrams computed as the IEEE double division of two exact
+    int64s — correctly-rounded identically in both engines (unlike a
+    float SUM, a single division has no order-dependence) — with a
+    doc_id tiebreak, so ntile is total-ordered; Spark and DuckDB share
+    SQL-standard ntile fill (larger groups first).
+
+    Scale: the model train/score is q_text_perplexity's plan (train =
+    aggregate at model size, score = ONE model join-back); bucketing
+    adds one |langs|-keyed window sort over per-DOC rows (already
+    reduced ~200× from token rows) and a tiny final aggregate. The
+    100 TB posture is unchanged: no new corpus-sized exchange, no
+    driver state."""
+    d = load(spark, sf_dir, "documents")
+    scored = bigram_perplexity(d.select("doc_id", "text")).select(
+        "doc_id", "n_bigrams", "nll_unats"
+    )
+    binned = scored.join(d.select("doc_id", "lang"), ["doc_id"]).withColumn(
+        "bucket",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy(
+                (F.col("nll_unats").cast("double") / F.col("n_bigrams")).asc(),
+                F.col("doc_id").asc(),
+            )
+        ),
+    )
+    num = "sum(nll_unats) * 10000"
+    den = "sum(n_bigrams) * 1000000"
+    return binned.groupBy("lang", F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.sum("nll_unats").cast("long").alias("nll_unats"),
+        F.expr(
+            f"CAST((2 * ({num}) + ({den})) div (2 * ({den})) AS DOUBLE)"
+            " / 10000.0"
+        ).alias("avg_nll4"),
+    )
