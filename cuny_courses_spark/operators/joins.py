@@ -1034,3 +1034,105 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .select("k", "n_orders", "first_key")
     )
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+WITH a AS (
+    SELECT o_orderkey AS a_key, CAST(o_orderdate AS DATE) AS a_s,
+           CAST(o_orderdate AS DATE)
+               + CAST(1 + o_orderkey % 14 AS INTEGER) AS a_e
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-03-01 00:00:00'
+), b AS (
+    SELECT o_orderkey AS b_key, CAST(o_orderdate AS DATE) AS b_s,
+           CAST(o_orderdate AS DATE)
+               + CAST(1 + o_orderkey % 14 AS INTEGER) AS b_e
+    FROM orders
+    WHERE o_orderpriority = '2-HIGH'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-03-01 00:00:00'
+)
+SELECT a_key, b_key,
+       strftime(greatest(a_s, b_s), '%Y-%m-%d') AS overlap_start,
+       CAST(date_diff('day', greatest(a_s, b_s), least(a_e, b_e)) + 1
+            AS BIGINT) AS overlap_days
+FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+""",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN — both sides are interval sets (urgent vs
+    high-priority order fulfillment windows; genomics/temporal engines
+    ship this as a native operator): emit every (a, b) pair whose closed
+    date ranges intersect, with the overlap start and exact day count.
+
+    Physical strategy — the GRID join (the sort-free distributed answer
+    to an inequality-only join): each interval explodes to the 7-day
+    grid cells it covers (``sequence`` over integer epoch-weeks — an
+    interval of w weeks costs w replicas, bounded by the interval-length
+    cap the derivation bakes in: ≤ 15 days ⇒ ≤ 3 cells), the join is an
+    EQUI-join on the cell plus the overlap predicate, and duplicate
+    hits (a pair sharing several cells) are eliminated CLOSED-FORM —
+    keep the hit only in the FIRST COMMON cell, the week of
+    greatest(a_s, b_s) — instead of a distinct (which would re-shuffle
+    the pair stream; the same trick as q_dedup_substring_spans' gram
+    anchoring). A naive theta join is a broadcast nested loop (O(|A|·
+    |B|) comparisons); the grid does O(cells) hash work + per-cell
+    candidate scans, and at 100 TB the cell key shuffles/banding-salts
+    like any equi-join key (hot weeks split by AQE skew handling).
+    DuckDB's oracle runs the plain theta join — same pairs, which is
+    exactly the proof the grid dedup is exact."""
+    o = load(spark, sf_dir, "orders")
+
+    def side(prio: str, key: str, s: str, e: str) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderpriority") == prio)
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-03-01").cast("timestamp"))
+        ).select(
+            F.col("o_orderkey").alias(key),
+            F.to_date("o_orderdate").alias(s),
+            F.date_add(
+                F.to_date("o_orderdate"),
+                (F.lit(1) + F.pmod("o_orderkey", F.lit(14))).cast("int"),
+            ).alias(e),
+        )
+
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def wk(c: str) -> F.Column:
+        return F.floor(F.datediff(F.col(c), epoch) / 7).cast("long")
+
+    a = side("1-URGENT", "a_key", "a_s", "a_e").withColumn(
+        "cell", F.explode(F.sequence(wk("a_s"), wk("a_e")))
+    )
+    b = side("2-HIGH", "b_key", "b_s", "b_e").withColumn(
+        "cell", F.explode(F.sequence(wk("b_s"), wk("b_e")))
+    )
+    first_common = F.floor(
+        F.datediff(F.greatest("a_s", "b_s"), epoch) / 7
+    ).cast("long")
+    return (
+        a.join(b, ["cell"])
+        .filter(
+            (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+            & (F.col("cell") == first_common)
+        )
+        .select(
+            "a_key",
+            "b_key",
+            F.date_format(F.greatest("a_s", "b_s"), "yyyy-MM-dd").alias(
+                "overlap_start"
+            ),
+            (
+                F.datediff(F.least("a_e", "b_e"), F.greatest("a_s", "b_s"))
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+    )
