@@ -1809,3 +1809,195 @@ def _ivfpq_probe(
         .filter(F.col("rn") <= 5)
         .select("q_id", "n_id", "cos")
     )
+
+
+_O_MMR_DOT = _O_DOT.format(a="q.embedding", b="c.embedding")
+_O_MMR_PAIR = _O_DOT.format(a="a.ec", b="b.ec")
+
+
+@register(
+    "q_sim_mmr_diversify",
+    oracle=f"""
+WITH RECURSIVE cand AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           CAST(round({_O_MMR_DOT} * 10000, 0) AS BIGINT) AS rel4,
+           c.embedding AS ec
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 5
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_O_MMR_DOT} DESC, c.vec_id ASC
+    ) <= 12
+), smap AS (
+    SELECT a.q_id,
+           map_from_entries(array_agg(
+               {{'k': CAST(a.n_id AS VARCHAR) || '|' ||
+                      CAST(b.n_id AS VARCHAR),
+                 'v': CAST(round({_O_MMR_PAIR} * 10000, 0) AS BIGINT)}}
+           )) AS m
+    FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+    GROUP BY a.q_id
+), init AS (
+    SELECT q_id,
+           array_agg({{'n_id': n_id, 'rel4': rel4}} ORDER BY n_id) AS rem
+    FROM cand GROUP BY q_id
+), state(q_id, step, sel, picks, rem) AS (
+    SELECT q_id, 0,
+           CAST([] AS BIGINT[]),
+           CAST([] AS STRUCT(pick BIGINT, n_id BIGINT, rel4 BIGINT,
+                             mmr74 BIGINT)[]),
+           rem
+    FROM init
+    UNION ALL
+    SELECT q_id, step + 1,
+           list_append(sel, pick_id),
+           list_append(picks, {{'pick': CAST(step + 1 AS BIGINT),
+                               'n_id': pick_id,
+                               'rel4': pick_rel,
+                               'mmr74': best_sc}}),
+           list_filter(rem, c -> c.n_id <> pick_id)
+    FROM (
+        SELECT q_id, step, sel, picks, rem, best_sc,
+               list_min(list_transform(
+                   list_filter(scored, t -> t.sc = best_sc),
+                   t -> t.n_id)) AS pick_id,
+               list_min(list_transform(
+                   list_filter(scored, t -> t.sc = best_sc
+                               AND t.n_id = list_min(list_transform(
+                                   list_filter(scored,
+                                               u -> u.sc = best_sc),
+                                   u -> u.n_id))),
+                   t -> t.rel4)) AS pick_rel
+        FROM (
+            SELECT s.q_id, s.step, s.sel, s.picks, s.rem, scored,
+                   list_max(list_transform(scored, t -> t.sc)) AS best_sc
+            FROM (
+                SELECT s0.q_id, s0.step, s0.sel, s0.picks, s0.rem,
+                       list_transform(s0.rem, c -> {{
+                           'n_id': c.n_id, 'rel4': c.rel4,
+                           'sc': 7 * c.rel4 - 3 * coalesce(
+                               list_max(list_transform(s0.sel,
+                                   x -> (mp.m[CAST(c.n_id AS VARCHAR)
+                                              || '|' ||
+                                              CAST(x AS VARCHAR)])[1])),
+                               0)}}) AS scored
+                FROM state s0 JOIN smap mp USING (q_id)
+                WHERE s0.step < 5 AND len(s0.rem) > 0
+            ) s
+        )
+    )
+), final AS (
+    SELECT q_id, unnest(picks) AS p FROM state WHERE step = 5
+)
+SELECT q_id, p.pick AS pick, p.n_id AS n_id, p.rel4 AS rel4,
+       p.mmr74 AS mmr74
+FROM final
+""",
+)
+def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (Maximal Marginal Relevance) DIVERSIFIED top-k — the
+    re-ranking stage retrieval and training-data selection pipelines run
+    after ANN candidate generation (Carbonell-Goldstein): from each
+    query's top-12 cosine candidates, greedily pick 5 where each pick
+    maximizes λ·relevance − (1−λ)·max-similarity-to-already-picked
+    (λ = 0.7) — near-duplicate candidates are suppressed in favor of
+    coverage, exactly the failure mode plain top-k has on redundant
+    corpora.
+
+    ALL-INTEGER selection arithmetic: relevance and pairwise sims are
+    rounded once to 4-dp integer images (round(dot·1e4) — the
+    perplexity micro-unit contract), the MMR score is the exact integer
+    7·rel4 − 3·maxsim4 (λ=0.7 with no float multiply), ties break on
+    smallest vec_id — so the greedy trajectory is bit-reproducible in
+    both engines, immune to float drift COMPOUNDING across picks (a
+    4-dp score drift at pick 2 would reroute every later pick). The
+    DuckDB twin replays the same greedy loop as a recursive CTE
+    carrying (selected, picks, remaining) as LIST state per query (the
+    BPE-merge oracle pattern) with the pairwise sims in a per-query MAP.
+
+    Scale: candidate generation is the broadcast-query one-pass corpus
+    scan (q_sim_topk_per_query's shape — swap in the IVF/LSH leg when
+    the query side scales); the greedy stage touches only |queries|·12
+    rows in applyInPandas groups (per-group state is a 12×12 integer
+    matrix), with pairwise dots accumulated dimension-ordered (rank-1
+    outer updates ≡ the SQL zip fold, the pairs_threshold contract).
+    MMR is inherently sequential in k — but k is 5 and per-query; the
+    parallelism axis is queries, which is the axis that grows."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("eq")
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ec"))
+    j = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).withColumn(
+        "dot", _dot("eq", "ec")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("n_id").asc()
+    )
+    cand = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 12)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(F.col("dot") * 10000, 0).cast("long").alias("rel4"),
+            "ec",
+        )
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("n_id").reset_index(drop=True)
+        n = len(pdf)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["ec"]]
+        )
+        # Dimension-ordered rank-1 accumulation == the SQL zip fold
+        # (pairs_threshold contract): bit-identical doubles, then the
+        # decimal-faithful 4-dp image scaled to exact integers.
+        acc = np.zeros((n, n), dtype=np.float64)
+        for d in range(vecs.shape[1]):
+            acc += np.outer(vecs[:, d], vecs[:, d])
+        # rint after the scale-up: the 4-dp decimal's double image times
+        # 1e4 can sit 1 ulp BELOW the integer (e.g. 4522.999…), and an
+        # astype truncation would off-by-one the sim image vs the SQL
+        # round(dot*10000, 0).
+        sim4 = np.rint(_round4_np(acc) * 10000).astype(np.int64)
+        rel4 = pdf["rel4"].to_numpy(dtype=np.int64)
+        ids = pdf["n_id"].to_numpy(dtype=np.int64)
+        sel: list[int] = []
+        rows = []
+        rem = list(range(n))
+        for pick in range(1, 6):
+            if not rem:
+                break
+            best_sc, best_i = None, None
+            for i in rem:
+                ms = max((int(sim4[i, s]) for s in sel), default=0)
+                sc = 7 * int(rel4[i]) - 3 * ms
+                if (
+                    best_sc is None
+                    or sc > best_sc
+                    or (sc == best_sc and ids[i] < ids[best_i])
+                ):
+                    best_sc, best_i = sc, i
+            rows.append(
+                (
+                    int(pdf["q_id"].iloc[0]),
+                    pick,
+                    int(ids[best_i]),
+                    int(rel4[best_i]),
+                    int(best_sc),
+                )
+            )
+            sel.append(best_i)
+            rem.remove(best_i)
+        return pd.DataFrame(
+            rows, columns=["q_id", "pick", "n_id", "rel4", "mmr74"]
+        )
+
+    return cand.groupBy("q_id").applyInPandas(
+        _mmr, "q_id long, pick long, n_id long, rel4 long, mmr74 long"
+    )
