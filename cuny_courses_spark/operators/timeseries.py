@@ -338,3 +338,192 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_interp"),
         F.col("total").isNull().alias("filled"),
     )
+
+
+@register(
+    "q_ts_downsample_lttb",
+    oracle="""
+WITH RECURSIVE pts AS (
+    SELECT event_type,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, x, y,
+           row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM pts
+), ends AS (
+    SELECT event_type,
+           min(CASE WHEN rn = 1 THEN x END) AS fx,
+           min(CASE WHEN rn = 1 THEN y END) AS fy,
+           min(CASE WHEN rn = n THEN x END) AS lx,
+           min(CASE WHEN rn = n THEN y END) AS ly
+    FROM idx GROUP BY event_type
+), buckets AS (
+    SELECT event_type, ((rn - 2) * 10) // (n - 2) AS b,
+           array_agg({'x': x, 'y': y} ORDER BY x) AS cands,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(count(*) AS BIGINT) AS c
+    FROM idx WHERE rn > 1 AND rn < n
+    GROUP BY 1, 2
+), anchors AS (
+    SELECT bk.event_type, bk.b, bk.cands,
+           coalesce(nb.sx, e.lx) AS nsx,
+           coalesce(nb.sy, e.ly) AS nsy,
+           coalesce(nb.c, 1) AS nc
+    FROM buckets bk
+    LEFT JOIN buckets nb
+           ON nb.event_type = bk.event_type AND nb.b = bk.b + 1
+    JOIN ends e ON e.event_type = bk.event_type
+), state(event_type, b, ax, ay, picks) AS (
+    SELECT event_type, 0, fx, fy,
+           CAST([] AS STRUCT(x BIGINT, y BIGINT)[])
+    FROM ends
+    UNION ALL
+    SELECT event_type, b + 1, px,
+           list_min(list_transform(
+               list_filter(scored, t -> t.sc = bsc AND t.x = px),
+               t -> t.y)),
+           list_append(picks, {'x': px,
+               'y': list_min(list_transform(
+                   list_filter(scored, t -> t.sc = bsc AND t.x = px),
+                   t -> t.y))})
+    FROM (
+        SELECT event_type, b, picks, scored,
+               list_max(list_transform(scored, t -> t.sc)) AS bsc,
+               list_min(list_transform(
+                   list_filter(scored,
+                       t -> t.sc = list_max(list_transform(scored,
+                                                           u -> u.sc))),
+                   t -> t.x)) AS px
+        FROM (
+            SELECT s.event_type, s.b, s.picks,
+                   list_transform(a.cands, cd -> {
+                       'x': cd.x, 'y': cd.y,
+                       'sc': abs((s.ax * a.nc - a.nsx) * (cd.y - s.ay)
+                                 - (s.ax - cd.x) * (a.nsy - s.ay * a.nc))
+                   }) AS scored
+            FROM state s
+            JOIN anchors a ON a.event_type = s.event_type AND a.b = s.b
+            WHERE s.b < 10
+        )
+    )
+), sel AS (
+    SELECT event_type, unnest(picks) AS p
+    FROM state WHERE b = 10
+), rows_out AS (
+    SELECT event_type, 0 AS pos, fx AS x, fy AS y FROM ends
+    UNION ALL
+    SELECT s.event_type,
+           row_number() OVER (PARTITION BY s.event_type
+                              ORDER BY p.x) AS pos,
+           p.x, p.y
+    FROM sel s
+    UNION ALL
+    SELECT event_type, 11 AS pos, lx, ly FROM ends
+)
+SELECT event_type, CAST(pos AS BIGINT) AS pos,
+       strftime(DATE '1970-01-01' + CAST(x AS INTEGER), '%Y-%m-%d') AS day,
+       y AS cents
+FROM rows_out
+""",
+)
+def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB DOWNSAMPLING (Largest-Triangle-Three-Buckets, Steinarsson —
+    the visual-fidelity decimation TimescaleDB/Grafana ship natively):
+    each event type's daily series (30 points) reduces to 12 — first and
+    last always kept, 10 interior index-buckets each contributing the
+    point forming the LARGEST TRIANGLE with the previously SELECTED
+    point and the NEXT bucket's average.
+
+    ALL-INTEGER geometry: x = epoch day, y = exact daily cents; the
+    next-bucket average never divides — the area comparison is
+    cross-multiplied by the bucket size (|(ax·nc − Σx)(y − ay) −
+    (ax − x)(Σy − ay·nc)| — 2·area·nc, same argmax), so the sequential
+    selection trajectory (each pick feeds the next bucket's triangle)
+    is bit-reproducible in both engines; ties break on earliest day.
+    The DuckDB twin replays the bucket walk as a recursive CTE with the
+    anchor point as carried state (the BPE/MMR oracle pattern);
+    requires n > 12 points per series (the fixture's 30; shorter series
+    are a pass-through a real deployment would special-case).
+
+    Scale: the dense axis at 100 TB is raw events — reduced FIRST by
+    the keyed daily aggregation (map-side combined); LTTB itself runs
+    on the reduced per-series frame (30 rows/group) via applyInPandas,
+    sequential only within a series, parallel across series. No global
+    sort, no driver state."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    pts = (
+        e.select(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("x"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+
+    def _lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        n = len(pdf)
+        xs = pdf["x"].to_numpy(dtype=np.int64)
+        ys = pdf["y"].to_numpy(dtype=np.int64)
+        et = pdf["event_type"].iloc[0]
+        B = 10
+        assert n > B + 2, "LTTB contract: series longer than n_out"
+        # interior index-buckets: point k (0-based interior) -> bucket
+        # floor(k*B / (n-2)); identical to the SQL ((rn-2)*10)//(n-2).
+        buckets: list[list[int]] = [[] for _ in range(B)]
+        for k in range(n - 2):
+            buckets[(k * B) // (n - 2)].append(k + 1)
+        ax, ay = int(xs[0]), int(ys[0])
+        picks = []
+        for b in range(B):
+            cands = buckets[b]
+            if b < B - 1 and buckets[b + 1]:
+                nxt = buckets[b + 1]
+                nsx = int(sum(int(xs[i]) for i in nxt))
+                nsy = int(sum(int(ys[i]) for i in nxt))
+                nc = len(nxt)
+            else:
+                nsx, nsy, nc = int(xs[-1]), int(ys[-1]), 1
+            best_sc, best_i = None, None
+            for i in cands:
+                sc = abs(
+                    (ax * nc - nsx) * (int(ys[i]) - ay)
+                    - (ax - int(xs[i])) * (nsy - ay * nc)
+                )
+                if best_sc is None or sc > best_sc or (
+                    sc == best_sc and xs[i] < xs[best_i]
+                ):
+                    best_sc, best_i = sc, i
+            picks.append(best_i)
+            ax, ay = int(xs[best_i]), int(ys[best_i])
+        sel = [0] + picks + [n - 1]
+        return pd.DataFrame(
+            {
+                "event_type": et,
+                "pos": np.arange(len(sel), dtype=np.int64),
+                "x": xs[sel],
+                "cents": ys[sel],
+            }
+        )
+
+    out = pts.groupBy("event_type").applyInPandas(
+        _lttb, "event_type string, pos long, x long, cents long"
+    )
+    return out.select(
+        "event_type",
+        "pos",
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("x").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "cents",
+    )
