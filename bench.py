@@ -1703,6 +1703,72 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     entry["q_sql_q18_bucketed"] = (
                         f"error: {type(exc).__name__}"
                     )
+            # r15 (r14 verdict #4): the same physical A/B for Q21 — with
+            # q3 re-measured under 2× real and q18's layout pin above,
+            # Q21 is the last TPC-H shape >2× after dispatch attribution.
+            # lineitem+orders co-bucketed on the ORDER key make the
+            # ord⋈lineitem join AND both per-(order[,supp]) rollups
+            # exchange-free (groupBy(ok, sk) is satisfied by hash(ok) —
+            # clustering on a key subset still co-locates; sortBy gives
+            # the SMJ pre-sorted runs, so the hint is stripped). What
+            # remains vs DuckDB is scan decode + the hash rollups —
+            # the sidecar shows how much of Q21's ratio was the one
+            # fact exchange.
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.operators.tpch_sql import _Q21
+                    from cuny_courses_spark.sources.loaders import (
+                        load as _ldb,
+                    )
+
+                    import shutil as _sh
+                    from urllib.parse import urlparse as _up
+
+                    t0 = time.perf_counter()
+                    wh = _up(
+                        spark.conf.get("spark.sql.warehouse.dir", "")
+                    ).path
+                    for tname in ("bkt_lineitem21",):
+                        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+                        if wh:
+                            _sh.rmtree(
+                                os.path.join(wh, tname), ignore_errors=True
+                            )
+                    _ldb(spark, gdir, "lineitem").select(
+                        "l_orderkey", "l_suppkey", "l_shipdate"
+                    ).write.bucketBy(32, "l_orderkey").sortBy(
+                        "l_orderkey"
+                    ).mode("overwrite").saveAsTable("bkt_lineitem21")
+                    # bkt_orders_ok is reused from the Q18 block when it
+                    # exists (same 32-bucket o_orderkey layout).
+                    if not spark.catalog.tableExists("bkt_orders_ok"):
+                        _ldb(spark, gdir, "orders").write.bucketBy(
+                            32, "o_orderkey"
+                        ).sortBy("o_orderkey").mode(
+                            "overwrite"
+                        ).saveAsTable("bkt_orders_ok")
+                    entry["q_sql_q21_bucketed_layout_sec"] = round(
+                        time.perf_counter() - t0, 4
+                    )
+                    q21b = (
+                        _Q21.replace("/*+ SHUFFLE_HASH(ord) */ ", "")
+                        .replace("FROM orders", "FROM bkt_orders_ok")
+                        .replace(
+                            "FROM lineitem JOIN ord",
+                            "FROM bkt_lineitem21 JOIN ord",
+                        )
+                    )
+                    spark.sql(q21b).toPandas()  # warm
+                    entry["q_sql_q21_bucketed"] = _time_best(
+                        lambda: spark.sql(q21b).toPandas(),
+                        laps + 1 if factor >= 100 else laps,
+                    )
+                except Exception as exc:
+                    entry["q_sql_q21_bucketed"] = (
+                        f"error: {type(exc).__name__}"
+                    )
             # Text/sampling twins run on the DOCS corpus connection (the
             # gdir twin loop above can't serve them — different files).
             if ddir != sf_dir:
