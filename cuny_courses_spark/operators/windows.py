@@ -818,3 +818,66 @@ def q_win_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_error_bursts"),
         F.length("s").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "q_win_retention_cohorts",
+    oracle="""
+WITH act AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS wk
+    FROM events
+), cohort AS (
+    SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id
+)
+SELECT c.cohort_wk,
+       CAST(a.wk - c.cohort_wk AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION MATRIX — the product-analytics staple (Amplitude/
+    Mixpanel native): users grouped by their FIRST active epoch-week
+    (cohort), then for each (cohort, week-offset) cell the count of
+    cohort members active that week. Integer epoch-week arithmetic
+    (floor-div of epoch days — no TZ/DST seam, the q_win_streak
+    contract).
+
+    Plan shape: ONE user-keyed exchange reused twice — the distinct
+    (user, week) activity set, the per-user min (cohort) and the
+    join-back all cluster on user_id, so EnsureRequirements inserts
+    nothing between them; only the final (cohort, offset) cell
+    aggregation re-keys, and it aggregates |users|·|weeks| already-
+    distinct rows, not raw events. At 100 TB raw events reduce at the
+    first distinct (map-side partial), per-user state is its active-week
+    set, and the retention matrix is |cohorts|·|offsets| — dashboard-
+    sized regardless of corpus."""
+    e = load(spark, sf_dir, "events")
+    act = (
+        e.select(
+            "user_id",
+            F.floor(
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(cohort, ["user_id"])
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
