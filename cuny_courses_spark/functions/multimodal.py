@@ -276,6 +276,140 @@ def q_mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mm_phash_neardup",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3
+), alldocs AS (
+    SELECT doc_id, text FROM base
+    UNION ALL
+    SELECT doc_id + 1000000000,
+           substr(text, 1, len(text) - 1) || 'x'
+    FROM base
+), feat AS (
+    SELECT doc_id,
+           list_transform(range(1, len(text) + 1),
+                          i -> ascii(text[i])::BIGINT) AS pix,
+           len(text)::BIGINT AS n
+    FROM alldocs
+), bits AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), b ->
+               CASE WHEN COALESCE(list_sum(
+                            pix[(b * n) // 64 + 1 : ((b + 1) * n) // 64]),
+                          0) * n
+                         > list_sum(pix)
+                           * (((b + 1) * n) // 64 - (b * n) // 64)
+                    THEN 1::BIGINT ELSE 0::BIGINT END) AS bit
+    FROM feat
+), hv AS (
+    SELECT doc_id,
+           list_reduce(list_transform(range(0, 32), i -> bit[i + 1] << i),
+                       (a, b) -> a | b) AS h_lo,
+           list_reduce(list_transform(range(0, 32), i -> bit[i + 33] << i),
+                       (a, b) -> a | b) AS h_hi
+    FROM bits
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h_lo, b.h_lo))
+            + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT) AS hamming
+FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h_lo, b.h_lo))
+      + bit_count(xor(a.h_hi, b.h_hi)) <= 2
+""",
+)
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH NEAR-DUP over media payloads (the image-dedup
+    staple: aHash/blockhash family) — codec-free, so nothing stubbed.
+    Each payload becomes a 64-bit average-hash: 64 equal index tiles
+    (the 1-D analog of the 8×8 downsample), bit i set iff tile i's mean
+    exceeds the global mean — decided by the INTEGER cross-product
+    ``tile_sum·n > total_sum·tile_len`` so no division ever happens and
+    the hash is bit-reproducible across engines. A perturbed re-encode
+    of every doc (last byte swapped — what a metadata-stripping
+    re-encoder does) is unioned in; near-dups are pairs at hamming ≤ 2.
+
+    The pair search is banded LSH, not all-pairs: the 64-bit hash splits
+    into 4×16-bit bands and candidates come from a band-value equi-join.
+    By pigeonhole this is EXACT for the threshold (≤2 differing bits
+    touch ≤2 of 4 bands, so ≥1 band collides) — which is why the DuckDB
+    twin can be the brute-force all-pairs join and still hash-match
+    bit-for-bit: a banding bug, a tile-boundary off-by-one, or a
+    borderline-mean tie drift all FAIL. At 100 TB: hashing is one
+    mapInArrow scan (vectorized cumsum over utf-32 codepoints, O(64)
+    state/row); the join shuffles 4 16-bit-keyed rows per doc instead of
+    n² pairs — the same shape as q_dedup_minhash_lsh's band join, at
+    image-corpus scale the only survivable plan."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 3)
+    base = d.select("doc_id", "text")
+    variant = d.select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 1)"), F.lit("x")
+        ).alias("text"),
+    )
+    both = base.unionByName(variant)
+
+    def ahash(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(32, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            lo, hi = [], []
+            for t in texts:
+                pix = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = pix.size
+                csum = np.concatenate(([0], np.cumsum(pix)))
+                bounds = (np.arange(65, dtype=np.int64) * n) // 64
+                tsum = csum[bounds[1:]] - csum[bounds[:-1]]
+                tlen = bounds[1:] - bounds[:-1]
+                bits = (tsum * n > int(csum[-1]) * tlen).astype(np.int64)
+                lo.append(int(((bits[:32] << shifts)).sum()))
+                hi.append(int(((bits[32:] << shifts)).sum()))
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": ids, "h_lo": lo, "h_hi": hi}
+            )
+
+    hv = both.mapInArrow(ahash, "doc_id long, h_lo long, h_hi long")
+    bands = hv.select(
+        "doc_id",
+        "h_lo",
+        "h_hi",
+        F.posexplode(
+            F.array(
+                F.expr("h_lo & 65535"),
+                F.expr("shiftright(h_lo, 16) & 65535"),
+                F.expr("h_hi & 65535"),
+                F.expr("shiftright(h_hi, 16) & 65535"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.expr("bit_count(a.h_lo ^ b.h_lo) + bit_count(a.h_hi ^ b.h_hi)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+@register(
     "q_mm_resize",
     oracle="""
 SELECT doc_id,
