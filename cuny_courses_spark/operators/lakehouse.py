@@ -557,6 +557,98 @@ def publish_branch(table_dir: str, branch: str, version: int) -> dict:
     return {"version": version, "meta_files_written": 1}
 
 
+class MergeConflict(ValueError):
+    """A branch's changes cannot be replayed onto the current main head
+    (the branch rewrote or deleted base data, or carries merge-on-read
+    deletes) — cherry-pick merges replay APPENDS only."""
+
+
+def merge_branch(table_dir: str, branch: str) -> dict:
+    """MERGE a multi-commit branch back to main by CHERRY-PICKING its
+    delta (Iceberg cherry-pick / Nessie merge): the branch's appended
+    files — everything its snapshot references beyond its recorded fork
+    point — are replayed onto the CURRENT main head as one new commit,
+    even when main advanced past the fork (a fast-forward is the
+    degenerate head==base case, reported in the result). The merge moves
+    ZERO data: delta files are re-referenced by name, re-stamped with
+    the merge version in ``added`` (the merge commit owns them, so head
+    DVs older than it never mask them), stats travel from the branch
+    doc, and the schema is the additive union of head and branch
+    (``_merge_schemas`` refuses narrowing/retyping).
+
+    Conflict rule (the honest Nessie posture): a branch that REMOVED or
+    rewrote any fork-point file, or that stacked merge-on-read deletes,
+    is not an append chain — replaying only its additions would silently
+    resurrect data the branch deleted — so the merge raises
+    ``MergeConflict`` and the branch must be re-staged. Re-merging an
+    already-merged branch is a detected no-op (``merged=False``), so the
+    merge verb is idempotent under at-least-once drivers."""
+    bdoc = _resolve_list_doc(table_dir, _read_branch_doc(table_dir, branch))
+    bmeta = bdoc.get("meta") or {}
+    base = bmeta.get("base_version")
+    if base is None:
+        raise ValueError(
+            f"branch {branch!r} records no fork point (base_version)"
+        )
+    base_doc = _read_manifest_doc(table_dir, int(base))
+    base_files = set(base_doc["files"])
+    branch_files = set(bdoc["files"])
+    removed = base_files - branch_files
+    if removed:
+        raise MergeConflict(
+            f"branch {branch!r} removed {len(removed)} fork-point file(s); "
+            "cherry-pick merges replay appends only"
+        )
+    if (bdoc.get("dvs") or {}) != (base_doc.get("dvs") or {}):
+        raise MergeConflict(
+            f"branch {branch!r} changed deletion vectors; cherry-pick "
+            "merges replay appends only"
+        )
+    delta = sorted(branch_files - base_files)
+    head = latest_version(table_dir)
+    head_doc = _read_manifest_doc(table_dir, head)
+    if set(delta) <= set(head_doc["files"]):
+        return {
+            "version": head,
+            "merged": False,
+            "fast_forward": head == int(base),
+            "files_added": 0,
+            "branch_commits": int(bmeta.get("branch_commits", 1)),
+        }
+    version = head + 1
+    bstats = bdoc.get("stats", {})
+    stats = dict(head_doc.get("stats", {}))
+    stats.update({f: bstats[f] for f in delta if f in bstats})
+    added = dict(head_doc.get("added", {}))
+    added.update({f: version for f in delta})
+    schema = head_doc.get("schema")
+    if bdoc.get("schema") is not None:
+        schema = (
+            _merge_schemas(schema, bdoc["schema"])
+            if schema is not None
+            else bdoc["schema"]
+        )
+    rep = commit_snapshot(
+        table_dir,
+        version,
+        head_doc["files"] + delta,
+        stats=stats,
+        meta={"merged_branch": branch, "base_version": int(base)},
+        schema=schema,
+        dvs=head_doc.get("dvs"),
+        added=added,
+        props=head_doc.get("props"),
+        rebase_from=head,
+    )
+    return {
+        "version": rep["version"],
+        "merged": True,
+        "fast_forward": head == int(base),
+        "files_added": len(delta),
+        "branch_commits": int(bmeta.get("branch_commits", 1)),
+    }
+
+
 def _tag_path(table_dir: str, tag: str) -> str:
     return os.path.join(table_dir, "manifest", f"t-{tag}.json")
 
@@ -1865,6 +1957,7 @@ def append_snapshot(
     batch_id: int | None = None,
     branch: str | None = None,
     props_update: dict | None = None,
+    parent_branch: str | None = None,
 ) -> tuple[int, bool]:
     """INSERT-ONLY commit (the streaming-ingest fast path): write only the
     new rows' files and re-reference EVERY parent file — no CoW rewrite,
@@ -1878,7 +1971,34 @@ def append_snapshot(
     FileExistsError propagates (a true conflict — retry at the next
     version). Data files are staged under a per-attempt unique directory
     so a losing writer can never clobber the winner's already-referenced
-    files."""
+    files.
+
+    ``parent_branch`` (r15, multi-commit branches): when set, the parent
+    is the BRANCH ref's current snapshot instead of a main version, and
+    the commit re-points the same branch — a branch accumulates a commit
+    CHAIN diverging from its fork point (Iceberg/Nessie branch
+    semantics) rather than WAP's single staged snapshot. The branch
+    doc's meta carries ``base_version`` (the main fork point, recorded
+    by the first branch commit) and ``branch_commits`` forward;
+    ``merge_branch`` consumes both."""
+    branch_meta: dict | None = None
+    parent_doc: dict | None = None
+    if parent_branch is not None:
+        if branch is not None and branch != parent_branch:
+            raise ValueError("parent_branch commits re-point the same branch")
+        branch = parent_branch
+        parent_doc = _resolve_list_doc(
+            table_dir, _read_branch_doc(table_dir, parent_branch)
+        )
+        parent_version = int(parent_doc["version"])
+        pmeta = parent_doc.get("meta") or {}
+        branch_meta = {
+            "base_version": pmeta.get("base_version", parent_version),
+            "branch_commits": int(pmeta.get("branch_commits", 1)) + 1,
+        }
+    elif branch is not None:
+        # first commit on a fresh branch: record the main fork point
+        branch_meta = {"base_version": parent_version, "branch_commits": 1}
     version = parent_version + 1
 
     def _already(doc: dict) -> bool:
@@ -1909,7 +2029,11 @@ def append_snapshot(
     staging = os.path.join(
         table_dir, "data", f"v{version}_{uuid.uuid4().hex[:8]}"
     )
-    parent = _read_manifest_doc(table_dir, parent_version)
+    parent = (
+        parent_doc
+        if parent_doc is not None
+        else _read_manifest_doc(table_dir, parent_version)
+    )
     nb = _table_n_buckets(parent)
     cm = _colmap(parent)
     rows = _to_physical(rows, cm)  # writers store PHYSICAL column names
@@ -1944,7 +2068,13 @@ def append_snapshot(
             version,
             parent["files"] + new_files,
             stats=stats,
-            meta={"batch_id": batch_id} if batch_id is not None else None,
+            meta=(
+                {
+                    **({"batch_id": batch_id} if batch_id is not None else {}),
+                    **(branch_meta or {}),
+                }
+                or None
+            ),
             schema=_merge_schemas(parent.get("schema"), _schema_of(rows)),
             dvs=parent.get("dvs"),  # pending MoR deletes carry forward
             added=added,  # appended files post-date those DVs
@@ -8222,4 +8352,129 @@ def q_lake_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             "explicit_match_accepted", F.lit(bool(accepted))
         )
         .withColumn("mismatch_refused", F.lit(bool(refused)))
+    )
+
+
+@register(
+    "q_lake_branch_merge",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT CAST(1 AS BIGINT) AS v_base, CAST(2 AS BIGINT) AS v_main,
+       CAST(3 AS BIGINT) AS merged_version,
+       (SELECT count(*) FROM src WHERE k % 4 = 1) AS n_base,
+       (SELECT count(*) FROM src WHERE k % 4 IN (1, 2))
+           AS n_main_during_branch,
+       (SELECT count(*) FROM src WHERE k % 4 IN (0, 1, 3)) AS n_branch_view,
+       CAST(2 AS BIGINT) AS branch_commits,
+       FALSE AS fast_forward, TRUE AS delta_nonempty,
+       (SELECT count(*) FROM src) AS n_final,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM src) AS sum_cents_final,
+       TRUE AS remerge_noop, TRUE AS conflict_refused
+""",
+)
+def q_lake_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COMMIT BRANCH + CHERRY-PICK MERGE (Iceberg branches / Nessie
+    merge — the engineering-branch workflow WAP's single staged commit
+    cannot express): a dev branch forks from v1 and accumulates TWO
+    append commits (each parented on the BRANCH head via
+    ``parent_branch``, not a main version) while main independently
+    advances to v2 — divergent histories, fully isolated both ways
+    (main readers never see the branch; the branch audit sees fork
+    point + its own chain, not main's v2). ``merge_branch`` then
+    replays the branch's append delta onto the CURRENT head as one
+    commit (v3) — zero data moved, delta files re-referenced by name
+    and re-stamped with the merge version — and the query pins the
+    whole contract: isolation counts both directions, the merged final
+    state (rows + cents checksum), non-fast-forward detection (head
+    moved past the fork), idempotent RE-merge (a second merge_branch
+    is a detected no-op — at-least-once drivers can't double-apply),
+    and conflict refusal (a branch that dropped a fork-point file is
+    not an append chain — cherry-picking it would resurrect deleted
+    data — so the merge raises instead of silently merging). At 100 TB
+    the whole verb is O(metadata): branch commits stage only their own
+    files, and the merge writes one manifest list + the changed bucket
+    groups — no fact-table read, rewrite, or shuffle anywhere."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_branch_merge")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), fp("o_totalprice").alias("cents")
+    )
+    part = F.col("k") % 4
+    snapshot_write(src.filter(part == 1), table_dir, key="k", version=1)
+
+    # main advances independently of the branch
+    append_snapshot(table_dir, 1, src.filter(part == 2), key="k")
+
+    # dev branch: TWO commits chained on the branch ref, forked at v1
+    append_snapshot(
+        table_dir, 1, src.filter(part == 3), key="k", branch="dev"
+    )
+    append_snapshot(
+        table_dir,
+        0,  # ignored: parent_branch supplies the parent snapshot
+        src.filter(part == 0),
+        key="k",
+        parent_branch="dev",
+    )
+    n_branch_view = read_branch(spark, table_dir, "dev").count()
+    n_main_during = snapshot_read(spark, table_dir).count()  # still v1∪A
+    n_base = snapshot_read(spark, table_dir, version=1).count()
+
+    rep = merge_branch(table_dir, "dev")
+    rep2 = merge_branch(table_dir, "dev")  # idempotent re-merge
+    remerge_noop = (not rep2["merged"]) and rep2["version"] == rep["version"]
+    drop_branch(table_dir, "dev")
+
+    # conflict: a branch whose snapshot DROPPED a fork-point file is not
+    # an append chain — cherry-pick must refuse, never resurrect deletes
+    v1 = _read_manifest_doc(table_dir, 1)
+    commit_snapshot(
+        table_dir,
+        2,
+        v1["files"][1:],
+        stats=v1.get("stats"),
+        meta={"base_version": 1, "branch_commits": 1},
+        schema=v1.get("schema"),
+        branch="risky",
+    )
+    try:
+        merge_branch(table_dir, "risky")
+        conflict_refused = False
+    except MergeConflict:
+        conflict_refused = True
+    drop_branch(table_dir, "risky")
+    conflict_refused = (
+        conflict_refused and latest_version(table_dir) == rep["version"]
+    )
+
+    agg = (
+        snapshot_read(spark, table_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents").cast("long"), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                1, 2, rep["version"], n_base, n_main_during,
+                n_branch_view,
+                rep["branch_commits"], bool(rep["fast_forward"]),
+                rep["files_added"] > 0, agg["n"], agg["s"],
+                bool(remerge_noop), bool(conflict_refused),
+            )
+        ],
+        "v_base long, v_main long, merged_version long, n_base long,"
+        " n_main_during_branch long, n_branch_view long,"
+        " branch_commits long, fast_forward boolean,"
+        " delta_nonempty boolean, n_final long, sum_cents_final long,"
+        " remerge_noop boolean, conflict_refused boolean",
     )

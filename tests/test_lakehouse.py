@@ -2552,3 +2552,64 @@ def test_lakefeed_coalesced_diff_equals_incremental_diff_endpoints(
         ).collect()
     )
     assert got == exp
+
+
+def test_merge_branch_fast_forward_and_dv_conflict(spark, tmp_path):
+    """merge_branch: head==base merges report fast_forward; a branch that
+    stacked merge-on-read deletes (DVs differ from the fork point) must
+    refuse — the two classes the registered query doesn't pin."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    extra = o.filter(F.col("k") % 5 == 0)
+    lh.append_snapshot(table_dir, 1, extra.limit(50), key="k", branch="ff")
+    rep = lh.merge_branch(table_dir, "ff")
+    assert rep["merged"] and rep["fast_forward"] and rep["version"] == 2
+    assert lh.snapshot_read(spark, table_dir).count() == base.count() + 50
+    # re-merge: detected no-op, head unmoved
+    rep2 = lh.merge_branch(table_dir, "ff")
+    assert not rep2["merged"] and rep2["version"] == 2
+    lh.drop_branch(table_dir, "ff")
+
+    # DV-conflict branch: fork at v2, then hand the branch doc a DV entry
+    v2 = lh._read_manifest_doc(table_dir, 2)
+    lh.commit_snapshot(
+        table_dir,
+        2,
+        v2["files"],
+        stats=v2.get("stats"),
+        meta={"base_version": 2, "branch_commits": 1},
+        schema=v2.get("schema"),
+        dvs={"0": [{"path": "dv-fake.parquet", "v": 3}]},
+        added=v2.get("added"),
+        branch="dvb",
+    )
+    with pytest.raises(lh.MergeConflict):
+        lh.merge_branch(table_dir, "dvb")
+    assert lh.latest_version(table_dir) == 2
+
+
+def test_branch_chain_parents_and_isolation(spark, tmp_path):
+    """A parent_branch commit chains on the branch head (version, meta
+    bookkeeping) and never moves main."""
+    from pyspark.sql import functions as F
+
+    table_dir, o, base = _table(spark, tmp_path)
+    extra = o.filter(F.col("k") % 5 == 0)
+    lh.append_snapshot(
+        table_dir, 1, extra.filter(F.col("k") % 10 == 0), key="k",
+        branch="dev",
+    )
+    lh.append_snapshot(
+        table_dir, 0, extra.filter(F.col("k") % 10 == 5), key="k",
+        parent_branch="dev",
+    )
+    doc = lh._read_branch_doc(table_dir, "dev")
+    assert doc["version"] == 3  # fork(1) + 2 branch commits
+    assert doc["meta"]["base_version"] == 1
+    assert doc["meta"]["branch_commits"] == 2
+    assert lh.latest_version(table_dir) == 1  # main never moved
+    assert (
+        lh.read_branch(spark, table_dir, "dev").count()
+        == base.count() + extra.count()
+    )
