@@ -527,3 +527,83 @@ def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day"),
         "cents",
     )
+
+
+@register(
+    "q_ts_hampel_outliers",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), arrs AS (
+    SELECT user_id, event_id, cents,
+           list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS arr
+    FROM e
+), med AS (
+    SELECT user_id, event_id, cents, arr, list_sort(arr)[4] AS med_cents
+    FROM arrs WHERE len(arr) = 7
+)
+SELECT user_id, event_id, med_cents,
+       list_sort(list_transform(arr, v -> abs(v - med_cents)))[4]
+           AS mad_cents,
+       abs(cents - med_cents) AS dev_cents,
+       abs(cents - med_cents) > 3 * list_sort(
+           list_transform(arr, v -> abs(v - med_cents)))[4] AS is_anomaly
+FROM med
+""",
+)
+def q_ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMPEL FILTER — rolling robust anomaly detection (the telemetry-
+    cleaning standard: flag a point whose deviation from the TRAILING
+    window median exceeds 3× that window's median absolute deviation;
+    mean/stddev z-scores break because the outlier inflates its own
+    threshold, the median/MAD pair doesn't). Window = the 7 points
+    strictly BEFORE the current row (leave-self-out, so a spike can't
+    vote on itself); rows without a full 7-point history are dropped —
+    a detector that scores a 2-point history is noise.
+
+    INTEGER-EXACT throughout: values are exact cents (2-dp contract),
+    a 7-element median is the 4th order statistic — an integer, no
+    midpoint averaging — so median, MAD, deviation, and the 3×MAD
+    comparison are all int64 arithmetic; the float sqrt/σ of a z-score
+    (and its cross-engine last-ulp drift) never appears. MAD = 0
+    (constant window) degrades to flag-any-deviation, identically in
+    both engines.
+
+    Plan: ONE HashPartitioning(user_id) sort carries the whole
+    operator — collect_list over the bounded 7-row frame, then
+    per-row O(7 log 7) JVM array expressions (sort_array + element_at
+    + transform); no second shuffle, no UDF, state = 7 int64 per row.
+    At 100 TB this is the shape a stream twin inherits: bounded frame,
+    keyed exchange, integer state."""
+    from cuny_courses_spark.common import fp
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", fp("value").alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, -1)
+    )
+    arr = F.collect_list("cents").over(w)
+    d = (
+        e.select("user_id", "event_id", "cents", arr.alias("arr"))
+        .filter(F.size("arr") == 7)
+        .withColumn("med_cents", F.expr("sort_array(arr)[3]"))
+    )
+    mad = F.expr(
+        "sort_array(transform(arr, v -> abs(v - med_cents)))[3]"
+    )
+    dev = F.abs(F.col("cents") - F.col("med_cents"))
+    return d.select(
+        "user_id",
+        "event_id",
+        "med_cents",
+        mad.alias("mad_cents"),
+        dev.alias("dev_cents"),
+        (dev > 3 * mad).alias("is_anomaly"),
+    )
