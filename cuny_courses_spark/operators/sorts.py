@@ -170,3 +170,76 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
     )
+
+
+@register(
+    "q_sort_global_index",
+    oracle="""
+SELECT o_orderkey AS k,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       row_number() OVER (
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey ASC) AS global_idx
+FROM orders
+""",
+)
+def q_sort_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED CONTIGUOUS GLOBAL INDEX — total-order row numbering
+    without a single-partition sort (``row_number() OVER (ORDER BY …)``
+    collapses 100 TB onto one task; this is the two-phase form that
+    doesn't): (1) one cheap pass collects ~31 range boundaries of the
+    sort key (approx quantiles — boundary QUALITY only balances
+    partitions, it can never change the output, so approx is safe);
+    (2) every row gets a deterministic range-bucket id = #(boundaries
+    above its key) — a literal-array JVM expression; (3) rows hash-
+    exchange ON THE BUCKET id, each bucket sorts locally (Window
+    partitioned by the bucket — EnsureRequirements adds no second
+    exchange), and the per-bucket row_number is fixed up by the
+    CUMULATIVE COUNT of all earlier buckets, computed by a 32-row
+    aggregate broadcast-joined back. The bucket-count branch reuses the
+    same exchange (ReusedExchange in the plan), so the whole operator is
+    ONE fact shuffle + one 32-row side job. Ties are impossible by
+    construction (orderkey tiebreak inside a cents-contiguous bucket);
+    equal-key rows can't straddle buckets because bucketing is a pure
+    function of the key. The DuckDB oracle is the single-order-by
+    row_number — bit-equality proves the distributed fix-up reproduces
+    the exact total order. This is how you materialize sort position /
+    percentile rank / shard-contiguous ids over a corpus no single
+    executor can hold."""
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), fp("o_totalprice").alias("cents")
+    )
+    n_buckets = 32
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # bounded scalar readback: 31 doubles, once per (query, corpus) —
+    # boundary values only shape partition balance, never the answer
+    bounds = sorted(
+        set(src.approxQuantile("cents", fracs, 0.001)), reverse=True
+    )
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = F.size(
+        F.filter(barr, lambda b: b > F.col("cents").cast("double"))
+    )
+    rows = src.withColumn("part", bucket).repartition(n_buckets, "part")
+    w = Window.partitionBy("part").orderBy(
+        F.col("cents").desc(), F.col("k").asc()
+    )
+    loc = F.row_number().over(w)
+    counts = rows.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    off_w = (
+        Window.orderBy("part")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "part",
+        F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("off"),
+    )
+    return (
+        rows.withColumn("loc", loc)
+        .join(F.broadcast(offsets), "part")
+        .select(
+            "k",
+            "cents",
+            (F.col("off") + F.col("loc")).cast("long").alias("global_idx"),
+        )
+    )
