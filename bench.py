@@ -1769,6 +1769,59 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     entry["q_sql_q21_bucketed"] = (
                         f"error: {type(exc).__name__}"
                     )
+            # r15: the same physical A/B for Q3 — completing the layout
+            # pin for the full {q3, q18, q21} real-work weak set (r14
+            # verdict #4). lineitem bucketed on l_orderkey makes the
+            # grouped rollup after the broadcast co join exchange-free
+            # (grouping keys ⊇ the bucket key), so the only fact cost
+            # left is scan decode + the broadcast probe — the sidecar
+            # shows how much of Q3's ratio was that one grouped-agg
+            # exchange vs the scan floor.
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.operators.tpch_sql import _Q3
+                    from cuny_courses_spark.sources.loaders import (
+                        load as _ldb,
+                    )
+
+                    import shutil as _sh
+                    from urllib.parse import urlparse as _up
+
+                    t0 = time.perf_counter()
+                    wh = _up(
+                        spark.conf.get("spark.sql.warehouse.dir", "")
+                    ).path
+                    spark.sql("DROP TABLE IF EXISTS bkt_lineitem3")
+                    if wh:
+                        _sh.rmtree(
+                            os.path.join(wh, "bkt_lineitem3"),
+                            ignore_errors=True,
+                        )
+                    _ldb(spark, gdir, "lineitem").select(
+                        "l_orderkey",
+                        "l_shipdate",
+                        "l_extendedprice",
+                        "l_discount",
+                    ).write.bucketBy(32, "l_orderkey").sortBy(
+                        "l_orderkey"
+                    ).mode("overwrite").saveAsTable("bkt_lineitem3")
+                    entry["q_sql_q3_bucketed_layout_sec"] = round(
+                        time.perf_counter() - t0, 4
+                    )
+                    q3b = _Q3.replace(
+                        "JOIN lineitem ON", "JOIN bkt_lineitem3 ON"
+                    )
+                    spark.sql(q3b).toPandas()  # warm
+                    entry["q_sql_q3_bucketed"] = _time_best(
+                        lambda: spark.sql(q3b).toPandas(),
+                        laps + 1 if factor >= 100 else laps,
+                    )
+                except Exception as exc:
+                    entry["q_sql_q3_bucketed"] = (
+                        f"error: {type(exc).__name__}"
+                    )
             # Text/sampling twins run on the DOCS corpus connection (the
             # gdir twin loop above can't serve them — different files).
             if ddir != sf_dir:

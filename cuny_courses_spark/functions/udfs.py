@@ -299,3 +299,69 @@ def q_udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").applyInArrow(
         stats, "o_orderstatus string, n long, median_cents double"
     )
+
+
+@register(
+    "q_udtf_partitioned_table_arg",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(gap) AS max_gap_us
+FROM (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+)
+GROUP BY user_id
+""",
+)
+def q_udtf_partitioned_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC UDTF OVER A PARTITIONED TABLE ARGUMENT (Spark 4's
+    ``f(TABLE(t) PARTITION BY k ORDER BY o)`` — the SQL-standard
+    table-function form Flink/Oracle users expect): one UDTF INSTANCE
+    per user_id partition receives that user's rows in (ts, event_id)
+    order through ``eval`` and emits its summary — event count + max
+    inter-event gap in integer µs — from ``terminate`` at partition
+    end. This is the custom-stateful-operator seam as a SQL verb: the
+    engine owns the shuffle/sort (same exchange a window would use),
+    the UDTF owns only O(1) running state (prev-ts, count, max), so the
+    operator survives any partition size without materializing a
+    user's history. The DuckDB twin is the lag-window recompute —
+    bit-equality pins the partition-boundary protocol (a row leaking
+    across instances, or unordered delivery, breaks max_gap). The
+    row-at-a-time Python protocol is the API-coverage point, like
+    q_udf_python; the JVM-side window twin q_win_lag_lead covers the
+    fast path."""
+    from pyspark.sql.functions import lit
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class UserSummary:
+        def __init__(self):
+            self._uid = None
+            self._prev = None
+            self._n = 0
+            self._max = None
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            us = row["us"]
+            self._n += 1
+            if self._prev is not None:
+                gap = us - self._prev
+                if self._max is None or gap > self._max:
+                    self._max = gap
+            self._prev = us
+
+        def terminate(self):
+            if self._n:
+                yield self._uid, self._n, self._max
+
+    spark.udtf.register("ccs_user_summary", UserSummary)
+    load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    ).createOrReplaceTempView("ccs_udtf_events")
+    return spark.sql(
+        "SELECT * FROM ccs_user_summary("
+        "TABLE(ccs_udtf_events) PARTITION BY user_id ORDER BY (us, event_id))"
+    )

@@ -881,3 +881,99 @@ def q_win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+@register(
+    "q_win_attribution_last_touch",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, ts, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CASE WHEN event_type IN ('view', 'click') THEN epoch_us(ts)
+                END AS touch_us,
+           CASE WHEN event_type IN ('view', 'click') THEN event_id
+                END AS touch_id,
+           CASE WHEN event_type IN ('view', 'click') THEN event_type
+                END AS touch_type
+    FROM events
+), lasts AS (
+    SELECT user_id, event_id, ts, event_type, cents,
+           last_value(touch_us IGNORE NULLS) OVER w AS last_us,
+           last_value(touch_id IGNORE NULLS) OVER w AS last_id,
+           last_value(touch_type IGNORE NULLS) OVER w AS last_type
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, cents,
+       CASE WHEN last_us IS NOT NULL
+                 AND epoch_us(ts) - last_us <= 604800000000
+            THEN last_type ELSE 'organic' END AS attributed,
+       CASE WHEN last_us IS NOT NULL
+                 AND epoch_us(ts) - last_us <= 604800000000
+            THEN last_id END AS touch_id,
+       CASE WHEN last_us IS NOT NULL
+                 AND epoch_us(ts) - last_us <= 604800000000
+            THEN epoch_us(ts) - last_us END AS gap_us
+FROM lasts
+WHERE event_type = 'purchase'
+""",
+)
+def q_win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION — the marketing-analytics staple every
+    product warehouse runs nightly: each purchase is credited to the
+    most recent marketing touch (view/click) by the same user within a
+    7-day lookback; purchases with no qualifying touch are 'organic'.
+    The touch is resolved with ``last(…, ignorenulls) OVER (ROWS …
+    AND 1 PRECEDING)`` — three conditional columns (ts/id/type) that
+    are null on exactly the same rows, so the three last_values pick
+    one coherent touch row without a struct carry. The lookback
+    compares integer MICROSECONDS on both engines (the q_win_lag_lead
+    epoch identity — no date arithmetic seam); revenue rides as exact
+    cents.
+
+    Plan: ONE HashPartitioning(user_id) sort serves the whole operator
+    — the window state is 3 scalars per user (the running last touch),
+    the purchase filter projects after, and nothing re-shuffles. At
+    100 TB this is the same shape as sessionization: linear scan per
+    user partition, O(1) state, attribution output ∝ purchases only."""
+    from cuny_courses_spark.common import fp
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        fp("value").alias("cents"),
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    us = F.unix_micros("ts")
+    e = e.withColumn("touch_us", F.when(is_touch, us)).withColumn(
+        "touch_id", F.when(is_touch, F.col("event_id"))
+    ).withColumn("touch_type", F.when(is_touch, F.col("event_type")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lasts = (
+        e.withColumn("last_us", F.last("touch_us", ignorenulls=True).over(w))
+        .withColumn("last_id", F.last("touch_id", ignorenulls=True).over(w))
+        .withColumn(
+            "last_type", F.last("touch_type", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    within = F.col("last_us").isNotNull() & (
+        (us - F.col("last_us")) <= F.lit(604800000000)
+    )
+    return lasts.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.when(within, F.col("last_type"))
+        .otherwise("organic")
+        .alias("attributed"),
+        F.when(within, F.col("last_id")).alias("touch_id"),
+        F.when(within, us - F.col("last_us")).alias("gap_us"),
+    )
