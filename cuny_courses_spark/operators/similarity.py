@@ -2001,3 +2001,89 @@ def q_sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.groupBy("q_id").applyInPandas(
         _mmr, "q_id long, pick long, n_id long, rel4 long, mmr74 long"
     )
+
+
+@register(
+    "q_sim_knn_classify",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    WHERE vec_id % 10 = 0 AND vec_id < 200
+), c AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    WHERE NOT (vec_id % 10 = 0 AND vec_id < 200)
+), knn AS (
+    SELECT q.vec_id AS q_id, q.label AS true_label, c.label AS n_label
+    FROM q JOIN c ON TRUE
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_O_DOT.format(a='q.embedding', b='c.embedding')} DESC,
+                 c.vec_id ASC
+    ) <= 7
+), votes AS (
+    SELECT q_id, true_label, n_label, count(*) AS n
+    FROM knn GROUP BY 1, 2, 3
+)
+SELECT q_id,
+       CAST(true_label AS BIGINT) AS true_label,
+       CAST(first(n_label ORDER BY n DESC, n_label ASC) AS BIGINT)
+           AS pred_label,
+       CAST(first(n ORDER BY n DESC, n_label ASC) AS BIGINT) AS n_votes,
+       first(n_label ORDER BY n DESC, n_label ASC) = true_label AS correct
+FROM votes GROUP BY q_id, true_label
+""",
+)
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN MAJORITY-VOTE CLASSIFICATION over the embedding column — the
+    label-quality audit / weak-labeling op every curation pipeline runs
+    (does a vector's label agree with its neighborhood?): for each held-
+    out query vector, the 7 nearest train vectors by inner product vote
+    on its label; majority wins, vote-count then smallest-label breaks
+    ties, and the row records whether the vote agrees with the stored
+    label. Ranking uses the raw double dot (the sequential zip-fold ≡
+    DuckDB's list_sum — bit-identical, the q_sim_topk_per_query
+    contract) with vec_id tiebreak, so the 7-neighbor cut is total-
+    ordered; voting is pure integer counting.
+
+    Scale shape: the bounded query set broadcasts, the train corpus
+    streams past in one pass (never the reverse); votes aggregate
+    |queries|·7 rows. When the query side scales, the ANN legs
+    (IVF/LSH/IVFPQ) generate the candidate set and this vote stage is
+    unchanged — classification is a re-rank consumer, exactly like
+    q_sim_mmr_diversify."""
+    e = load(spark, sf_dir, "embeddings")
+    is_q = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 200)
+    q = e.filter(is_q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("eq"),
+        F.col("label").alias("true_label"),
+    )
+    c = e.filter(~is_q).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("ec"),
+        F.col("label").alias("n_label"),
+    )
+    j = c.join(F.broadcast(q), F.lit(True)).withColumn(
+        "dot", _dot("eq", "ec")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("n_id").asc()
+    )
+    knn = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 7)
+    votes = knn.groupBy("q_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    vw = Window.partitionBy("q_id").orderBy(
+        F.col("n").desc(), F.col("n_label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("n_label").cast("long").alias("pred_label"),
+            F.col("n").cast("long").alias("n_votes"),
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -353,6 +353,7 @@ def test_plan_hygiene_no_unbounded_pair_scans(spark):
         "q_sample_mixture_weights",  # 1-row min-tokens budget broadcast (scalar)
         "q_sample_temperature_mix",  # 1-row (tot, z_alpha) normalizer broadcast (scalar)
         "q_sim_mmr_diversify",     # bounded query set (vec_id < 5) non-equi broadcast — the q_sim_topk_per_query shape feeding the MMR re-rank
+        "q_sim_knn_classify",      # bounded query set (20 test vectors) broadcast — the q_sim_topk_per_query shape feeding the vote stage
         "q_text_ccnet_buckets",    # 1-row vocab-size V broadcast inside bigram_perplexity (the q_text_perplexity scalar)
     }
     offenders = {}
