@@ -8478,3 +8478,126 @@ def q_lake_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         " delta_nonempty boolean, n_final long, sum_cents_final long,"
         " remerge_noop boolean, conflict_refused boolean",
     )
+
+
+@register(
+    "q_lake_scd2_merge",
+    oracle="""
+WITH src AS (
+    SELECT c_custkey AS k,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+), chg AS (SELECT * FROM src WHERE k % 7 = 0),
+nw AS (
+    SELECT k + 10000000 AS k, (k % 1000) + 123456 AS cents
+    FROM src WHERE k % 13 = 0
+)
+SELECT CAST(2 AS BIGINT) AS head_version,
+       (SELECT count(*) FROM src) + (SELECT count(*) FROM chg)
+           + (SELECT count(*) FROM nw) AS n_history_rows,
+       (SELECT count(*) FROM src) + (SELECT count(*) FROM nw)
+           AS n_current,
+       (SELECT count(*) FROM chg) AS n_closed,
+       (SELECT count(*) FROM nw) AS n_new_keys,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM src)
+           + 1111 * (SELECT count(*) FROM chg)
+           + (SELECT COALESCE(CAST(sum(cents) AS BIGINT), 0) FROM nw)
+           AS sum_cents_current,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM src) AS sum_cents_asof_v1
+""",
+)
+def q_lake_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 DIMENSION MAINTENANCE THROUGH LAKEHOUSE MERGE — the most
+    requested Delta MERGE recipe (WHEN MATCHED close the current
+    version, WHEN NOT MATCHED insert the new one): the dimension's
+    grain is (business key, valid_from) — encoded injectively as the
+    numeric merge key k·10+valid_from — so
+    ONE copy-on-write merge applies the whole SCD-2 changeset: closing
+    updates (valid_to := 2 on the superseded version), reopening
+    inserts (the changed keys' new versions at valid_from=2), and
+    brand-new keys, atomically in one commit. History and current state
+    then come from the SAME stored table: current = open-interval rows
+    (valid_to = the 9999 sentinel), as-of v1 = rows whose
+    [valid_from, valid_to) interval covers 1 — the effective-dated read
+    every warehouse report runs. The oracle recomputes every count and
+    cents checksum logically from the modular changeset definition.
+    At 100 TB: the merge rewrites only the buckets containing changeset
+    keys (CoW bucket pruning — the merge_upsert contract); the history
+    table grows by |changes| per batch, never rewrites itself; both
+    reads are plain filtered scans of the head snapshot."""
+    from cuny_courses_spark.operators.scans import _io_dir
+
+    table_dir = _io_dir(sf_dir, "lake_scd2_merge")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    src = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), fp("c_acctbal").alias("cents")
+    )
+    OPEN = F.lit(9999).cast("long")
+
+    def vrow(df, vfrom, vto):
+        # the (business key, valid_from) grain as ONE numeric merge key:
+        # valid_from ∈ {1,2} ⇒ k·10+vfrom is injective and bucketable
+        return df.select(
+            (F.col("k") * 10 + F.lit(vfrom)).cast("long").alias("key_s"),
+            "k",
+            "cents",
+            F.lit(vfrom).cast("long").alias("valid_from"),
+            vto.cast("long").alias("valid_to"),
+        )
+
+    snapshot_write(
+        vrow(src, 1, OPEN), table_dir, key="key_s", version=1
+    )
+    chg = src.filter(F.col("k") % 7 == 0)
+    closes = vrow(chg, 1, F.lit(2))
+    opens = vrow(chg.withColumn("cents", F.col("cents") + 1111), 2, OPEN)
+    news = vrow(
+        src.filter(F.col("k") % 13 == 0).select(
+            (F.col("k") + 10_000_000).alias("k"),
+            ((F.col("k") % 1000) + 123456).cast("long").alias("cents"),
+        ),
+        2,
+        OPEN,
+    )
+    merge_upsert(
+        spark,
+        table_dir,
+        1,
+        closes.unionByName(opens).unionByName(news),
+        key="key_s",
+    )
+    head = latest_version(table_dir)
+    t = snapshot_read(spark, table_dir)
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n_hist"),
+        F.sum(F.when(F.col("valid_to") == 9999, 1).otherwise(0)).alias(
+            "n_cur"
+        ),
+        F.sum(F.when(F.col("valid_to") != 9999, 1).otherwise(0)).alias(
+            "n_closed"
+        ),
+        F.sum(
+            F.when(F.col("k") >= 10_000_000, 1).otherwise(0)
+        ).alias("n_new"),
+        F.sum(
+            F.when(F.col("valid_to") == 9999, F.col("cents")).otherwise(0)
+        ).cast("long").alias("sum_cur"),
+        F.sum(
+            F.when(
+                (F.col("valid_from") <= 1) & (F.col("valid_to") > 1),
+                F.col("cents"),
+            ).otherwise(0)
+        ).cast("long").alias("sum_v1"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                head, agg["n_hist"], agg["n_cur"], agg["n_closed"],
+                agg["n_new"], agg["sum_cur"], agg["sum_v1"],
+            )
+        ],
+        "head_version long, n_history_rows long, n_current long,"
+        " n_closed long, n_new_keys long, sum_cents_current long,"
+        " sum_cents_asof_v1 long",
+    )
