@@ -585,3 +585,91 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return visited
     finally:
         edges_w.unpersist()
+
+
+def _lpa_oracle(n_iter: int) -> str:
+    head = """
+WITH edges AS (
+    SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+    FROM lineitem
+    UNION
+    SELECT DISTINCT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst
+    FROM lineitem
+), l0 AS (
+    SELECT DISTINCT src AS node, src AS label FROM edges
+)"""
+    steps = []
+    for t in range(1, n_iter + 1):
+        steps.append(f""", l{t} AS (
+    SELECT node, label FROM (
+        SELECT e.src AS node, l.label, count(*) AS c
+        FROM edges e JOIN l{t-1} l ON e.dst = l.node
+        GROUP BY e.src, l.label
+    ) QUALIFY row_number() OVER (
+        PARTITION BY node ORDER BY c DESC, label ASC) = 1
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT node, label FROM l{n_iter}"
+    )
+
+
+@register("q_graph_label_propagation", oracle=_lpa_oracle(3))
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan et al. — the
+    near-linear community algorithm GraphX/GraphFrames ship as
+    ``labelPropagation``): every node starts as its own label; each
+    SYNCHRONOUS superstep relabels every node to the most frequent
+    label among its neighbors, vote-count-then-smallest-label breaking
+    ties. Async LPA (update-in-place) is famously nondeterministic —
+    the SYNC variant with a total tie order is bit-reproducible, which
+    is what lets the DuckDB twin be three unrolled superstep CTEs and
+    the driver hash the assignment. Three rounds on the symmetrized
+    part↔supplier co-purchase graph (pagerank's encoding); communities
+    here are the dense co-purchase clusters.
+
+    Superstep plan: edges persist ONCE hash-partitioned on dst, so the
+    per-round join moves only the |nodes|-sized label frame; the vote
+    is one map-side-combined (src, label) count and a src-keyed argmax
+    window — per-round cost is two bounded exchanges of aggregate rows,
+    never an edge-sized rewrite. ``_superstep_checkpoint`` truncates
+    lineage per round (the pagerank/khop contract); the driver holds
+    only the round counter. At 100 TB: same loop, edges pre-bucketed on
+    dst, label frame ∝ nodes — the Pregel shape with bounded state."""
+    li = load(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (2 * F.col("l_partkey")).alias("src"),
+        (2 * F.col("l_suppkey") + 1).alias("dst"),
+    )
+    edges = (
+        fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .repartition("dst")
+        .persist()
+    )
+    try:
+        labels = (
+            edges.select(F.col("src").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        for _ in range(3):
+            votes = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy(F.col("src").alias("node2"), "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumnRenamed("node2", "node")
+            )
+            labels = _superstep_checkpoint(
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+            )
+        return labels
+    finally:
+        edges.unpersist()
