@@ -977,3 +977,88 @@ def q_win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("last_id")).alias("touch_id"),
         F.when(within, us - F.col("last_us")).alias("gap_us"),
     )
+
+
+@register(
+    "q_win_period_over_period",
+    oracle="""
+WITH rev AS (
+    SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, month
+)
+SELECT n_name, month, cents,
+       lag(cents) OVER w AS prev_cents,
+       cents - lag(cents) OVER w AS delta_cents,
+       CASE WHEN cents > lag(cents) OVER w THEN 1
+            WHEN cents < lag(cents) OVER w THEN -1
+            WHEN lag(cents) OVER w IS NULL THEN NULL ELSE 0
+       END AS direction,
+       CASE WHEN lag(cents) OVER w > 0 THEN
+            CAST((2 * (abs(cents - lag(cents) OVER w) * 10000)
+                  + (lag(cents) OVER w))
+                 // (2 * (lag(cents) OVER w)) AS DOUBLE) / 10000.0
+       END AS pct_abs_change
+FROM rev
+WINDOW w AS (PARTITION BY n_name ORDER BY month)
+""",
+)
+def q_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD GROWTH — the BI dashboard staple (MoM revenue
+    per nation): grouped monthly revenue, previous month via lag, the
+    absolute delta in exact cents, a -1/0/+1 direction, and the percent
+    magnitude as the exact HALF-UP 4-dp integer ratio (S_r4_ratio on
+    the ABSOLUTE delta — signed integer division truncates differently
+    across engines, so sign travels separately and the ratio stays in
+    the den>0, num≥0 regime the contract covers). First months emit
+    NULLs, as every BI tool renders them.
+
+    Plan: the fact reduces FIRST to |nations|·|months| grouped rows
+    (map-side combined, dims broadcast), and the lag window runs over
+    those partials — the q_win_share_of_total second-pass-is-free
+    shape. At 100 TB the window state is one row per (nation, month):
+    dashboard-sized regardless of order volume."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.sum(fp("o_totalprice").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("cents").over(w)
+    delta = F.col("cents") - prev
+    return rev.select(
+        "n_name",
+        "month",
+        "cents",
+        prev.alias("prev_cents"),
+        delta.alias("delta_cents"),
+        F.when(prev.isNull(), F.lit(None).cast("int"))
+        .when(delta > 0, 1)
+        .when(delta < 0, -1)
+        .otherwise(0)
+        .alias("direction"),
+        F.when(
+            prev > 0,
+            F.expr(
+                "CAST((2 * (abs(cents - lag(cents) OVER (PARTITION BY"
+                " n_name ORDER BY month)) * 10000) + lag(cents) OVER"
+                " (PARTITION BY n_name ORDER BY month)) div (2 *"
+                " lag(cents) OVER (PARTITION BY n_name ORDER BY month))"
+                " AS DOUBLE) / 10000.0"
+            ),
+        ).alias("pct_abs_change"),
+    )
