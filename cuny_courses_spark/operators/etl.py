@@ -990,3 +990,70 @@ def q_etl_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_bad_status long, n_customers long,"
         " sum_cents long, n_nonpositive long",
     )
+
+
+@register(
+    "q_etl_hash_chain",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, ts, event_type
+    FROM events
+), chains AS (
+    SELECT user_id,
+           count(*) AS n_events,
+           list_reduce(
+               list_prepend('GENESIS',
+                   list_transform(
+                       list_sort(list(
+                           [epoch_us(ts)::VARCHAR, event_id::VARCHAR,
+                            event_type])),
+                       r -> r[2] || ':' || r[3])),
+               (acc, x) -> md5(acc || '|' || x)) AS chain_hash
+    FROM e GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events, chain_hash
+FROM chains
+""",
+)
+def q_etl_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAMPER-EVIDENT HASH CHAIN over an append-only event log — the
+    audit-log integrity primitive (Merkle-chain verification: any
+    inserted, dropped, reordered, or altered event changes every
+    downstream link, so ONE hash per user certifies the whole history):
+    each user's events in a canonical total order (lexicographic on the
+    [µs-string, id-string, type] image — identical bytes in both
+    engines, so the canon needs no numeric-sort parity) fold left-to-right
+    as ``h_i = md5(h_{i-1} | event_i)`` from a GENESIS seed; the final
+    link plus the event count is the user's integrity certificate. The
+    fold MUST be sequential — that is the point of a chain — but it is
+    sequential per user and parallel across users (the same axis
+    argument as BPE/MMR/LTTB); the DuckDB twin folds the identically
+    sorted list, so a single out-of-order row hash-FAILs the driver.
+
+    Plan: ONE user-keyed exchange (groupBy collect), array_sort for the
+    total order, then a JVM `aggregate` lambda fold — no UDF, state =
+    one 32-char digest per user in flight. At 100 TB the chain head per
+    key is exactly what a streaming twin would checkpoint; re-running
+    the fold over a closed day and comparing heads IS the audit."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.aggregate(
+                F.expr(
+                    "transform(array_sort(collect_list(array("
+                    "CAST(unix_micros(ts) AS STRING),"
+                    " CAST(event_id AS STRING), event_type))),"
+                    " r -> concat(r[1], ':', r[2]))"
+                ),
+                F.lit("GENESIS"),
+                lambda acc, x: F.md5(
+                    F.concat(acc, F.lit("|"), x).cast("binary")
+                ),
+            ).alias("chain_hash"),
+        )
+        .select("user_id", "n_events", "chain_hash")
+    )
