@@ -19,12 +19,24 @@ compilation, codegen cache, page cache — the DuckDB baseline was measured
 warm too), then per query best-of-5 timed runs (steady-state — Spark
 local-mode job-scheduling overhead is the floor on the smallest queries,
 SURVEY §6 risk flag). Each engine materializes results through its
-CHEAPEST full-materialization API: Spark ``toPandas()`` (Arrow batches —
-``collect()``'s row pickling added ~1 s on a 300 k-row result at the ×20
-point) and DuckDB ``fetchall()`` (measured FASTER than ``.df()`` on the
-amplified points: 0.81 s vs 1.80 s at ×20). Both fully deliver every row
-to the driver; neither engine is handed a serialization handicap the
-other doesn't pay.
+CHEAPEST full-materialization API — since r15 that is ARROW on both
+sides: Spark ``toArrow()`` (Spark 4's native Arrow collection) and
+DuckDB ``fetch_arrow_table()``. Both fully deliver every result row to
+the driver process in the same columnar format; neither engine is
+handed a serialization handicap the other doesn't pay.
+
+r15 methodology note (declared in OPTIMIZATION_r15.md, old numbers
+kept in BENCH_r14.json/BENCH_DETAIL history): through r14 the actions
+were ``toPandas()`` vs ``fetchall()``. On the round-15 host those
+conversion taxes DOMINATED the big-output laps and measured the driver,
+not the engine — ×100 q_ts_sessionize (5.7 M result rows): compute
+(noop sink) 2.45 s, ``toArrow()`` 2.9 s, ``toPandas()`` 27.9 s — i.e.
+~25 s of pandas object conversion billed to a 2.9 s query; its DuckDB
+twin: ``fetch_arrow_table()`` 10.1 s vs ``fetchall()`` 15.2 s. The
+pandas/tuple taxes are driver-side, single-threaded, and unrelated to
+either engine's plan quality; Arrow-vs-Arrow removes both fairly.
+(The r4-era comparison that picked fetchall over .df() is superseded
+by the same logic — .df() pays the pandas tax, fetch_arrow does not.)
 
 Warm runs go through the engine's prepared-plan cache
 (cuny_courses_spark/plans/plan_cache.py): driver-side plan construction +
@@ -573,15 +585,15 @@ def _sweep_point(spark, label: str, sf_dir: str, laps: int = 3) -> dict:
     sp: dict[str, float] = {}
     for name in SWEEP:
         fn = qs[name]
-        fn(spark, sf_dir).toPandas()  # warm lap
-        sp[name] = _time_best(lambda: fn(spark, sf_dir).toPandas(), laps)
+        fn(spark, sf_dir).toArrow()  # warm lap
+        sp[name] = _time_best(lambda: fn(spark, sf_dir).toArrow(), laps)
     du: dict[str, float] = {}
     try:
         con = duck_con(sf_dir)
         for name in SWEEP:
-            con.execute(os_[name]).fetchall()  # warm lap
+            con.execute(os_[name]).fetch_arrow_table()  # warm lap
             du[name] = _time_best(
-                lambda: con.execute(os_[name]).fetchall(), laps
+                lambda: con.execute(os_[name]).fetch_arrow_table(), laps
             )
     except Exception:
         du = {}
@@ -664,14 +676,14 @@ def main() -> None:
     qs = queries()
     for _ in range(2):  # warm-up laps: plan + code-gen + JIT + page cache
         for name in HEADLINE:
-            qs[name](spark, sf_dir).toPandas()
+            qs[name](spark, sf_dir).toArrow()
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).toPandas()
+            rows = fn(spark, sf_dir).toArrow()
             best = min(best, time.perf_counter() - t0)
             del rows
         per_query[name] = round(best, 4)
@@ -689,7 +701,7 @@ def main() -> None:
     # Real stateful-streaming lap (r7 verdict #6): the session_window
     # aggregation replayed through 8 micro-batches with watermark-driven
     # state admission/merge/eviction (streaming/runner.py). Wrapped to
-    # return a 1-row frame so the sweep's fn(spark, d).toPandas() timing
+    # return a 1-row frame so the sweep's fn(spark, d).toArrow() timing
     # harness applies unchanged — the streaming run completes eagerly
     # inside the call, so the lap time is the full drain.
     def _stream_session_replay(sp, d):
@@ -717,11 +729,11 @@ def main() -> None:
     for name in EXTENDED:
         try:
             fn = ext_fns[name]
-            fn(spark, sf_dir).toPandas()  # warm
+            fn(spark, sf_dir).toArrow()  # warm
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).toPandas()
+                fn(spark, sf_dir).toArrow()
                 best = min(best, time.perf_counter() - t0)
             extended[name] = round(best, 4)
         except Exception as exc:  # headline metric must survive this, but
@@ -744,7 +756,7 @@ def main() -> None:
     jobs_per_query: dict[str, int] = {}
     for name in HEADLINE:
         before = set(tracker.getJobIdsForGroup())
-        qs[name](spark, sf_dir).toPandas()
+        qs[name](spark, sf_dir).toArrow()
         jobs_per_query[name] = len(set(tracker.getJobIdsForGroup()) - before)
     # The measured dispatch floor in THIS run (empty 1-task job, best of 5).
     empty_rdd = spark.sparkContext.parallelize([0], 1)
@@ -758,12 +770,12 @@ def main() -> None:
         os_ = oracles()
         for _ in range(2):  # warm-up laps (page cache, plan cache)
             for name in HEADLINE:
-                con.execute(os_[name]).fetchall()
+                con.execute(os_[name]).fetch_arrow_table()
         for name in HEADLINE:
             best = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
-                con.execute(os_[name]).fetchall()
+                con.execute(os_[name]).fetch_arrow_table()
                 best = min(best, time.perf_counter() - t0)
             duck_query[name] = round(best, 4)
     except Exception:
@@ -780,7 +792,14 @@ def main() -> None:
     # is proportionally small there, and the wall budget guards the
     # artifact against a timeout-truncated run.
     t_start = time.perf_counter()
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
+    # r15: 1500 → 2700 default. The round-15 host runs both engines 3-5×
+    # slower than the r14 box (empty 1-task job ~0.2 s vs ~0.06 s; the
+    # ×100 DuckDB window lap alone is ~50 s); at 1500 s the baseline run
+    # exhausted the budget before ANY ×100 extended-sweep entry and the
+    # artifact lost the whole per-query scale record. 2700 s fits the
+    # full suite on the slow host; on a fast host the run simply
+    # finishes early (the budget is a cap, not a target).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700"))
     sweep: list[dict] = []
     try:
         data_root = os.path.dirname(orig_sf_dir.rstrip("/"))
@@ -836,6 +855,849 @@ def main() -> None:
     except Exception as exc:
         sweep.append({"point": f"error: {type(exc).__name__}"})
 
+
+    # Extended amplified sweep (r4 verdict #4): the shuffle-heavy
+    # LLM-pipeline and graph operators — the plans that ARE the 100 TB
+    # argument — measured above sf0.1. Dedup/similarity run on the
+    # replica-disjoint scaled_docs_layout corpus (plain replication would
+    # make every replica a near-duplicate of every other and the workload
+    # quadratic in the factor); graph reuses scaled_layout (shifted
+    # part/supplier keys ⇒ factor disjoint co-purchase graphs). Quadratic
+    # DuckDB oracles are engine-only (recorded as absent, not silent);
+    # q_graph_pagerank's oracle is linear (bounded per-order fan-out) and
+    # gets a DuckDB twin. Budget-guarded per query.
+    DOC_EXT = ["q_dedup_near_jaccard", "q_dedup_minhash_lsh",
+               "q_dedup_containment"]
+    GRAPH_EXT = ["q_graph_common_neighbors", "q_graph_pagerank"]
+    # Shuffle-heaviest TPC-H composites (r5 verdict #4: this family had
+    # zero measured points above sf0.1): two fact shuffles (q5), HAVING
+    # semi-join (q18), semi+anti on lineitem (q21); r6 verdict #6 adds
+    # the join + grouped-top-k family (q3/q10/q13). Their oracles are
+    # linear, so each gets a DuckDB twin at both factors.
+    TPCH_EXT = ["q_sql_q5_local_volume", "q_sql_q18_volume_customer",
+                "q_sql_q21_waiting_supplier", "q_sql_q3_shipping_priority",
+                "q_sql_q10_returned_topk", "q_sql_q13_cust_distribution",
+                "q_sql_q7_nation_volume",
+                # r8 rewrites (dedup-first Q16, staged Q8) — in the sweep
+                # so their x100 behavior is re-recorded per round.
+                "q_sql_q16_supplier_cnt", "q_sql_q8_mkt_share"]
+    # Window/timeseries at amplified scale (r7): parallel per-key window
+    # evaluation is a measured Spark STRENGTH — at ×100 the engine runs
+    # sessionize/sliding-median/EWMA at 0.44-0.59× of DuckDB's
+    # single-sort window path (builder r7 session). Linear oracles →
+    # DuckDB twins at both factors, same loop as TPCH_EXT.
+    WIN_EXT = ["q_ts_sessionize", "q_win_median_sliding", "q_ts_ewma",
+               "q_stream_session"]
+    # LLM text + sampling families at amplified scale (r7 verdict #1: the
+    # north-star training-data workload had zero scale evidence). All run
+    # on the replica-disjoint docs corpus; every oracle is linear →
+    # DuckDB twins at both factors. r8 findings now pinned per-round:
+    # contamination is a measured Spark WIN at ×100 (0.89× — DuckDB's
+    # gram self-join degrades superlinearly, 0.23 → 7.8 s, while Spark
+    # grows 3.5× on 10× data), rarity 1.6×, idf 4.0×, pack 3.0×,
+    # importance-sampling flat/dispatch-bound.
+    # r12 adds q_text_perplexity (bigram-LM scoring, the newest family
+    # member) — measured 1.3-1.6× vs its DuckDB twin at ×100 on arrival.
+    TEXT_EXT = ["q_text_contamination", "q_text_rarity_score",
+                "q_text_idf_top_terms", "q_text_pack_sequences",
+                "q_sample_importance_weighted", "q_text_perplexity",
+                # r13: the mapInArrow tokenizer — the round's new
+                # Python-path operator gets a measured point on arrival
+                "q_text_bpe_tokens",
+                # r14: the ranked-merge BPE sibling, same harness
+                "q_text_bpe_merges"]
+    ext_sweep: dict[str, dict] = {}
+    # r15: ×100 FIRST — it is the top-point evidence every verdict reads;
+    # on a slow host the budget must never truncate it in favor of ×10.
+    # (The suite amortization sweep above already ran the ×100 layout, so
+    # the JVM/page cache are warm for this point either way; each entry
+    # additionally takes a warm lap + best-of-N.)
+    for factor, laps in ((100, 1), (10, 2)):
+        point = f"sf{sf}x{factor}"
+        entry: dict[str, float | str] = {}
+        ext_sweep[point] = entry
+        try:
+            ddir = scaled_docs_layout(sf_dir, factor)
+            gdir = scaled_layout(sf_dir, factor)
+            # Order: cheap, latency-precise queries FIRST; the heavy
+            # stateful operators (dedup postings joins, pagerank's
+            # localCheckpoint blocks) LAST. r7: a Q21 lap measured 19.7 s
+            # (vs 2.9-3.5 s in every isolated run) when it followed
+            # pagerank — checkpoint blocks are released by the async
+            # ContextCleaner, so the ms-to-s-scale SHUFFLE_HASH builds
+            # right after it occasionally ran under squeezed executor
+            # memory. Heavy queries are insensitive to leftovers (their
+            # laps are dominated by real work); precise ones are not.
+            for name, d in (
+                [(n, gdir) for n in TPCH_EXT]
+                + [(n, gdir) for n in WIN_EXT]
+                + [(n, ddir) for n in TEXT_EXT]
+                # state-store scale lap at ×10 only (×100 would be ~8
+                # minutes of micro-batch drain for no added signal —
+                # per-batch overhead is the finding, and it's factor-
+                # independent); placed before the heavy dedup/graph
+                # set per the precise-before-stateful ordering.
+                + ([("q_stream_session_replay", gdir)] if factor == 10
+                   else [])
+                # PQ/ADC ANN at x10 only (r11): 8 KMeans fits + encode
+                # + ADC scan + exact-referee certificate over the 50 k-
+                # vector corpus — the new similarity leg's scale lap.
+                # x100 would spend its budget on quantizer training
+                # (8 fits over 500 k rows) for no added plan signal.
+                + ([("q_sim_pq_adc", ddir)] if factor == 10 else [])
+                # IVFxPQ composed index at x10 only (r14): same budget
+                # reasoning as pq_adc — the x100 point would spend its
+                # wall on quantizer training for no added plan signal.
+                + ([("q_sim_ivfpq_topk", ddir)] if factor == 10 else [])
+                + [(n, ddir) for n in DOC_EXT]
+                + [(n, gdir) for n in GRAPH_EXT]
+            ):
+                if time.perf_counter() - t_start > budget:
+                    entry[name] = "skipped: wall budget exhausted"
+                    continue
+                if d == sf_dir:
+                    entry[name] = "skipped: layout synthesis failed"
+                    continue
+                try:
+                    fn = ext_fns[name]
+                    # Quiesce between operators: the preceding operator's
+                    # cached blocks / garbage otherwise bleed into this
+                    # one's laps (r5: pagerank's cold build measured 64 s
+                    # after the dedup set vs ~30 s from a quiesced
+                    # session — same query, same data). r8: the quiesce
+                    # is now a polled DRAIN (postcondition: zero persisted
+                    # RDDs), so timings no longer depend on whether the
+                    # async ContextCleaner happened to run — the r7
+                    # squeezed-build incident class (verdict #5).
+                    _drain_storage(spark)
+                    # q_graph_pagerank localCheckpoints its supersteps at
+                    # BUILD time, so a plan-cached re-collect would reuse
+                    # the materialized iterations and time ~nothing; force
+                    # rebuild-per-lap so every lap re-runs the loop.
+                    ckpt = name == "q_graph_pagerank"
+                    prior = os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE")
+                    if ckpt:
+                        os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = "1"
+                    # GC/string-heavy stateful laps need one extra ×100
+                    # lap to reach steady state (r8, measured in a fresh
+                    # quiesced session: near_jaccard ×100 ran 33.6 / 33.0
+                    # / 15.2 s across three back-to-back executions with
+                    # the corpus fully page-cached — the first two laps
+                    # time JIT tier-up + GC adaptation, not the plan;
+                    # r7-vs-r8 artifacts differed ~2× on these entries
+                    # from lap-count luck alone). Best-of over 3
+                    # executions records the converged number.
+                    # r9 (judge #4): TPCH_EXT gets the same treatment at
+                    # ×100 — Q18/Q10 drifted +13-14 % in the r8 driver
+                    # artifact on unchanged plans; these laps are 2-3 s,
+                    # so one more execution is cheap insurance against
+                    # lap-position luck becoming the recorded number.
+                    op_laps = (
+                        laps + 1
+                        if factor >= 100
+                        and name in DOC_EXT + GRAPH_EXT + TPCH_EXT
+                        else laps
+                    )
+                    try:
+                        # The warm lap counts toward best-of: the big
+                        # points run few laps, and one load-spiked lap
+                        # otherwise becomes the recorded number.
+                        t0 = time.perf_counter()
+                        fn(spark, d).toArrow()  # warm
+                        warm_sec = time.perf_counter() - t0
+
+                        # Quiesce per LAP too, not just per operator:
+                        # these laps run 10-60 s each and leave tens of
+                        # GB of shuffle garbage behind — measured on the
+                        # ×100 near-jaccard point, back-to-back laps with
+                        # no gc ran 18↔87 s while gc-separated laps held
+                        # 17-26 s with 0.6 s of in-lap GC. The gc runs
+                        # OUTSIDE the timed region (extended-sweep-only;
+                        # the ms-scale headline laps are untouched).
+                        lap_times = [warm_sec]
+                        lap_disk = [_shuffle_dir_mb(spark)]
+                        # Adaptive convergence for the GC/JIT-lottery set
+                        # (r9): fixed best-of-3 only SOMETIMES lands the
+                        # steady state — one r9 run lapped near_jaccard
+                        # [40.0, 15.6, 38.4] (best reproduced by nothing)
+                        # and the previous run [36.8, 33.3, 42.4] (never
+                        # reached ~15 s at all). Keep lapping, up to 3
+                        # extra budget-guarded laps, until a SECOND lap
+                        # lands within 15 % of the best — a best that
+                        # reproduces is a steady state; a best that
+                        # doesn't is a fluke either way, and the full lap
+                        # list in the sidecar shows which.
+                        heavy = factor >= 100 and name in (
+                            DOC_EXT + GRAPH_EXT
+                        )
+                        # r13 (r12 verdict wrong #2): pagerank's r12 lap
+                        # spread [22-41 s] dated the recorded best —
+                        # restore the best-two-within-5% rule for it
+                        # with a larger extra-lap budget, so the artifact
+                        # records a best that REPRODUCED at 5%, not a
+                        # one-off. The 15% gate stays for the rest of
+                        # the heavy set (their laps converge already).
+                        tol = 1.05 if name == "q_graph_pagerank" else 1.15
+                        extra = 5 if name == "q_graph_pagerank" else 3
+                        max_laps = op_laps + (extra if heavy else 0)
+                        done_laps = 0
+                        while done_laps < max_laps:
+                            # python gc FIRST (r10, r9 weak #1): py4j
+                            # strong-refs the previous lap's plan (and
+                            # its ShuffleDependencies) until python GC
+                            # runs, so a JVM-only gc between laps leaves
+                            # the ContextCleaner nothing to clean — the
+                            # shuffle-file backlog then grows across
+                            # laps (measured 2.5 → 7.5 GB) and drains
+                            # only at the NEXT operator's _drain_storage,
+                            # which is the rising-then-snap-back lap
+                            # shape the r9 artifact recorded.
+                            try:
+                                import gc as _gc
+
+                                _gc.collect()
+                                spark.sparkContext._jvm.System.gc()
+                            except Exception:
+                                pass
+                            # checkpoint-heavy ops (pagerank) also need
+                            # their superstep RDD blocks DRAINED per lap
+                            # (r10 verdict wrong #2: laps [28.8, 24.2,
+                            # 47.9, 27.7] — lap 3 doubled because the
+                            # prior lap's localCheckpoint blocks were
+                            # still queued for async release and squeezed
+                            # execution memory; the polled drain is the
+                            # reliable variant of the System.gc nudge).
+                            if ckpt:
+                                _drain_storage(spark)
+                            t0 = time.perf_counter()
+                            fn(spark, d).toArrow()
+                            lap_times.append(time.perf_counter() - t0)
+                            lap_disk.append(_shuffle_dir_mb(spark))
+                            done_laps += 1
+                            if done_laps >= op_laps:
+                                if not heavy:
+                                    break
+                                best_t = min(lap_times)
+                                close = sum(
+                                    1 for t in lap_times
+                                    if t <= tol * best_t
+                                )
+                                if close >= 2 or (
+                                    time.perf_counter() - t_start > budget
+                                ):
+                                    break
+                        entry[name] = round(min(lap_times), 4)
+                        # r9 (judge #3): per-lap times for the heavy set
+                        # land in the sidecar so the ARTIFACT ITSELF
+                        # shows run-to-run variance (near_jaccard swung
+                        # +41 % across driver rounds on an unchanged
+                        # plan; best-of hides whether that was lap luck).
+                        if factor >= 100 and name in (
+                            DOC_EXT + GRAPH_EXT + TPCH_EXT
+                        ):
+                            entry[f"{name}_laps"] = [
+                                round(t, 3) for t in lap_times
+                            ]
+                        # shuffle-dir footprint per lap (r10): if laps
+                        # ever drift again, the artifact itself shows
+                        # whether disk backlog is the accumulator.
+                        # r11 extends it to the graph set — pagerank's
+                        # checkpoint blocks were the r10 lap-variance
+                        # suspect, so its disk trace belongs in-artifact.
+                        if factor >= 100 and name in DOC_EXT + GRAPH_EXT:
+                            entry[f"{name}_shuffle_mb"] = lap_disk
+                        # Floor attribution (r10 importance_weighted; r11
+                        # extends to the text stragglers per the r10
+                        # verdict wrong #3; r12 adds rarity_score per the
+                        # r11 verdict #8 — its 2.05× weak tag had no
+                        # sidecar): these sub-second entries are
+                        # dominated by per-job dispatch — record jobs ×
+                        # empty_job_sec NEXT TO the timing so the ratio
+                        # reads as (dispatch floor + real work), not as
+                        # a plan defect. idf_top_terms 4.66× at ×100 is
+                        # 0.72 s wall of which ~0.4-0.6 s is dispatch.
+                        # r13 (r12 verdict #6): the TPC-H band gets the
+                        # same attribution — q5/q18/q21 swung 20-45%
+                        # round-over-round on unchanged plans; jobs ×
+                        # empty_job_sec separates the dispatch floor
+                        # from real work so a regression is attributable
+                        # in-artifact instead of by box-noise appeal.
+                        if (
+                            name
+                            in (
+                                "q_sample_importance_weighted",
+                                "q_text_idf_top_terms",
+                                "q_text_pack_sequences",
+                                "q_text_contamination",
+                                "q_text_rarity_score",
+                            )
+                            or name in TPCH_EXT
+                        ) and factor >= 100:
+                            before_j = set(tracker.getJobIdsForGroup())
+                            fn(spark, d).toArrow()
+                            njobs = len(
+                                set(tracker.getJobIdsForGroup()) - before_j
+                            )
+                            entry[f"{name}_floor_attr"] = {
+                                "jobs": njobs,
+                                "empty_job_sec": empty_job_sec,
+                                "dispatch_sec": round(
+                                    njobs * empty_job_sec, 4
+                                ),
+                            }
+                    finally:
+                        if ckpt:
+                            if prior is None:
+                                os.environ.pop(
+                                    "SPARK_GRAFT_NO_PLAN_CACHE", None
+                                )
+                            else:
+                                os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = prior
+                except Exception as exc:
+                    entry[name] = f"error: {type(exc).__name__}"
+            # Similarity-family amplified point (r6 verdict #5, unblocked
+            # by the sign-flip corpus fix above): the PRODUCTION banded
+            # LSH path only — the registered q_sim_neardup_lsh is a
+            # recall CERTIFICATE that deliberately also runs the O(n²)
+            # exact twin, which is the wrong thing to time at ×10/×100
+            # (200 M exact pairs at ×10). Engine-only: the exact DuckDB
+            # pair join is quadratic-infeasible here by design, like the
+            # near_jaccard/minhash twins; value-correctness runs at the
+            # driver's SFs via the certificate.
+            # Snapshot elapsed ONCE (r7 ADVICE): two separate clock reads
+            # could straddle the budget boundary, firing neither branch
+            # and leaving the key silently absent — which the bench's own
+            # convention reads as "removed", not "skipped".
+            _sim_over_budget = time.perf_counter() - t_start > budget
+            if ddir != sf_dir and _sim_over_budget:
+                # record the omission, don't drop the keys (the bench's
+                # own convention — a missing key reads as "removed")
+                entry["q_sim_neardup_lsh_prod"] = (
+                    "skipped: wall budget exhausted"
+                )
+            if ddir != sf_dir and not _sim_over_budget:
+                try:
+                    from cuny_courses_spark.operators.similarity import (
+                        neardup_lsh_pairs,
+                    )
+                    from cuny_courses_spark.sources.loaders import load as _ld
+
+                    # Count once per point, not per lap (r7 ADVICE: the
+                    # geometry probe inside neardup_lsh_pairs re-counts
+                    # its input per invocation).
+                    _n_vec = _ld(spark, ddir, "embeddings").count()
+                    _sim_pairs: dict[str, int] = {}
+
+                    def _sim_lap():
+                        pdf = neardup_lsh_pairs(
+                            _ld(spark, ddir, "embeddings"), n_vectors=_n_vec
+                        ).toArrow()
+                        _sim_pairs["engine"] = len(pdf)
+
+                    try:
+                        spark.catalog.clearCache()
+                        spark.sparkContext._jvm.System.gc()
+                    except Exception:
+                        pass
+                    t0 = time.perf_counter()
+                    _sim_lap()  # warm
+                    best = time.perf_counter() - t0
+                    for _ in range(laps):
+                        try:
+                            spark.sparkContext._jvm.System.gc()
+                        except Exception:
+                            pass
+                        t0 = time.perf_counter()
+                        _sim_lap()
+                        best = min(best, time.perf_counter() - t0)
+                    entry["q_sim_neardup_lsh_prod"] = round(best, 4)
+                    entry["q_sim_neardup_lsh_prod_pairs"] = _sim_pairs.get(
+                        "engine"
+                    )
+                except Exception as exc:
+                    entry["q_sim_neardup_lsh_prod"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+                # Banded sign-projection twin (r10, r9 verdict weak #2):
+                # the SAME size-adaptive banded algorithm in DuckDB SQL
+                # (seed-42 planes via list_dot_product) — replaces the
+                # old 'quadratic twin skipped' placeholder with a real
+                # scale comparator; pair counts recorded beside timings.
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(ddir)
+                    sql_lsh = _duck_neardup_lsh_banded(_n_vec)
+                    rows = con.execute(sql_lsh).fetch_arrow_table()  # warm
+                    entry["q_sim_neardup_lsh_prod_duckdb"] = _time_best(
+                        lambda: con.execute(sql_lsh).fetch_arrow_table(), laps
+                    )
+                    entry["q_sim_neardup_lsh_prod_duckdb_pairs"] = len(
+                        rows
+                    )
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
+                except Exception as exc:
+                    entry["q_sim_neardup_lsh_prod_duckdb"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # TPC-H composite twins — linear oracles, feasible at both
+            # factors (unlike the quadratic dedup ones).
+            if gdir != sf_dir:
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(gdir)
+                    os_all = oracles()
+                    for name in TPCH_EXT + WIN_EXT:
+                        if time.perf_counter() - t_start > budget:
+                            entry[f"{name}_duckdb"] = (
+                                "skipped: wall budget exhausted"
+                            )
+                            continue
+                        sql = os_all[name]
+                        con.execute(sql).fetch_arrow_table()  # warm
+                        entry[f"{name}_duckdb"] = _time_best(
+                            lambda: con.execute(sql).fetch_arrow_table(), laps
+                        )
+                except Exception as exc:
+                    entry["_tpch_duckdb"] = f"error: {type(exc).__name__}"
+            # Bucketed-layout A/B for the worst TPC-H fact-join ratio
+            # (r10 verdict next-round #4): customer/orders rewritten once
+            # as 32-bucket managed tables on their join key, Q13 re-run
+            # against them — the bucketed scan's hash partitioning feeds
+            # the per-custkey aggregate AND the left join with ZERO fact
+            # exchanges (only the tiny post-agg distribution groupBy and
+            # the ORDER BY remain). Recorded finding (this host, ×100):
+            # 1.11 s plain → 0.87 s bucketed while DuckDB runs ~0.1 s —
+            # the shuffle is ~20 % of the gap, the orders-scan floor is
+            # the rest, so the family's ratio band is an architecture
+            # constant, not a missing co-location optimization. The
+            # layout write cost is recorded beside the lap (it amortizes
+            # across every custkey query in a real deployment).
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.operators.tpch_sql import _Q13
+                    from cuny_courses_spark.sources.loaders import (
+                        load as _ldb,
+                    )
+
+                    t0 = time.perf_counter()
+                    # a fresh in-memory catalog doesn't know about a
+                    # previous session's managed-table dirs — DROP is a
+                    # no-op then, and saveAsTable refuses the existing
+                    # path; clear both.
+                    import shutil as _sh
+                    from urllib.parse import urlparse as _up
+
+                    wh = _up(
+                        spark.conf.get("spark.sql.warehouse.dir", "")
+                    ).path
+                    for tname in ("bkt_customer", "bkt_orders"):
+                        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+                        if wh:
+                            _sh.rmtree(
+                                os.path.join(wh, tname), ignore_errors=True
+                            )
+                    _ldb(spark, gdir, "customer").write.bucketBy(
+                        32, "c_custkey"
+                    ).sortBy("c_custkey").mode("overwrite").saveAsTable(
+                        "bkt_customer"
+                    )
+                    _ldb(spark, gdir, "orders").write.bucketBy(
+                        32, "o_custkey"
+                    ).sortBy("o_custkey").mode("overwrite").saveAsTable(
+                        "bkt_orders"
+                    )
+                    entry["q_sql_q13_bucketed_layout_sec"] = round(
+                        time.perf_counter() - t0, 4
+                    )
+                    q13b = _Q13.replace(
+                        "FROM customer", "FROM bkt_customer"
+                    ).replace("FROM orders", "FROM bkt_orders")
+                    spark.sql(q13b).toArrow()  # warm
+                    entry["q_sql_q13_bucketed"] = _time_best(
+                        lambda: spark.sql(q13b).toArrow(),
+                        laps + 1 if factor >= 100 else laps,
+                    )
+                except Exception as exc:
+                    entry["q_sql_q13_bucketed"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # r13 (r12 verdict #6 follow-through): the same physical
+            # A/B for Q18 — the round's worst TPC-H ratio (6.64× at
+            # ×100). lineitem+orders co-bucketed on the ORDER key turn
+            # the per-order quantity aggregate AND the big⋈orders join
+            # exchange-free (the 20-row customer probe was already a
+            # broadcast); what remains vs DuckDB is the scan-decode
+            # floor, and this sidecar quantifies exactly how much of
+            # the 6.64× the shuffle accounted for.
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.operators.tpch_sql import _Q18
+                    from cuny_courses_spark.sources.loaders import (
+                        load as _ldb,
+                    )
+
+                    import shutil as _sh
+                    from urllib.parse import urlparse as _up
+
+                    t0 = time.perf_counter()
+                    wh = _up(
+                        spark.conf.get("spark.sql.warehouse.dir", "")
+                    ).path
+                    for tname in ("bkt_lineitem", "bkt_orders_ok"):
+                        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+                        if wh:
+                            _sh.rmtree(
+                                os.path.join(wh, tname), ignore_errors=True
+                            )
+                    _ldb(spark, gdir, "lineitem").select(
+                        "l_orderkey", "l_quantity"
+                    ).write.bucketBy(32, "l_orderkey").sortBy(
+                        "l_orderkey"
+                    ).mode("overwrite").saveAsTable("bkt_lineitem")
+                    _ldb(spark, gdir, "orders").write.bucketBy(
+                        32, "o_orderkey"
+                    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(
+                        "bkt_orders_ok"
+                    )
+                    entry["q_sql_q18_bucketed_layout_sec"] = round(
+                        time.perf_counter() - t0, 4
+                    )
+                    q18b = _Q18.replace(
+                        "FROM lineitem", "FROM bkt_lineitem"
+                    ).replace(
+                        "JOIN orders ON", "JOIN bkt_orders_ok ON"
+                    )
+                    spark.sql(q18b).toArrow()  # warm
+                    entry["q_sql_q18_bucketed"] = _time_best(
+                        lambda: spark.sql(q18b).toArrow(),
+                        laps + 1 if factor >= 100 else laps,
+                    )
+                except Exception as exc:
+                    entry["q_sql_q18_bucketed"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # r15 (r14 verdict #4): the same physical A/B for Q21 — with
+            # q3 re-measured under 2× real and q18's layout pin above,
+            # Q21 is the last TPC-H shape >2× after dispatch attribution.
+            # lineitem+orders co-bucketed on the ORDER key make the
+            # ord⋈lineitem join AND both per-(order[,supp]) rollups
+            # exchange-free (groupBy(ok, sk) is satisfied by hash(ok) —
+            # clustering on a key subset still co-locates; sortBy gives
+            # the SMJ pre-sorted runs, so the hint is stripped). What
+            # remains vs DuckDB is scan decode + the hash rollups —
+            # the sidecar shows how much of Q21's ratio was the one
+            # fact exchange.
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.operators.tpch_sql import _Q21
+                    from cuny_courses_spark.sources.loaders import (
+                        load as _ldb,
+                    )
+
+                    import shutil as _sh
+                    from urllib.parse import urlparse as _up
+
+                    t0 = time.perf_counter()
+                    wh = _up(
+                        spark.conf.get("spark.sql.warehouse.dir", "")
+                    ).path
+                    for tname in ("bkt_lineitem21",):
+                        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+                        if wh:
+                            _sh.rmtree(
+                                os.path.join(wh, tname), ignore_errors=True
+                            )
+                    _ldb(spark, gdir, "lineitem").select(
+                        "l_orderkey", "l_suppkey", "l_shipdate"
+                    ).write.bucketBy(32, "l_orderkey").sortBy(
+                        "l_orderkey"
+                    ).mode("overwrite").saveAsTable("bkt_lineitem21")
+                    # bkt_orders_ok is reused from the Q18 block when it
+                    # exists (same 32-bucket o_orderkey layout).
+                    if not spark.catalog.tableExists("bkt_orders_ok"):
+                        _ldb(spark, gdir, "orders").write.bucketBy(
+                            32, "o_orderkey"
+                        ).sortBy("o_orderkey").mode(
+                            "overwrite"
+                        ).saveAsTable("bkt_orders_ok")
+                    entry["q_sql_q21_bucketed_layout_sec"] = round(
+                        time.perf_counter() - t0, 4
+                    )
+                    q21b = (
+                        _Q21.replace("/*+ SHUFFLE_HASH(ord) */ ", "")
+                        .replace("FROM orders", "FROM bkt_orders_ok")
+                        .replace(
+                            "FROM lineitem JOIN ord",
+                            "FROM bkt_lineitem21 JOIN ord",
+                        )
+                    )
+                    spark.sql(q21b).toArrow()  # warm
+                    entry["q_sql_q21_bucketed"] = _time_best(
+                        lambda: spark.sql(q21b).toArrow(),
+                        laps + 1 if factor >= 100 else laps,
+                    )
+                except Exception as exc:
+                    entry["q_sql_q21_bucketed"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # r15: the same physical A/B for Q3 — completing the layout
+            # pin for the full {q3, q18, q21} real-work weak set (r14
+            # verdict #4). lineitem bucketed on l_orderkey makes the
+            # grouped rollup after the broadcast co join exchange-free
+            # (grouping keys ⊇ the bucket key), so the only fact cost
+            # left is scan decode + the broadcast probe — the sidecar
+            # shows how much of Q3's ratio was that one grouped-agg
+            # exchange vs the scan floor.
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.operators.tpch_sql import _Q3
+                    from cuny_courses_spark.sources.loaders import (
+                        load as _ldb,
+                    )
+
+                    import shutil as _sh
+                    from urllib.parse import urlparse as _up
+
+                    t0 = time.perf_counter()
+                    wh = _up(
+                        spark.conf.get("spark.sql.warehouse.dir", "")
+                    ).path
+                    spark.sql("DROP TABLE IF EXISTS bkt_lineitem3")
+                    if wh:
+                        _sh.rmtree(
+                            os.path.join(wh, "bkt_lineitem3"),
+                            ignore_errors=True,
+                        )
+                    _ldb(spark, gdir, "lineitem").select(
+                        "l_orderkey",
+                        "l_shipdate",
+                        "l_extendedprice",
+                        "l_discount",
+                    ).write.bucketBy(32, "l_orderkey").sortBy(
+                        "l_orderkey"
+                    ).mode("overwrite").saveAsTable("bkt_lineitem3")
+                    entry["q_sql_q3_bucketed_layout_sec"] = round(
+                        time.perf_counter() - t0, 4
+                    )
+                    q3b = _Q3.replace(
+                        "JOIN lineitem ON", "JOIN bkt_lineitem3 ON"
+                    )
+                    spark.sql(q3b).toArrow()  # warm
+                    entry["q_sql_q3_bucketed"] = _time_best(
+                        lambda: spark.sql(q3b).toArrow(),
+                        laps + 1 if factor >= 100 else laps,
+                    )
+                except Exception as exc:
+                    entry["q_sql_q3_bucketed"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # Text/sampling twins run on the DOCS corpus connection (the
+            # gdir twin loop above can't serve them — different files).
+            if ddir != sf_dir:
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(ddir)
+                    os_all = oracles()
+                    for name in TEXT_EXT:
+                        if time.perf_counter() - t_start > budget:
+                            entry[f"{name}_duckdb"] = (
+                                "skipped: wall budget exhausted"
+                            )
+                            continue
+                        sql = os_all[name]
+                        con.execute(sql).fetch_arrow_table()  # warm
+                        entry[f"{name}_duckdb"] = _time_best(
+                            lambda: con.execute(sql).fetch_arrow_table(), laps
+                        )
+                except Exception as exc:
+                    entry["_text_duckdb"] = f"error: {type(exc).__name__}"
+            # One DuckDB-feasible dedup ratio (r5 verdict #6): the
+            # containment workload written as the INVERTED-INDEX join
+            # (unnest shingles → equi-join on shingle → per-pair count),
+            # the linear-ish formulation a tuned engine would run — NOT
+            # the registered all-pairs list_intersect oracle (quadratic,
+            # minutes at ×10). Same output rows; timing twin only (the
+            # value oracle runs at sf0.01 in the driver's gate). r7:
+            # runs at BOTH factors (r6 verdict missing-#4) — the indexed
+            # form stays linear-ish (~13 s at ×100, no spill), and the
+            # top decade is where the engine's sizes-on-postings plan
+            # crosses under DuckDB (11.9 vs 13 s, builder r7 session).
+            if ddir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(ddir)
+                    con.execute(_DUCK_CONTAINMENT_INDEXED).fetch_arrow_table()  # warm
+                    entry["q_dedup_containment_duckdb"] = _time_best(
+                        lambda: con.execute(
+                            _DUCK_CONTAINMENT_INDEXED
+                        ).fetch_arrow_table(),
+                        laps,
+                    )
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
+                except Exception as exc:
+                    entry["q_dedup_containment_duckdb"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # near_jaccard inverted-index twin (r10, r9 verdict weak #2):
+            # the SAME postings-join algorithm the engine runs, in DuckDB
+            # SQL — exact (no hashing), so pair counts must agree
+            # EXACTLY; both engines' counts recorded at ×10 (engine
+            # re-run is cheap there), duck's at both factors.
+            if ddir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(ddir)
+                    rows = con.execute(
+                        _DUCK_NEAR_JACCARD_INDEXED
+                    ).fetch_arrow_table()  # warm
+                    entry["q_dedup_near_jaccard_duckdb"] = _time_best(
+                        lambda: con.execute(
+                            _DUCK_NEAR_JACCARD_INDEXED
+                        ).fetch_arrow_table(),
+                        laps,
+                    )
+                    entry["q_dedup_near_jaccard_duckdb_pairs"] = len(rows)
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
+                    if factor <= 10:
+                        entry["q_dedup_near_jaccard_engine_pairs"] = (
+                            ext_fns["q_dedup_near_jaccard"](spark, ddir)
+                            .count()
+                        )
+                except Exception as exc:
+                    entry["q_dedup_near_jaccard_duckdb"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # Banded-LSH minhash twin (r9): same candidate-generation +
+            # verify shape as the engine's production path — closes the
+            # 'minhash is engine-only, no comparator' gap. Linear-ish
+            # (3 s ×10 / 25 s ×100 isolated), feasible at both factors.
+            if ddir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(ddir)
+                    sql_mh = _duck_minhash_banded()
+                    con.execute(sql_mh).fetch_arrow_table()  # warm
+                    entry["q_dedup_minhash_lsh_duckdb"] = _time_best(
+                        lambda: con.execute(sql_mh).fetch_arrow_table(), laps
+                    )
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
+                except Exception as exc:
+                    entry["q_dedup_minhash_lsh_duckdb"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # Graph twins LAST among the DuckDB comparators (r11):
+            # the common_neighbors wedge join holds GBs of buffer
+            # in its in-process connection, and an un-GC'd heavy
+            # connection squeezes every later duck twin on the same
+            # point (measured: q13's duck lap 0.13 s -> 0.97 s at
+            # x100 when it ran right after this block). Same
+            # precise-before-heavy rule the Spark side uses.
+            # DuckDB pagerank twin only at ×10: at ×100 its 5 unrolled
+            # CTE rounds spilled >60 GB of temp to disk (r5: filled the
+            # device and wedged the run) — record the omission, don't
+            # risk the artifact.
+            if factor > 10:
+                entry["q_graph_pagerank_duckdb"] = (
+                    "skipped: duckdb spills >60GB at this factor"
+                )
+            elif (
+                gdir != sf_dir
+                and time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(gdir)
+                    sql_pr = oracles()["q_graph_pagerank"]
+                    con.execute(sql_pr).fetch_arrow_table()  # warm
+                    entry["q_graph_pagerank_duckdb"] = _time_best(
+                        lambda: con.execute(sql_pr).fetch_arrow_table(), laps
+                    )
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
+                except Exception as exc:
+                    entry["q_graph_pagerank_duckdb"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+            # common_neighbors DuckDB twin (r10 verdict missing #5: the
+            # graph family's top bench point stood unbenchmarked). The
+            # registered oracle IS the wedge join in plain SQL — linear
+            # in Σdeg² like the engine's plan, measured feasible at both
+            # factors (1.4 s ×10 / 19.5 s ×100 on this host), so unlike
+            # pagerank no factor gate is needed.
+            if gdir != sf_dir and (
+                time.perf_counter() - t_start <= budget
+            ):
+                try:
+                    from cuny_courses_spark.oracle import duck_con
+
+                    con = duck_con(gdir)
+                    sql_cn = oracles()["q_graph_common_neighbors"]
+                    con.execute(sql_cn).fetch_arrow_table()  # warm
+                    entry["q_graph_common_neighbors_duckdb"] = _time_best(
+                        lambda: con.execute(sql_cn).fetch_arrow_table(), laps
+                    )
+                    try:  # release the in-process buffer pool promptly
+                        con.close()
+                    except Exception:
+                        pass
+
+                except Exception as exc:
+                    entry["q_graph_common_neighbors_duckdb"] = (
+                        f"error: {type(exc).__name__}"
+                    )
+        except Exception as exc:
+            entry["_point"] = f"error: {type(exc).__name__}"
+        finally:
+            # Drain storage between factors (polled, not fire-and-forget)
+            # so one point's checkpoint/cache blocks can't squeeze the
+            # next point's execution memory.
+            _drain_storage(spark)
+
+    # (r15 reorder) The scan-floor probe block now runs AFTER the extended
+    # sweep: on a slow/noisy host the wall budget must buy the per-query
+    # scale evidence (ext_sweep) before the secondary floor-attribution
+    # probes — the round-15 baseline run on this host exhausted the old
+    # ordering's budget inside scan_floor and recorded ZERO ext entries.
     # Scan-decode floor at the top amplified point (r5 verdict #1/#2): the
     # SAME full-decode aggregate probe on both engines — every contract
     # column of the two flat-ratio queries' inputs is forced through
@@ -1058,13 +1920,13 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
             )
             con = duck_con(sdir)
             for t, (sfn, dsql) in probes.items():
-                sfn(sdir).toPandas()  # warm
+                sfn(sdir).toArrow()  # warm
                 scan_floor[f"{t}_spark"] = _time_best(
-                    lambda: sfn(sdir).toPandas(), 3
+                    lambda: sfn(sdir).toArrow(), 3
                 )
-                con.execute(dsql).fetchall()  # warm
+                con.execute(dsql).fetch_arrow_table()  # warm
                 scan_floor[f"{t}_duckdb"] = _time_best(
-                    lambda: con.execute(dsql).fetchall(), 3
+                    lambda: con.execute(dsql).fetch_arrow_table(), 3
                 )
             # Portable-hash floor (r8): q_sample_importance_weighted's
             # whole cost is the md5-prefix bucket (the engine-wide
@@ -1105,13 +1967,13 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                         )
 
                     con_d = duck_con(dd100)
-                    _md5_probe(dd100).toPandas()  # warm
+                    _md5_probe(dd100).toArrow()  # warm
                     scan_floor["md5_bucket_docs_spark"] = _time_best(
-                        lambda: _md5_probe(dd100).toPandas(), 3
+                        lambda: _md5_probe(dd100).toArrow(), 3
                     )
-                    con_d.execute(md5_sql).fetchall()  # warm
+                    con_d.execute(md5_sql).fetch_arrow_table()  # warm
                     scan_floor["md5_bucket_docs_duckdb"] = _time_best(
-                        lambda: con_d.execute(md5_sql).fetchall(), 3
+                        lambda: con_d.execute(md5_sql).fetch_arrow_table(), 3
                     )
                     # Gram-explode floor (r9): the contamination family's
                     # denominator — build 3-token shingles, explode them,
@@ -1140,13 +2002,13 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                             )
                         )
 
-                    _gram_probe(dd100).toPandas()  # warm
+                    _gram_probe(dd100).toArrow()  # warm
                     scan_floor["contam_gram_hash_spark"] = _time_best(
-                        lambda: _gram_probe(dd100).toPandas(), 3
+                        lambda: _gram_probe(dd100).toArrow(), 3
                     )
-                    con_d.execute(gram_sql).fetchall()  # warm
+                    con_d.execute(gram_sql).fetch_arrow_table()  # warm
                     scan_floor["contam_gram_hash_duckdb"] = _time_best(
-                        lambda: con_d.execute(gram_sql).fetchall(), 3
+                        lambda: con_d.execute(gram_sql).fetch_arrow_table(), 3
                     )
             except Exception as exc:
                 scan_floor["md5_bucket_docs"] = f"error: {type(exc).__name__}"
@@ -1170,845 +2032,13 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     )
                 )
 
-            _q7_ex(sdir).toPandas()  # warm
+            _q7_ex(sdir).toArrow()  # warm
             scan_floor["q7_fact_exchange_spark"] = _time_best(
-                lambda: _q7_ex(sdir).toPandas(), 3
+                lambda: _q7_ex(sdir).toArrow(), 3
             )
             scan_floor["point"] = f"sf{sf}x100"
     except Exception as exc:
         scan_floor = {"error": type(exc).__name__}
-
-    # Extended amplified sweep (r4 verdict #4): the shuffle-heavy
-    # LLM-pipeline and graph operators — the plans that ARE the 100 TB
-    # argument — measured above sf0.1. Dedup/similarity run on the
-    # replica-disjoint scaled_docs_layout corpus (plain replication would
-    # make every replica a near-duplicate of every other and the workload
-    # quadratic in the factor); graph reuses scaled_layout (shifted
-    # part/supplier keys ⇒ factor disjoint co-purchase graphs). Quadratic
-    # DuckDB oracles are engine-only (recorded as absent, not silent);
-    # q_graph_pagerank's oracle is linear (bounded per-order fan-out) and
-    # gets a DuckDB twin. Budget-guarded per query.
-    DOC_EXT = ["q_dedup_near_jaccard", "q_dedup_minhash_lsh",
-               "q_dedup_containment"]
-    GRAPH_EXT = ["q_graph_common_neighbors", "q_graph_pagerank"]
-    # Shuffle-heaviest TPC-H composites (r5 verdict #4: this family had
-    # zero measured points above sf0.1): two fact shuffles (q5), HAVING
-    # semi-join (q18), semi+anti on lineitem (q21); r6 verdict #6 adds
-    # the join + grouped-top-k family (q3/q10/q13). Their oracles are
-    # linear, so each gets a DuckDB twin at both factors.
-    TPCH_EXT = ["q_sql_q5_local_volume", "q_sql_q18_volume_customer",
-                "q_sql_q21_waiting_supplier", "q_sql_q3_shipping_priority",
-                "q_sql_q10_returned_topk", "q_sql_q13_cust_distribution",
-                "q_sql_q7_nation_volume",
-                # r8 rewrites (dedup-first Q16, staged Q8) — in the sweep
-                # so their x100 behavior is re-recorded per round.
-                "q_sql_q16_supplier_cnt", "q_sql_q8_mkt_share"]
-    # Window/timeseries at amplified scale (r7): parallel per-key window
-    # evaluation is a measured Spark STRENGTH — at ×100 the engine runs
-    # sessionize/sliding-median/EWMA at 0.44-0.59× of DuckDB's
-    # single-sort window path (builder r7 session). Linear oracles →
-    # DuckDB twins at both factors, same loop as TPCH_EXT.
-    WIN_EXT = ["q_ts_sessionize", "q_win_median_sliding", "q_ts_ewma",
-               "q_stream_session"]
-    # LLM text + sampling families at amplified scale (r7 verdict #1: the
-    # north-star training-data workload had zero scale evidence). All run
-    # on the replica-disjoint docs corpus; every oracle is linear →
-    # DuckDB twins at both factors. r8 findings now pinned per-round:
-    # contamination is a measured Spark WIN at ×100 (0.89× — DuckDB's
-    # gram self-join degrades superlinearly, 0.23 → 7.8 s, while Spark
-    # grows 3.5× on 10× data), rarity 1.6×, idf 4.0×, pack 3.0×,
-    # importance-sampling flat/dispatch-bound.
-    # r12 adds q_text_perplexity (bigram-LM scoring, the newest family
-    # member) — measured 1.3-1.6× vs its DuckDB twin at ×100 on arrival.
-    TEXT_EXT = ["q_text_contamination", "q_text_rarity_score",
-                "q_text_idf_top_terms", "q_text_pack_sequences",
-                "q_sample_importance_weighted", "q_text_perplexity",
-                # r13: the mapInArrow tokenizer — the round's new
-                # Python-path operator gets a measured point on arrival
-                "q_text_bpe_tokens",
-                # r14: the ranked-merge BPE sibling, same harness
-                "q_text_bpe_merges"]
-    ext_sweep: dict[str, dict] = {}
-    for factor, laps in ((10, 2), (100, 1)):
-        point = f"sf{sf}x{factor}"
-        entry: dict[str, float | str] = {}
-        ext_sweep[point] = entry
-        try:
-            ddir = scaled_docs_layout(sf_dir, factor)
-            gdir = scaled_layout(sf_dir, factor)
-            # Order: cheap, latency-precise queries FIRST; the heavy
-            # stateful operators (dedup postings joins, pagerank's
-            # localCheckpoint blocks) LAST. r7: a Q21 lap measured 19.7 s
-            # (vs 2.9-3.5 s in every isolated run) when it followed
-            # pagerank — checkpoint blocks are released by the async
-            # ContextCleaner, so the ms-to-s-scale SHUFFLE_HASH builds
-            # right after it occasionally ran under squeezed executor
-            # memory. Heavy queries are insensitive to leftovers (their
-            # laps are dominated by real work); precise ones are not.
-            for name, d in (
-                [(n, gdir) for n in TPCH_EXT]
-                + [(n, gdir) for n in WIN_EXT]
-                + [(n, ddir) for n in TEXT_EXT]
-                # state-store scale lap at ×10 only (×100 would be ~8
-                # minutes of micro-batch drain for no added signal —
-                # per-batch overhead is the finding, and it's factor-
-                # independent); placed before the heavy dedup/graph
-                # set per the precise-before-stateful ordering.
-                + ([("q_stream_session_replay", gdir)] if factor == 10
-                   else [])
-                # PQ/ADC ANN at x10 only (r11): 8 KMeans fits + encode
-                # + ADC scan + exact-referee certificate over the 50 k-
-                # vector corpus — the new similarity leg's scale lap.
-                # x100 would spend its budget on quantizer training
-                # (8 fits over 500 k rows) for no added plan signal.
-                + ([("q_sim_pq_adc", ddir)] if factor == 10 else [])
-                # IVFxPQ composed index at x10 only (r14): same budget
-                # reasoning as pq_adc — the x100 point would spend its
-                # wall on quantizer training for no added plan signal.
-                + ([("q_sim_ivfpq_topk", ddir)] if factor == 10 else [])
-                + [(n, ddir) for n in DOC_EXT]
-                + [(n, gdir) for n in GRAPH_EXT]
-            ):
-                if time.perf_counter() - t_start > budget:
-                    entry[name] = "skipped: wall budget exhausted"
-                    continue
-                if d == sf_dir:
-                    entry[name] = "skipped: layout synthesis failed"
-                    continue
-                try:
-                    fn = ext_fns[name]
-                    # Quiesce between operators: the preceding operator's
-                    # cached blocks / garbage otherwise bleed into this
-                    # one's laps (r5: pagerank's cold build measured 64 s
-                    # after the dedup set vs ~30 s from a quiesced
-                    # session — same query, same data). r8: the quiesce
-                    # is now a polled DRAIN (postcondition: zero persisted
-                    # RDDs), so timings no longer depend on whether the
-                    # async ContextCleaner happened to run — the r7
-                    # squeezed-build incident class (verdict #5).
-                    _drain_storage(spark)
-                    # q_graph_pagerank localCheckpoints its supersteps at
-                    # BUILD time, so a plan-cached re-collect would reuse
-                    # the materialized iterations and time ~nothing; force
-                    # rebuild-per-lap so every lap re-runs the loop.
-                    ckpt = name == "q_graph_pagerank"
-                    prior = os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE")
-                    if ckpt:
-                        os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = "1"
-                    # GC/string-heavy stateful laps need one extra ×100
-                    # lap to reach steady state (r8, measured in a fresh
-                    # quiesced session: near_jaccard ×100 ran 33.6 / 33.0
-                    # / 15.2 s across three back-to-back executions with
-                    # the corpus fully page-cached — the first two laps
-                    # time JIT tier-up + GC adaptation, not the plan;
-                    # r7-vs-r8 artifacts differed ~2× on these entries
-                    # from lap-count luck alone). Best-of over 3
-                    # executions records the converged number.
-                    # r9 (judge #4): TPCH_EXT gets the same treatment at
-                    # ×100 — Q18/Q10 drifted +13-14 % in the r8 driver
-                    # artifact on unchanged plans; these laps are 2-3 s,
-                    # so one more execution is cheap insurance against
-                    # lap-position luck becoming the recorded number.
-                    op_laps = (
-                        laps + 1
-                        if factor >= 100
-                        and name in DOC_EXT + GRAPH_EXT + TPCH_EXT
-                        else laps
-                    )
-                    try:
-                        # The warm lap counts toward best-of: the big
-                        # points run few laps, and one load-spiked lap
-                        # otherwise becomes the recorded number.
-                        t0 = time.perf_counter()
-                        fn(spark, d).toPandas()  # warm
-                        warm_sec = time.perf_counter() - t0
-
-                        # Quiesce per LAP too, not just per operator:
-                        # these laps run 10-60 s each and leave tens of
-                        # GB of shuffle garbage behind — measured on the
-                        # ×100 near-jaccard point, back-to-back laps with
-                        # no gc ran 18↔87 s while gc-separated laps held
-                        # 17-26 s with 0.6 s of in-lap GC. The gc runs
-                        # OUTSIDE the timed region (extended-sweep-only;
-                        # the ms-scale headline laps are untouched).
-                        lap_times = [warm_sec]
-                        lap_disk = [_shuffle_dir_mb(spark)]
-                        # Adaptive convergence for the GC/JIT-lottery set
-                        # (r9): fixed best-of-3 only SOMETIMES lands the
-                        # steady state — one r9 run lapped near_jaccard
-                        # [40.0, 15.6, 38.4] (best reproduced by nothing)
-                        # and the previous run [36.8, 33.3, 42.4] (never
-                        # reached ~15 s at all). Keep lapping, up to 3
-                        # extra budget-guarded laps, until a SECOND lap
-                        # lands within 15 % of the best — a best that
-                        # reproduces is a steady state; a best that
-                        # doesn't is a fluke either way, and the full lap
-                        # list in the sidecar shows which.
-                        heavy = factor >= 100 and name in (
-                            DOC_EXT + GRAPH_EXT
-                        )
-                        # r13 (r12 verdict wrong #2): pagerank's r12 lap
-                        # spread [22-41 s] dated the recorded best —
-                        # restore the best-two-within-5% rule for it
-                        # with a larger extra-lap budget, so the artifact
-                        # records a best that REPRODUCED at 5%, not a
-                        # one-off. The 15% gate stays for the rest of
-                        # the heavy set (their laps converge already).
-                        tol = 1.05 if name == "q_graph_pagerank" else 1.15
-                        extra = 5 if name == "q_graph_pagerank" else 3
-                        max_laps = op_laps + (extra if heavy else 0)
-                        done_laps = 0
-                        while done_laps < max_laps:
-                            # python gc FIRST (r10, r9 weak #1): py4j
-                            # strong-refs the previous lap's plan (and
-                            # its ShuffleDependencies) until python GC
-                            # runs, so a JVM-only gc between laps leaves
-                            # the ContextCleaner nothing to clean — the
-                            # shuffle-file backlog then grows across
-                            # laps (measured 2.5 → 7.5 GB) and drains
-                            # only at the NEXT operator's _drain_storage,
-                            # which is the rising-then-snap-back lap
-                            # shape the r9 artifact recorded.
-                            try:
-                                import gc as _gc
-
-                                _gc.collect()
-                                spark.sparkContext._jvm.System.gc()
-                            except Exception:
-                                pass
-                            # checkpoint-heavy ops (pagerank) also need
-                            # their superstep RDD blocks DRAINED per lap
-                            # (r10 verdict wrong #2: laps [28.8, 24.2,
-                            # 47.9, 27.7] — lap 3 doubled because the
-                            # prior lap's localCheckpoint blocks were
-                            # still queued for async release and squeezed
-                            # execution memory; the polled drain is the
-                            # reliable variant of the System.gc nudge).
-                            if ckpt:
-                                _drain_storage(spark)
-                            t0 = time.perf_counter()
-                            fn(spark, d).toPandas()
-                            lap_times.append(time.perf_counter() - t0)
-                            lap_disk.append(_shuffle_dir_mb(spark))
-                            done_laps += 1
-                            if done_laps >= op_laps:
-                                if not heavy:
-                                    break
-                                best_t = min(lap_times)
-                                close = sum(
-                                    1 for t in lap_times
-                                    if t <= tol * best_t
-                                )
-                                if close >= 2 or (
-                                    time.perf_counter() - t_start > budget
-                                ):
-                                    break
-                        entry[name] = round(min(lap_times), 4)
-                        # r9 (judge #3): per-lap times for the heavy set
-                        # land in the sidecar so the ARTIFACT ITSELF
-                        # shows run-to-run variance (near_jaccard swung
-                        # +41 % across driver rounds on an unchanged
-                        # plan; best-of hides whether that was lap luck).
-                        if factor >= 100 and name in (
-                            DOC_EXT + GRAPH_EXT + TPCH_EXT
-                        ):
-                            entry[f"{name}_laps"] = [
-                                round(t, 3) for t in lap_times
-                            ]
-                        # shuffle-dir footprint per lap (r10): if laps
-                        # ever drift again, the artifact itself shows
-                        # whether disk backlog is the accumulator.
-                        # r11 extends it to the graph set — pagerank's
-                        # checkpoint blocks were the r10 lap-variance
-                        # suspect, so its disk trace belongs in-artifact.
-                        if factor >= 100 and name in DOC_EXT + GRAPH_EXT:
-                            entry[f"{name}_shuffle_mb"] = lap_disk
-                        # Floor attribution (r10 importance_weighted; r11
-                        # extends to the text stragglers per the r10
-                        # verdict wrong #3; r12 adds rarity_score per the
-                        # r11 verdict #8 — its 2.05× weak tag had no
-                        # sidecar): these sub-second entries are
-                        # dominated by per-job dispatch — record jobs ×
-                        # empty_job_sec NEXT TO the timing so the ratio
-                        # reads as (dispatch floor + real work), not as
-                        # a plan defect. idf_top_terms 4.66× at ×100 is
-                        # 0.72 s wall of which ~0.4-0.6 s is dispatch.
-                        # r13 (r12 verdict #6): the TPC-H band gets the
-                        # same attribution — q5/q18/q21 swung 20-45%
-                        # round-over-round on unchanged plans; jobs ×
-                        # empty_job_sec separates the dispatch floor
-                        # from real work so a regression is attributable
-                        # in-artifact instead of by box-noise appeal.
-                        if (
-                            name
-                            in (
-                                "q_sample_importance_weighted",
-                                "q_text_idf_top_terms",
-                                "q_text_pack_sequences",
-                                "q_text_contamination",
-                                "q_text_rarity_score",
-                            )
-                            or name in TPCH_EXT
-                        ) and factor >= 100:
-                            before_j = set(tracker.getJobIdsForGroup())
-                            fn(spark, d).toPandas()
-                            njobs = len(
-                                set(tracker.getJobIdsForGroup()) - before_j
-                            )
-                            entry[f"{name}_floor_attr"] = {
-                                "jobs": njobs,
-                                "empty_job_sec": empty_job_sec,
-                                "dispatch_sec": round(
-                                    njobs * empty_job_sec, 4
-                                ),
-                            }
-                    finally:
-                        if ckpt:
-                            if prior is None:
-                                os.environ.pop(
-                                    "SPARK_GRAFT_NO_PLAN_CACHE", None
-                                )
-                            else:
-                                os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = prior
-                except Exception as exc:
-                    entry[name] = f"error: {type(exc).__name__}"
-            # Similarity-family amplified point (r6 verdict #5, unblocked
-            # by the sign-flip corpus fix above): the PRODUCTION banded
-            # LSH path only — the registered q_sim_neardup_lsh is a
-            # recall CERTIFICATE that deliberately also runs the O(n²)
-            # exact twin, which is the wrong thing to time at ×10/×100
-            # (200 M exact pairs at ×10). Engine-only: the exact DuckDB
-            # pair join is quadratic-infeasible here by design, like the
-            # near_jaccard/minhash twins; value-correctness runs at the
-            # driver's SFs via the certificate.
-            # Snapshot elapsed ONCE (r7 ADVICE): two separate clock reads
-            # could straddle the budget boundary, firing neither branch
-            # and leaving the key silently absent — which the bench's own
-            # convention reads as "removed", not "skipped".
-            _sim_over_budget = time.perf_counter() - t_start > budget
-            if ddir != sf_dir and _sim_over_budget:
-                # record the omission, don't drop the keys (the bench's
-                # own convention — a missing key reads as "removed")
-                entry["q_sim_neardup_lsh_prod"] = (
-                    "skipped: wall budget exhausted"
-                )
-            if ddir != sf_dir and not _sim_over_budget:
-                try:
-                    from cuny_courses_spark.operators.similarity import (
-                        neardup_lsh_pairs,
-                    )
-                    from cuny_courses_spark.sources.loaders import load as _ld
-
-                    # Count once per point, not per lap (r7 ADVICE: the
-                    # geometry probe inside neardup_lsh_pairs re-counts
-                    # its input per invocation).
-                    _n_vec = _ld(spark, ddir, "embeddings").count()
-                    _sim_pairs: dict[str, int] = {}
-
-                    def _sim_lap():
-                        pdf = neardup_lsh_pairs(
-                            _ld(spark, ddir, "embeddings"), n_vectors=_n_vec
-                        ).toPandas()
-                        _sim_pairs["engine"] = len(pdf)
-
-                    try:
-                        spark.catalog.clearCache()
-                        spark.sparkContext._jvm.System.gc()
-                    except Exception:
-                        pass
-                    t0 = time.perf_counter()
-                    _sim_lap()  # warm
-                    best = time.perf_counter() - t0
-                    for _ in range(laps):
-                        try:
-                            spark.sparkContext._jvm.System.gc()
-                        except Exception:
-                            pass
-                        t0 = time.perf_counter()
-                        _sim_lap()
-                        best = min(best, time.perf_counter() - t0)
-                    entry["q_sim_neardup_lsh_prod"] = round(best, 4)
-                    entry["q_sim_neardup_lsh_prod_pairs"] = _sim_pairs.get(
-                        "engine"
-                    )
-                except Exception as exc:
-                    entry["q_sim_neardup_lsh_prod"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-                # Banded sign-projection twin (r10, r9 verdict weak #2):
-                # the SAME size-adaptive banded algorithm in DuckDB SQL
-                # (seed-42 planes via list_dot_product) — replaces the
-                # old 'quadratic twin skipped' placeholder with a real
-                # scale comparator; pair counts recorded beside timings.
-                try:
-                    from cuny_courses_spark.oracle import duck_con
-
-                    con = duck_con(ddir)
-                    sql_lsh = _duck_neardup_lsh_banded(_n_vec)
-                    rows = con.execute(sql_lsh).fetchall()  # warm
-                    entry["q_sim_neardup_lsh_prod_duckdb"] = _time_best(
-                        lambda: con.execute(sql_lsh).fetchall(), laps
-                    )
-                    entry["q_sim_neardup_lsh_prod_duckdb_pairs"] = len(
-                        rows
-                    )
-                    try:  # release the in-process buffer pool promptly
-                        con.close()
-                    except Exception:
-                        pass
-
-                except Exception as exc:
-                    entry["q_sim_neardup_lsh_prod_duckdb"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # TPC-H composite twins — linear oracles, feasible at both
-            # factors (unlike the quadratic dedup ones).
-            if gdir != sf_dir:
-                try:
-                    from cuny_courses_spark.oracle import duck_con
-
-                    con = duck_con(gdir)
-                    os_all = oracles()
-                    for name in TPCH_EXT + WIN_EXT:
-                        if time.perf_counter() - t_start > budget:
-                            entry[f"{name}_duckdb"] = (
-                                "skipped: wall budget exhausted"
-                            )
-                            continue
-                        sql = os_all[name]
-                        con.execute(sql).fetchall()  # warm
-                        entry[f"{name}_duckdb"] = _time_best(
-                            lambda: con.execute(sql).fetchall(), laps
-                        )
-                except Exception as exc:
-                    entry["_tpch_duckdb"] = f"error: {type(exc).__name__}"
-            # Bucketed-layout A/B for the worst TPC-H fact-join ratio
-            # (r10 verdict next-round #4): customer/orders rewritten once
-            # as 32-bucket managed tables on their join key, Q13 re-run
-            # against them — the bucketed scan's hash partitioning feeds
-            # the per-custkey aggregate AND the left join with ZERO fact
-            # exchanges (only the tiny post-agg distribution groupBy and
-            # the ORDER BY remain). Recorded finding (this host, ×100):
-            # 1.11 s plain → 0.87 s bucketed while DuckDB runs ~0.1 s —
-            # the shuffle is ~20 % of the gap, the orders-scan floor is
-            # the rest, so the family's ratio band is an architecture
-            # constant, not a missing co-location optimization. The
-            # layout write cost is recorded beside the lap (it amortizes
-            # across every custkey query in a real deployment).
-            if gdir != sf_dir and (
-                time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.operators.tpch_sql import _Q13
-                    from cuny_courses_spark.sources.loaders import (
-                        load as _ldb,
-                    )
-
-                    t0 = time.perf_counter()
-                    # a fresh in-memory catalog doesn't know about a
-                    # previous session's managed-table dirs — DROP is a
-                    # no-op then, and saveAsTable refuses the existing
-                    # path; clear both.
-                    import shutil as _sh
-                    from urllib.parse import urlparse as _up
-
-                    wh = _up(
-                        spark.conf.get("spark.sql.warehouse.dir", "")
-                    ).path
-                    for tname in ("bkt_customer", "bkt_orders"):
-                        spark.sql(f"DROP TABLE IF EXISTS {tname}")
-                        if wh:
-                            _sh.rmtree(
-                                os.path.join(wh, tname), ignore_errors=True
-                            )
-                    _ldb(spark, gdir, "customer").write.bucketBy(
-                        32, "c_custkey"
-                    ).sortBy("c_custkey").mode("overwrite").saveAsTable(
-                        "bkt_customer"
-                    )
-                    _ldb(spark, gdir, "orders").write.bucketBy(
-                        32, "o_custkey"
-                    ).sortBy("o_custkey").mode("overwrite").saveAsTable(
-                        "bkt_orders"
-                    )
-                    entry["q_sql_q13_bucketed_layout_sec"] = round(
-                        time.perf_counter() - t0, 4
-                    )
-                    q13b = _Q13.replace(
-                        "FROM customer", "FROM bkt_customer"
-                    ).replace("FROM orders", "FROM bkt_orders")
-                    spark.sql(q13b).toPandas()  # warm
-                    entry["q_sql_q13_bucketed"] = _time_best(
-                        lambda: spark.sql(q13b).toPandas(),
-                        laps + 1 if factor >= 100 else laps,
-                    )
-                except Exception as exc:
-                    entry["q_sql_q13_bucketed"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # r13 (r12 verdict #6 follow-through): the same physical
-            # A/B for Q18 — the round's worst TPC-H ratio (6.64× at
-            # ×100). lineitem+orders co-bucketed on the ORDER key turn
-            # the per-order quantity aggregate AND the big⋈orders join
-            # exchange-free (the 20-row customer probe was already a
-            # broadcast); what remains vs DuckDB is the scan-decode
-            # floor, and this sidecar quantifies exactly how much of
-            # the 6.64× the shuffle accounted for.
-            if gdir != sf_dir and (
-                time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.operators.tpch_sql import _Q18
-                    from cuny_courses_spark.sources.loaders import (
-                        load as _ldb,
-                    )
-
-                    import shutil as _sh
-                    from urllib.parse import urlparse as _up
-
-                    t0 = time.perf_counter()
-                    wh = _up(
-                        spark.conf.get("spark.sql.warehouse.dir", "")
-                    ).path
-                    for tname in ("bkt_lineitem", "bkt_orders_ok"):
-                        spark.sql(f"DROP TABLE IF EXISTS {tname}")
-                        if wh:
-                            _sh.rmtree(
-                                os.path.join(wh, tname), ignore_errors=True
-                            )
-                    _ldb(spark, gdir, "lineitem").select(
-                        "l_orderkey", "l_quantity"
-                    ).write.bucketBy(32, "l_orderkey").sortBy(
-                        "l_orderkey"
-                    ).mode("overwrite").saveAsTable("bkt_lineitem")
-                    _ldb(spark, gdir, "orders").write.bucketBy(
-                        32, "o_orderkey"
-                    ).sortBy("o_orderkey").mode("overwrite").saveAsTable(
-                        "bkt_orders_ok"
-                    )
-                    entry["q_sql_q18_bucketed_layout_sec"] = round(
-                        time.perf_counter() - t0, 4
-                    )
-                    q18b = _Q18.replace(
-                        "FROM lineitem", "FROM bkt_lineitem"
-                    ).replace(
-                        "JOIN orders ON", "JOIN bkt_orders_ok ON"
-                    )
-                    spark.sql(q18b).toPandas()  # warm
-                    entry["q_sql_q18_bucketed"] = _time_best(
-                        lambda: spark.sql(q18b).toPandas(),
-                        laps + 1 if factor >= 100 else laps,
-                    )
-                except Exception as exc:
-                    entry["q_sql_q18_bucketed"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # r15 (r14 verdict #4): the same physical A/B for Q21 — with
-            # q3 re-measured under 2× real and q18's layout pin above,
-            # Q21 is the last TPC-H shape >2× after dispatch attribution.
-            # lineitem+orders co-bucketed on the ORDER key make the
-            # ord⋈lineitem join AND both per-(order[,supp]) rollups
-            # exchange-free (groupBy(ok, sk) is satisfied by hash(ok) —
-            # clustering on a key subset still co-locates; sortBy gives
-            # the SMJ pre-sorted runs, so the hint is stripped). What
-            # remains vs DuckDB is scan decode + the hash rollups —
-            # the sidecar shows how much of Q21's ratio was the one
-            # fact exchange.
-            if gdir != sf_dir and (
-                time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.operators.tpch_sql import _Q21
-                    from cuny_courses_spark.sources.loaders import (
-                        load as _ldb,
-                    )
-
-                    import shutil as _sh
-                    from urllib.parse import urlparse as _up
-
-                    t0 = time.perf_counter()
-                    wh = _up(
-                        spark.conf.get("spark.sql.warehouse.dir", "")
-                    ).path
-                    for tname in ("bkt_lineitem21",):
-                        spark.sql(f"DROP TABLE IF EXISTS {tname}")
-                        if wh:
-                            _sh.rmtree(
-                                os.path.join(wh, tname), ignore_errors=True
-                            )
-                    _ldb(spark, gdir, "lineitem").select(
-                        "l_orderkey", "l_suppkey", "l_shipdate"
-                    ).write.bucketBy(32, "l_orderkey").sortBy(
-                        "l_orderkey"
-                    ).mode("overwrite").saveAsTable("bkt_lineitem21")
-                    # bkt_orders_ok is reused from the Q18 block when it
-                    # exists (same 32-bucket o_orderkey layout).
-                    if not spark.catalog.tableExists("bkt_orders_ok"):
-                        _ldb(spark, gdir, "orders").write.bucketBy(
-                            32, "o_orderkey"
-                        ).sortBy("o_orderkey").mode(
-                            "overwrite"
-                        ).saveAsTable("bkt_orders_ok")
-                    entry["q_sql_q21_bucketed_layout_sec"] = round(
-                        time.perf_counter() - t0, 4
-                    )
-                    q21b = (
-                        _Q21.replace("/*+ SHUFFLE_HASH(ord) */ ", "")
-                        .replace("FROM orders", "FROM bkt_orders_ok")
-                        .replace(
-                            "FROM lineitem JOIN ord",
-                            "FROM bkt_lineitem21 JOIN ord",
-                        )
-                    )
-                    spark.sql(q21b).toPandas()  # warm
-                    entry["q_sql_q21_bucketed"] = _time_best(
-                        lambda: spark.sql(q21b).toPandas(),
-                        laps + 1 if factor >= 100 else laps,
-                    )
-                except Exception as exc:
-                    entry["q_sql_q21_bucketed"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # r15: the same physical A/B for Q3 — completing the layout
-            # pin for the full {q3, q18, q21} real-work weak set (r14
-            # verdict #4). lineitem bucketed on l_orderkey makes the
-            # grouped rollup after the broadcast co join exchange-free
-            # (grouping keys ⊇ the bucket key), so the only fact cost
-            # left is scan decode + the broadcast probe — the sidecar
-            # shows how much of Q3's ratio was that one grouped-agg
-            # exchange vs the scan floor.
-            if gdir != sf_dir and (
-                time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.operators.tpch_sql import _Q3
-                    from cuny_courses_spark.sources.loaders import (
-                        load as _ldb,
-                    )
-
-                    import shutil as _sh
-                    from urllib.parse import urlparse as _up
-
-                    t0 = time.perf_counter()
-                    wh = _up(
-                        spark.conf.get("spark.sql.warehouse.dir", "")
-                    ).path
-                    spark.sql("DROP TABLE IF EXISTS bkt_lineitem3")
-                    if wh:
-                        _sh.rmtree(
-                            os.path.join(wh, "bkt_lineitem3"),
-                            ignore_errors=True,
-                        )
-                    _ldb(spark, gdir, "lineitem").select(
-                        "l_orderkey",
-                        "l_shipdate",
-                        "l_extendedprice",
-                        "l_discount",
-                    ).write.bucketBy(32, "l_orderkey").sortBy(
-                        "l_orderkey"
-                    ).mode("overwrite").saveAsTable("bkt_lineitem3")
-                    entry["q_sql_q3_bucketed_layout_sec"] = round(
-                        time.perf_counter() - t0, 4
-                    )
-                    q3b = _Q3.replace(
-                        "JOIN lineitem ON", "JOIN bkt_lineitem3 ON"
-                    )
-                    spark.sql(q3b).toPandas()  # warm
-                    entry["q_sql_q3_bucketed"] = _time_best(
-                        lambda: spark.sql(q3b).toPandas(),
-                        laps + 1 if factor >= 100 else laps,
-                    )
-                except Exception as exc:
-                    entry["q_sql_q3_bucketed"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # Text/sampling twins run on the DOCS corpus connection (the
-            # gdir twin loop above can't serve them — different files).
-            if ddir != sf_dir:
-                try:
-                    from cuny_courses_spark.oracle import duck_con
-
-                    con = duck_con(ddir)
-                    os_all = oracles()
-                    for name in TEXT_EXT:
-                        if time.perf_counter() - t_start > budget:
-                            entry[f"{name}_duckdb"] = (
-                                "skipped: wall budget exhausted"
-                            )
-                            continue
-                        sql = os_all[name]
-                        con.execute(sql).fetchall()  # warm
-                        entry[f"{name}_duckdb"] = _time_best(
-                            lambda: con.execute(sql).fetchall(), laps
-                        )
-                except Exception as exc:
-                    entry["_text_duckdb"] = f"error: {type(exc).__name__}"
-            # One DuckDB-feasible dedup ratio (r5 verdict #6): the
-            # containment workload written as the INVERTED-INDEX join
-            # (unnest shingles → equi-join on shingle → per-pair count),
-            # the linear-ish formulation a tuned engine would run — NOT
-            # the registered all-pairs list_intersect oracle (quadratic,
-            # minutes at ×10). Same output rows; timing twin only (the
-            # value oracle runs at sf0.01 in the driver's gate). r7:
-            # runs at BOTH factors (r6 verdict missing-#4) — the indexed
-            # form stays linear-ish (~13 s at ×100, no spill), and the
-            # top decade is where the engine's sizes-on-postings plan
-            # crosses under DuckDB (11.9 vs 13 s, builder r7 session).
-            if ddir != sf_dir and (
-                time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.oracle import duck_con
-
-                    con = duck_con(ddir)
-                    con.execute(_DUCK_CONTAINMENT_INDEXED).fetchall()  # warm
-                    entry["q_dedup_containment_duckdb"] = _time_best(
-                        lambda: con.execute(
-                            _DUCK_CONTAINMENT_INDEXED
-                        ).fetchall(),
-                        laps,
-                    )
-                    try:  # release the in-process buffer pool promptly
-                        con.close()
-                    except Exception:
-                        pass
-
-                except Exception as exc:
-                    entry["q_dedup_containment_duckdb"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # near_jaccard inverted-index twin (r10, r9 verdict weak #2):
-            # the SAME postings-join algorithm the engine runs, in DuckDB
-            # SQL — exact (no hashing), so pair counts must agree
-            # EXACTLY; both engines' counts recorded at ×10 (engine
-            # re-run is cheap there), duck's at both factors.
-            if ddir != sf_dir and (
-                time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.oracle import duck_con
-
-                    con = duck_con(ddir)
-                    rows = con.execute(
-                        _DUCK_NEAR_JACCARD_INDEXED
-                    ).fetchall()  # warm
-                    entry["q_dedup_near_jaccard_duckdb"] = _time_best(
-                        lambda: con.execute(
-                            _DUCK_NEAR_JACCARD_INDEXED
-                        ).fetchall(),
-                        laps,
-                    )
-                    entry["q_dedup_near_jaccard_duckdb_pairs"] = len(rows)
-                    try:  # release the in-process buffer pool promptly
-                        con.close()
-                    except Exception:
-                        pass
-
-                    if factor <= 10:
-                        entry["q_dedup_near_jaccard_engine_pairs"] = (
-                            ext_fns["q_dedup_near_jaccard"](spark, ddir)
-                            .count()
-                        )
-                except Exception as exc:
-                    entry["q_dedup_near_jaccard_duckdb"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # Banded-LSH minhash twin (r9): same candidate-generation +
-            # verify shape as the engine's production path — closes the
-            # 'minhash is engine-only, no comparator' gap. Linear-ish
-            # (3 s ×10 / 25 s ×100 isolated), feasible at both factors.
-            if ddir != sf_dir and (
-                time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.oracle import duck_con
-
-                    con = duck_con(ddir)
-                    sql_mh = _duck_minhash_banded()
-                    con.execute(sql_mh).fetchall()  # warm
-                    entry["q_dedup_minhash_lsh_duckdb"] = _time_best(
-                        lambda: con.execute(sql_mh).fetchall(), laps
-                    )
-                    try:  # release the in-process buffer pool promptly
-                        con.close()
-                    except Exception:
-                        pass
-
-                except Exception as exc:
-                    entry["q_dedup_minhash_lsh_duckdb"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # Graph twins LAST among the DuckDB comparators (r11):
-            # the common_neighbors wedge join holds GBs of buffer
-            # in its in-process connection, and an un-GC'd heavy
-            # connection squeezes every later duck twin on the same
-            # point (measured: q13's duck lap 0.13 s -> 0.97 s at
-            # x100 when it ran right after this block). Same
-            # precise-before-heavy rule the Spark side uses.
-            # DuckDB pagerank twin only at ×10: at ×100 its 5 unrolled
-            # CTE rounds spilled >60 GB of temp to disk (r5: filled the
-            # device and wedged the run) — record the omission, don't
-            # risk the artifact.
-            if factor > 10:
-                entry["q_graph_pagerank_duckdb"] = (
-                    "skipped: duckdb spills >60GB at this factor"
-                )
-            elif (
-                gdir != sf_dir
-                and time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.oracle import duck_con
-
-                    con = duck_con(gdir)
-                    sql_pr = oracles()["q_graph_pagerank"]
-                    con.execute(sql_pr).fetchall()  # warm
-                    entry["q_graph_pagerank_duckdb"] = _time_best(
-                        lambda: con.execute(sql_pr).fetchall(), laps
-                    )
-                    try:  # release the in-process buffer pool promptly
-                        con.close()
-                    except Exception:
-                        pass
-
-                except Exception as exc:
-                    entry["q_graph_pagerank_duckdb"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-            # common_neighbors DuckDB twin (r10 verdict missing #5: the
-            # graph family's top bench point stood unbenchmarked). The
-            # registered oracle IS the wedge join in plain SQL — linear
-            # in Σdeg² like the engine's plan, measured feasible at both
-            # factors (1.4 s ×10 / 19.5 s ×100 on this host), so unlike
-            # pagerank no factor gate is needed.
-            if gdir != sf_dir and (
-                time.perf_counter() - t_start <= budget
-            ):
-                try:
-                    from cuny_courses_spark.oracle import duck_con
-
-                    con = duck_con(gdir)
-                    sql_cn = oracles()["q_graph_common_neighbors"]
-                    con.execute(sql_cn).fetchall()  # warm
-                    entry["q_graph_common_neighbors_duckdb"] = _time_best(
-                        lambda: con.execute(sql_cn).fetchall(), laps
-                    )
-                    try:  # release the in-process buffer pool promptly
-                        con.close()
-                    except Exception:
-                        pass
-
-                except Exception as exc:
-                    entry["q_graph_common_neighbors_duckdb"] = (
-                        f"error: {type(exc).__name__}"
-                    )
-        except Exception as exc:
-            entry["_point"] = f"error: {type(exc).__name__}"
-        finally:
-            # Drain storage between factors (polled, not fire-and-forget)
-            # so one point's checkpoint/cache blocks can't squeeze the
-            # next point's execution memory.
-            _drain_storage(spark)
 
     detail = {
         "metric": "suite_wall_sec",
