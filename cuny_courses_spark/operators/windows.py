@@ -871,6 +871,16 @@ def q_win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    # r15 optimization: count(*) — NOT countDistinct — because the rows
+    # entering this aggregate are already distinct per user within every
+    # (cohort_wk, week_offset) cell: act is distinct on (user_id, wk), a
+    # user has exactly one cohort_wk, so (user_id, wk) ↦ (cohort_wk,
+    # offset, user_id) is injective. countDistinct planned as TWO
+    # exchanges (partial-distinct expand on (cohort, offset, user) then
+    # the cell re-agg); count(*) is one map-side-combined exchange.
+    # The DuckDB twin keeps COUNT(DISTINCT) — bit-equality of the driver
+    # hash is the proof the dedup is redundant. ×100 A/B: 2 Exchange →
+    # 1 Exchange after the join (see plans/r15/q_win_retention_cohorts_*).
     return (
         act.join(cohort, ["user_id"])
         .groupBy(
@@ -879,7 +889,7 @@ def q_win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "week_offset"
             ),
         )
-        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
 
 
@@ -1025,8 +1035,22 @@ def q_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    # r15 optimization (guide §3.1): customer SCALES with SF, so its
+    # broadcast must be gated, not pinned — the unconditional
+    # F.broadcast(c) the query arrived with is wrong at 100 TB (a
+    # billions-row driver collect). Same footer-stats gate as the star
+    # family: broadcast while the table's parquet footer row count fits
+    # _STAR_BCAST_ROWS (metadata read, zero jobs), shuffle join past it.
+    # nation is bounded (25 rows forever) and stays pinned.
+    from cuny_courses_spark.operators.joins import (
+        _STAR_BCAST_ROWS,
+        _footer_rows,
+    )
+
+    c_rows = _footer_rows(sf_dir, "customer")
+    cb = F.broadcast(c) if (c_rows or 1 << 62) <= _STAR_BCAST_ROWS else c
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(cb, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "n_name", F.date_format("o_orderdate", "yyyy-MM").alias("month")
