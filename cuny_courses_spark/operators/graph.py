@@ -642,21 +642,25 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("l_partkey")).alias("src"),
         (2 * F.col("l_suppkey") + 1).alias("dst"),
     )
+    # r15 optimization (guide §2.4): repartition("dst") FIRST — the
+    # (src, dst) distinct then reuses that exchange (HashPartitioning(dst)
+    # satisfies ClusteredDistribution(src, dst): equal dst ⇒ co-located ⇒
+    # equal (src, dst) co-located), so the 2·|lineitem| edge build pays
+    # ONE exchange instead of dropDuplicates' (src, dst) exchange PLUS the
+    # dst repartition. The aggregate preserves dst partitioning, which is
+    # what every superstep's join reuses.
     edges = (
         fwd.union(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .dropDuplicates(["src", "dst"])
         .repartition("dst")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
     try:
         labels = (
             edges.select(F.col("src").alias("node")).distinct()
             .withColumn("label", F.col("node"))
-        )
-        w = Window.partitionBy("node").orderBy(
-            F.col("c").desc(), F.col("label").asc()
         )
         for _ in range(3):
             votes = (
@@ -665,10 +669,25 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("c"))
                 .withColumnRenamed("node2", "node")
             )
+            # r15 optimization (guide §2.4): the argmax was a row_number
+            # window (exchange + per-partition SORT of the vote rows);
+            # max-of-struct computes the identical winner — struct
+            # comparison is lexicographic, so max (c, −label) is highest
+            # count then SMALLEST label, the same vote-count-then-
+            # smallest-label tie rule (labels are node ids ≥ 0, negation
+            # exact in long) — as a hash aggregate: no sort, and the
+            # partial agg combines map-side. ×100 plan: Window+Sort per
+            # superstep → HashAggregate pair.
             labels = _superstep_checkpoint(
-                votes.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("node", "label")
+                votes.groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("c"), (-F.col("label")).alias("nl")
+                        )
+                    ).alias("m")
+                )
+                .select("node", (-F.col("m.nl")).alias("label"))
             )
         return labels
     finally:
