@@ -65,13 +65,24 @@ def _load_all() -> None:
     _loaded = True
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None = None, plan_cache: bool = True
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as contract query ``name`` with optional DuckDB oracle.
 
     The wrapped callable applies the engine session configuration (UTC,
     AQE, Arrow) before building the plan, so driver-owned SparkSessions
     behave identically to engine-owned ones.
-    """
+
+    ``plan_cache=False`` opts the query out of the analyzed-plan memo
+    (plans/plan_cache.py). REQUIRED for any query whose construction
+    eagerly materializes an intermediate (``localCheckpoint`` — the r15
+    Q18/Q8 materialize-count-broadcast gate): the cached Dataset would
+    pin the checkpointed RDD blocks, so re-invocations would silently
+    reuse COMPUTED DATA, not just the analyzed plan — partial result
+    caching across bench laps, exactly what the cache's ``select("*")``
+    re-execution wrapper exists to prevent. Opting out re-pays only
+    driver-side plan construction; all data work re-runs either way."""
 
     def deco(fn: QueryFn) -> QueryFn:
         import functools
@@ -84,6 +95,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
             configure(spark)
             tune_for_input(spark, sf_dir)
+            if not plan_cache:
+                return fn(spark, sf_dir)
             return get_or_build(name, fn, spark, sf_dir)
 
         wrapped.__name__ = name
