@@ -34,7 +34,8 @@ SHOW = [
     ("q_sql_q16_supplier_cnt",
      "r8 dedup-first Q16: int-key pair dedup before string label joins"),
     ("q_sql_q8_mkt_share",
-     "r8 staged Q8: reduce-first builds, one fact exchange (oc probe)"),
+     "r15 count-gated Q8: runtime-small sides checkpointed+counted, "
+     "broadcast under the star gate — zero fact exchanges"),
     ("q_sql_q7_nation_volume",
      "r8 zero-exchange Q7: all builds broadcast; one agg exchange total"),
     ("q_sql_q5_local_volume",
