@@ -1201,16 +1201,41 @@ def main() -> None:
                         pass
                     t0 = time.perf_counter()
                     _sim_lap()  # warm
-                    best = time.perf_counter() - t0
-                    for _ in range(laps):
+                    _sim_laps = [time.perf_counter() - t0]
+                    # r15: converge-until-stable, the same rule as the
+                    # heavy DOC/GRAPH set (best must REPRODUCE within
+                    # 15 % once, up to 3 extra budget-guarded laps).
+                    # The fixed best-of-2 recorded 13.52 s in the v4 run
+                    # while isolated laps converge [12.1, 6.4, 3.5, 3.0,
+                    # 1.8] — pure JIT/GC tier-up luck on the pandas-UDF
+                    # + double-join shape; lap list goes in the sidecar.
+                    _sim_done = 0
+                    while _sim_done < laps + 3:
                         try:
+                            import gc as _gc
+
+                            _gc.collect()
                             spark.sparkContext._jvm.System.gc()
                         except Exception:
                             pass
                         t0 = time.perf_counter()
                         _sim_lap()
-                        best = min(best, time.perf_counter() - t0)
-                    entry["q_sim_neardup_lsh_prod"] = round(best, 4)
+                        _sim_laps.append(time.perf_counter() - t0)
+                        _sim_done += 1
+                        if _sim_done >= laps:
+                            _sb = min(_sim_laps)
+                            if sum(
+                                1 for t in _sim_laps if t <= 1.15 * _sb
+                            ) >= 2 or (
+                                time.perf_counter() - t_start > budget
+                            ):
+                                break
+                    entry["q_sim_neardup_lsh_prod"] = round(
+                        min(_sim_laps), 4
+                    )
+                    entry["q_sim_neardup_lsh_prod_laps"] = [
+                        round(t, 3) for t in _sim_laps
+                    ]
                     entry["q_sim_neardup_lsh_prod_pairs"] = _sim_pairs.get(
                         "engine"
                     )
