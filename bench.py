@@ -69,6 +69,20 @@ Beyond the headline numbers the JSON carries the scale evidence
 - ``extended`` values are seconds, or an ``"error: <type>"`` marker when
   an operator crashed (never silently absent).
 
+r16 (methodology FROZEN otherwise — r15 VERDICT #2/#8): the timed action
+stays toArrow()/fetch_arrow_table() everywhere. Three declared additions:
+(a) `queries` gains `<name>_x100` entries — the ×100 sweep point's
+per-query seconds surfaced under stable names so the driver's low-core
+re-run can measure core-count scaling where compute dominates the
+dispatch floor (at sf0.1 every headline query IS the ~0.13 s floor);
+(b) `cpus` + `master` ride in the JSON so the scaling probe is
+self-evidencing; (c) the heavy extended-sweep entries (DOC/GRAPH ×100 +
+q_sim_neardup_lsh_prod) switch from per-query converge-until-stable
+rules to ONE uniform trimmed-median lap statistic (_trimmed_median) —
+the converge rule accepted two adjacent slow laps on a descending JIT
+curve (driver r15 artifact: 19.28 s recorded from laps [26.2, 21.0,
+19.3] for a ~2-3.5 s steady state). Lap lists stay in the sidecar.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
 """
@@ -575,6 +589,26 @@ def _time_best(fn, laps: int) -> float:
     return round(best, 4)
 
 
+def _trimmed_median(laps: list[float]) -> float:
+    """r16 uniform lap statistic for the HEAVY extended-sweep entries
+    (r15 VERDICT #8 + ADVICE): drop the slowest ⌈n/3⌉ laps (JIT/GC
+    tier-up and shared-host load spikes live there), take the median of
+    the rest. Replaces the per-query converge-until-stable rules, which
+    two adjacent slow laps on a still-descending JIT warm-up curve could
+    satisfy (the driver's r15 artifact recorded 19.28 s for
+    q_sim_neardup_lsh_prod from laps [26.2, 21.0, 19.3] — a curve whose
+    steady state is 1.8-3.5 s). A median over the fast laps cannot be a
+    single lucky lap (best-of's bias) and cannot be dominated by the
+    cold tail; the full lap list still lands in the sidecar."""
+    import math
+
+    s = sorted(laps)
+    keep = s[: max(1, len(s) - math.ceil(len(s) / 3))]
+    mid = len(keep) // 2
+    m = keep[mid] if len(keep) % 2 else (keep[mid - 1] + keep[mid]) / 2
+    return round(m, 4)
+
+
 def _sweep_point(spark, label: str, sf_dir: str, laps: int = 3) -> dict:
     """Warm best-of-``laps`` Spark vs DuckDB suite seconds over SWEEP at
     one data size — one point of the fixed-cost amortization curve."""
@@ -1016,30 +1050,20 @@ def main() -> None:
                         # the ms-scale headline laps are untouched).
                         lap_times = [warm_sec]
                         lap_disk = [_shuffle_dir_mb(spark)]
-                        # Adaptive convergence for the GC/JIT-lottery set
-                        # (r9): fixed best-of-3 only SOMETIMES lands the
-                        # steady state — one r9 run lapped near_jaccard
-                        # [40.0, 15.6, 38.4] (best reproduced by nothing)
-                        # and the previous run [36.8, 33.3, 42.4] (never
-                        # reached ~15 s at all). Keep lapping, up to 3
-                        # extra budget-guarded laps, until a SECOND lap
-                        # lands within 15 % of the best — a best that
-                        # reproduces is a steady state; a best that
-                        # doesn't is a fluke either way, and the full lap
-                        # list in the sidecar shows which.
+                        # r16 (r15 VERDICT #8 + ADVICE): ONE uniform lap
+                        # rule for the heavy GC/JIT-lottery set — a FIXED
+                        # number of extra laps (budget-guarded), recorded
+                        # value = trimmed median (_trimmed_median above).
+                        # Replaces the converge-until-stable rules (15 %
+                        # generally / 5 % pagerank), which a descending
+                        # JIT tier-up curve satisfied with two adjacent
+                        # SLOW laps; no per-query special cases remain.
+                        # Lap lists stay in the sidecar, so best-of is
+                        # still derivable for cross-round reading.
                         heavy = factor >= 100 and name in (
                             DOC_EXT + GRAPH_EXT
                         )
-                        # r13 (r12 verdict wrong #2): pagerank's r12 lap
-                        # spread [22-41 s] dated the recorded best —
-                        # restore the best-two-within-5% rule for it
-                        # with a larger extra-lap budget, so the artifact
-                        # records a best that REPRODUCED at 5%, not a
-                        # one-off. The 15% gate stays for the rest of
-                        # the heavy set (their laps converge already).
-                        tol = 1.05 if name == "q_graph_pagerank" else 1.15
-                        extra = 5 if name == "q_graph_pagerank" else 3
-                        max_laps = op_laps + (extra if heavy else 0)
+                        max_laps = op_laps + (3 if heavy else 0)
                         done_laps = 0
                         while done_laps < max_laps:
                             # python gc FIRST (r10, r9 weak #1): py4j
@@ -1074,19 +1098,17 @@ def main() -> None:
                             lap_times.append(time.perf_counter() - t0)
                             lap_disk.append(_shuffle_dir_mb(spark))
                             done_laps += 1
-                            if done_laps >= op_laps:
-                                if not heavy:
-                                    break
-                                best_t = min(lap_times)
-                                close = sum(
-                                    1 for t in lap_times
-                                    if t <= tol * best_t
-                                )
-                                if close >= 2 or (
-                                    time.perf_counter() - t_start > budget
-                                ):
-                                    break
-                        entry[name] = round(min(lap_times), 4)
+                            if (
+                                heavy
+                                and done_laps >= op_laps
+                                and time.perf_counter() - t_start > budget
+                            ):
+                                break
+                        entry[name] = (
+                            _trimmed_median(lap_times)
+                            if heavy
+                            else round(min(lap_times), 4)
+                        )
                         # r9 (judge #3): per-lap times for the heavy set
                         # land in the sidecar so the ARTIFACT ITSELF
                         # shows run-to-run variance (near_jaccard swung
@@ -1202,13 +1224,15 @@ def main() -> None:
                     t0 = time.perf_counter()
                     _sim_lap()  # warm
                     _sim_laps = [time.perf_counter() - t0]
-                    # r15: converge-until-stable, the same rule as the
-                    # heavy DOC/GRAPH set (best must REPRODUCE within
-                    # 15 % once, up to 3 extra budget-guarded laps).
-                    # The fixed best-of-2 recorded 13.52 s in the v4 run
-                    # while isolated laps converge [12.1, 6.4, 3.5, 3.0,
-                    # 1.8] — pure JIT/GC tier-up luck on the pandas-UDF
-                    # + double-join shape; lap list goes in the sidecar.
+                    # r16: the same UNIFORM heavy-entry lap rule as the
+                    # DOC/GRAPH set — fixed lap count (warm + laps + 3,
+                    # budget-guarded past the mandatory laps), recorded
+                    # value = trimmed median. The r15 converge rule's
+                    # failure mode (two adjacent slow laps on a
+                    # descending JIT curve pass the 15 % check) was hit
+                    # by the driver's own artifact: laps [26.2, 21.0,
+                    # 19.3] recorded 19.28 s for a 1.8-3.5 s steady
+                    # state. Lap list stays in the sidecar.
                     _sim_done = 0
                     while _sim_done < laps + 3:
                         try:
@@ -1222,16 +1246,12 @@ def main() -> None:
                         _sim_lap()
                         _sim_laps.append(time.perf_counter() - t0)
                         _sim_done += 1
-                        if _sim_done >= laps:
-                            _sb = min(_sim_laps)
-                            if sum(
-                                1 for t in _sim_laps if t <= 1.15 * _sb
-                            ) >= 2 or (
-                                time.perf_counter() - t_start > budget
-                            ):
-                                break
-                    entry["q_sim_neardup_lsh_prod"] = round(
-                        min(_sim_laps), 4
+                        if _sim_done >= laps and (
+                            time.perf_counter() - t_start > budget
+                        ):
+                            break
+                    entry["q_sim_neardup_lsh_prod"] = _trimmed_median(
+                        _sim_laps
                     )
                     entry["q_sim_neardup_lsh_prod_laps"] = [
                         round(t, 3) for t in _sim_laps
@@ -2065,11 +2085,41 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
     except Exception as exc:
         scan_floor = {"error": type(exc).__name__}
 
+    # r16 (r15 VERDICT #2 — "the headline suite cannot demonstrate
+    # parallelism at this data size"): surface the ×100 sweep point's
+    # per-query seconds as FIRST-CLASS `queries` entries (suffix _x100).
+    # At sf0.1 every headline query sits on the ~0.13 s/job dispatch
+    # floor, so the driver's 8-vs-32-core probe reads ≈1 no matter what
+    # the engine does; the ×100 point is compute-dominated (1-3 s/query)
+    # and scales with cores. These are the SAME toArrow best-of-N laps
+    # the sweep already runs — no new timed action, no methodology
+    # change; `value` stays the sf0.1 headline sum, and existing query
+    # names are untouched (entries are only ADDED, per the contract).
+    amp_queries: dict[str, float] = {}
+    amp_point = next(
+        (
+            p
+            for p in sweep
+            if isinstance(p, dict)
+            and p.get("point") == f"sf{sf}x100"
+            and p.get("spark_queries")
+        ),
+        None,
+    )
+    if amp_point:
+        for q, s in amp_point["spark_queries"].items():
+            amp_queries[f"{q}_x100"] = round(s, 3)
+
+    cpus_echo = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master_echo = spark.sparkContext.master
+
     detail = {
         "metric": "suite_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": per_query,
+        "queries": {**per_query, **amp_queries},
+        "cpus": cpus_echo,
+        "master": master_echo,
         "sf": sf,
         "layout": (
             f"rechunked_{N_ROW_GROUPS}_row_groups"
@@ -2137,7 +2187,13 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
         "metric": "suite_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": per_query,
+        "queries": {**per_query, **amp_queries},
+        # r16: the scaling probe is self-evidencing — the honored core
+        # count and the actual master string ride in the artifact (r15's
+        # `suspect_cpus_ignored` was a misdiagnosis the artifact itself
+        # could not refute).
+        "cpus": cpus_echo,
+        "master": master_echo,
         "sf": sf,
         "duckdb_suite_sec": duck_total,
         "ratio_vs_duckdb": detail["ratio_vs_duckdb"],
@@ -2158,10 +2214,14 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
     }
     # Hard size guard: drop lowest-priority fields until the line fits the
     # tail window with headroom; record what was trimmed (never silent).
+    # r16 reorder: the per-query top-point ratio block drops FIRST — its
+    # content is recomputable from the sidecar's sweep section (and the
+    # new _x100 queries entries carry the Spark side), while the ext
+    # ratio table is the judge's primary cross-family evidence.
     drop_order = [
-        "ext_ratios_top_point",
-        "jobs_per_query",
         "sweep_query_ratios_top_point",
+        "jobs_per_query",
+        "ext_ratios_top_point",
     ]
     trimmed: list[str] = []
     while len(json.dumps(compact)) > 1900 and drop_order:

@@ -43,7 +43,9 @@ from cuny_courses_spark.sources.loaders import load
 from cuny_courses_spark.sql import run_sql
 
 
-def _checkpointed_small(df: DataFrame) -> DataFrame:
+def _checkpointed_small(
+    df: DataFrame, sf_dir: str | None = None, bound_table: str | None = None
+) -> DataFrame:
     """Materialize-count-broadcast gate (r15, guide §3.1) for a join side
     that is only KNOWABLY small after an aggregation or selective join —
     a cardinality no static estimate survives and AQE cannot see either
@@ -66,11 +68,33 @@ def _checkpointed_small(df: DataFrame) -> DataFrame:
     INVARIANT: every query calling this MUST register with
     ``plan_cache=False`` — a memoized analyzed plan would pin the
     checkpointed blocks and re-invocations would reuse computed data
-    (see registry.register)."""
-    from cuny_courses_spark.operators.joins import _STAR_BCAST_ROWS
+    (see registry.register).
 
+    r16 (guide §5, VERDICT r15 "what's wrong" #1): past the gate the r15
+    form STILL ran localCheckpoint+count on the full side — at 100 TB
+    that is a TB-scale materialization to non-replicated executor-local
+    blocks (lose one executor, lose the job) plus an extra pass, for
+    zero benefit on the fallback branch. ``bound_table``'s parquet
+    footer row count (metadata read, zero jobs) upper-bounds ``df``'s
+    cardinality (Q18's HAVING output has ≤ one row per order; Q8's
+    filtered customers/orders are subsets); when that bound exceeds
+    8× the gate, the side cannot plausibly be broadcast-small enough to
+    justify a probe whose materialization cost is itself unbounded —
+    skip the checkpoint entirely and go straight to the shuffle-hash
+    posture. The 8× headroom keeps the probe (a bounded ≤64 M-row
+    narrow materialization) at every bench scale, where the aggregation
+    reduces 15 M orders to a few thousand qualifying rows and the
+    broadcast deletes the fact exchange; at 100 TB footers are billions
+    of rows and no materialization ever happens."""
+    from cuny_courses_spark.operators import joins as _joins
+
+    gate = _joins._STAR_BCAST_ROWS
+    if sf_dir is not None and bound_table is not None:
+        bound = _joins._footer_rows(sf_dir, bound_table)
+        if bound is not None and bound > 8 * gate:
+            return df.hint("shuffle_hash")
     mat = df.localCheckpoint()
-    if mat.count() <= _STAR_BCAST_ROWS:
+    if mat.count() <= gate:
         return F.broadcast(mat)
     return mat.hint("shuffle_hash")
 
@@ -252,8 +276,30 @@ def q_sql_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-check this note if the corpus contract ever loosens. SHUFFLE_HASH(od) builds on date-filtered
     orders rather than SMJ-sorting the 'R'-filtered fact; ×100 A/B:
     2.30 → 1.85 s (DuckDB twin 0.30 s — the residual is the recorded
-    scan/shuffle floor, BASELINE.md round-7)."""
-    return run_sql(spark, sf_dir, _Q10)
+    scan/shuffle floor, BASELINE.md round-7).
+
+    r16 optimization round (guide §2.4/§6): above the mirror threshold
+    both fact sides come from the ingest-time order-key bucketed mirrors
+    (sources/bucketed.py) — the lineitem⋈od join runs exchange-free on
+    the co-bucketed scans (SHUFFLE_HASH hint stripped: the sortBy'd
+    buckets feed a sort-free SMJ), leaving only the small per-custkey
+    aggregate shuffle. Oracle text verbatim; below the threshold the
+    r15 text runs unchanged."""
+    from cuny_courses_spark.sources.bucketed import clustered_views
+
+    mirrors = clustered_views(
+        spark,
+        sf_dir,
+        [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    )
+    if mirrors is None:
+        return run_sql(spark, sf_dir, _Q10)
+    sql = (
+        _Q10.replace("/*+ SHUFFLE_HASH(od) */ ", "")
+        .replace("FROM orders", f"FROM {mirrors['orders']}")
+        .replace("FROM lineitem JOIN od", f"FROM {mirrors['lineitem']} JOIN od")
+    )
+    return run_sql(spark, sf_dir, sql)
 
 
 _Q14 = f"""
@@ -545,7 +591,10 @@ def q_sql_q8_mkt_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(_checkpointed_small(ac), o.o_custkey == F.col("c_custkey"))
+        .join(
+            _checkpointed_small(ac, sf_dir, "customer"),
+            o.o_custkey == F.col("c_custkey"),
+        )
         .select(
             "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
         )
@@ -565,7 +614,10 @@ def q_sql_q8_mkt_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             _footer_gated_broadcast(sf_dir, "supplier", sn),
             li.l_suppkey == sn.s_suppkey,
         )
-        .join(_checkpointed_small(oc), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            _checkpointed_small(oc, sf_dir, "orders"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
         .select("o_year", volume.alias("volume"), "nation")
     )
     return (
@@ -768,7 +820,9 @@ def q_sql_q18_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sum_qty") > 300)
     )
-    bigj = _checkpointed_small(big)
+    # |big| ≤ one row per distinct l_orderkey ≤ |orders| (FK contract),
+    # so the orders footer bounds the probe decision.
+    bigj = _checkpointed_small(big, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     top = (
         o.join(bigj, o.o_orderkey == bigj["l_orderkey"])
@@ -846,8 +900,35 @@ def q_sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASELINE.md round-7). At cluster scale the build side is F-orders
     within one shuffle partition — cluster_confs sizes partition counts
     from input bytes so the build fits, and AQE skew-split applies to
-    SHJ as well."""
-    return run_sql(spark, sf_dir, _Q21)
+    SHJ as well.
+
+    r16 optimization round (guide §2.4/§6, VERDICT r15 next-round #1):
+    above the mirror threshold the Spark side reads the INGEST-TIME
+    BUCKETED mirrors of lineitem and orders, co-clustered on the order
+    key (sources/bucketed.py). Both rollups and the fact join then reuse
+    the scan's bucket partitioning — ZERO fact exchanges (the r15
+    sidecar's q_sql_q21_bucketed A/B, 3.88 → 2.13 s at ×100, promoted to
+    the declared path); the SHUFFLE_HASH hint is stripped on this path
+    because the sortBy'd buckets feed a sort-free SMJ. Same rows by
+    construction (the mirror is the base table re-laid-out); the DuckDB
+    oracle keeps the _Q21 text verbatim and the driver's hash gate plus
+    tools/check.py --amplify prove equality. Below the threshold (every
+    driver correctness SF) the r15 text runs unchanged."""
+    from cuny_courses_spark.sources.bucketed import clustered_views
+
+    mirrors = clustered_views(
+        spark,
+        sf_dir,
+        [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    )
+    if mirrors is None:
+        return run_sql(spark, sf_dir, _Q21)
+    sql = (
+        _Q21.replace("/*+ SHUFFLE_HASH(ord) */ ", "")
+        .replace("FROM orders", f"FROM {mirrors['orders']}")
+        .replace("FROM lineitem JOIN ord", f"FROM {mirrors['lineitem']} JOIN ord")
+    )
+    return run_sql(spark, sf_dir, sql)
 
 
 _CENTS_BAL = "CAST(round(c_acctbal * 100) AS BIGINT)"
@@ -1066,8 +1147,25 @@ def q_sql_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the fact exchange-free for the label joins at the measured
     regime (fp ≈ 12 % of part); at a dim scale past broadcastability the
     hint flips to SHUFFLE_HASH — A/B'd at 2.94 s, still under the old
-    form."""
-    return run_sql(spark, sf_dir, _Q16)
+    form.
+
+    r16 optimization round (guide §2.4/§6): above the mirror threshold
+    the fact is read from the ingest-time mirror BUCKETED ON l_partkey
+    (sources/bucketed.py) — HashPartitioning(l_partkey) satisfies the
+    DISTINCT's ClusteredDistribution(l_partkey, l_suppkey) (clustering
+    on a key subset co-locates every pair), so the pair-dedup exchange
+    that r15 pinned as the query's residual cost (bare shape 5.3× vs
+    DuckDB) disappears; only the tiny post-dedup triple aggregate still
+    shuffles. Oracle text verbatim; below the threshold the r15 text
+    runs unchanged."""
+    from cuny_courses_spark.sources.bucketed import clustered_view
+
+    li = clustered_view(spark, sf_dir, "lineitem", "l_partkey")
+    if li == "lineitem":
+        return run_sql(spark, sf_dir, _Q16)
+    return run_sql(
+        spark, sf_dir, _Q16.replace("FROM lineitem JOIN fp", f"FROM {li} JOIN fp")
+    )
 
 
 _Q20 = """

