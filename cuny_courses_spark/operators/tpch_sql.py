@@ -151,8 +151,29 @@ def q_sql_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated condition (min o_orderdate + 60 days) but not derivable
     by either optimizer through the non-equi comparison — stating it
     explicitly pushes a shipdate filter into the lineitem scan (row-group
-    min/max pruning at 100 TB; a 3× smaller probe side locally)."""
-    return run_sql(spark, sf_dir, _Q4)
+    min/max pruning at 100 TB; a 3× smaller probe side locally).
+
+    r16 (guide §2.4/§6): above the mirror threshold both sides come from
+    the ingest-time order-key bucketed mirrors (sources/bucketed.py) —
+    the fo⋈lineitem join runs exchange-free on the co-bucketed sorted
+    scans (hint stripped; sort-free SMJ) and the count(DISTINCT
+    o_orderkey) partial-dedup reuses the same clustering. Oracle text
+    verbatim; below the threshold the r15 text runs unchanged."""
+    from cuny_courses_spark.sources.bucketed import clustered_views
+
+    mirrors = clustered_views(
+        spark,
+        sf_dir,
+        [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    )
+    if mirrors is None:
+        return run_sql(spark, sf_dir, _Q4)
+    sql = (
+        _Q4.replace("/*+ SHUFFLE_HASH(fo) */ ", "")
+        .replace("FROM orders", f"FROM {mirrors['orders']}")
+        .replace("FROM fo JOIN lineitem", f"FROM fo JOIN {mirrors['lineitem']}")
+    )
+    return run_sql(spark, sf_dir, sql)
 
 
 _Q6 = f"""
@@ -1100,8 +1121,27 @@ def q_sql_q12_priority_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: urgent vs non-urgent order counts per shipment
     class (returnflag stands in for the absent shipmode column) — join +
     dual conditional count, computed in ONE pass over the join output
-    (map-side partials; no second scan for the second counter)."""
-    return run_sql(spark, sf_dir, _Q12)
+    (map-side partials; no second scan for the second counter).
+
+    r16 (guide §2.4/§6): above the mirror threshold both sides come from
+    the ingest-time order-key bucketed mirrors (sources/bucketed.py) —
+    the one fact join runs exchange-free on the co-bucketed sorted
+    scans; only the 2-group aggregate shuffles. Oracle text verbatim;
+    below the threshold the r15 text runs unchanged."""
+    from cuny_courses_spark.sources.bucketed import clustered_views
+
+    mirrors = clustered_views(
+        spark,
+        sf_dir,
+        [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    )
+    if mirrors is None:
+        return run_sql(spark, sf_dir, _Q12)
+    sql = _Q12.replace(
+        "FROM orders JOIN lineitem",
+        f"FROM {mirrors['orders']} JOIN {mirrors['lineitem']}",
+    )
+    return run_sql(spark, sf_dir, sql)
 
 
 _Q16 = """
