@@ -212,15 +212,36 @@ FROM documents
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex tokenizer count
     (letters / digits / single non-alnum), the standard budget estimator
-    for training pipelines."""
+    for training pipelines.
+
+    r16 (guide §2.3 — do less work per byte; the r15 VERDICT #6 rewrite,
+    now measured): the alternation `regexp_count('[a-z]+|[0-9]+|
+    [^a-z0-9 ]')` was the query's whole cost (8.61 s of the noop wall at
+    docs ×100). The token count equals #non-space chars − #run-extending
+    chars: the alternation partitions non-space text into maximal [a-z]+
+    runs, maximal [0-9]+ runs, and single other chars, so every token
+    consumes exactly one char that does NOT extend a same-class run.
+    #spaces and #extensions come from two trivial regexes
+    (`' '` and `[a-z](?=[a-z])|[0-9](?=[0-9])` — 1-char consume +
+    lookahead counts every extending position, non-overlap is moot).
+    Exact equivalence machine-checked on the full ×100 corpus (0
+    mismatches over every doc) and by the unchanged DuckDB oracle at all
+    SFs. Measured: the expression 8.61 → 1.09 s best-of-5 noop; a
+    3-regex alternation-split variant measured 31.8 s (three full
+    automata passes) and was rejected."""
     d = load(spark, sf_dir, "documents")
     n_ws = F.size(F.split(F.col("text"), " "))
+    n_bpe = (
+        F.length(F.col("text"))
+        - F.regexp_count(F.col("text"), F.lit(" "))
+        - F.regexp_count(
+            F.col("text"), F.lit("[a-z](?=[a-z])|[0-9](?=[0-9])")
+        )
+    )
     return d.select(
         "doc_id",
         n_ws.cast("long").alias("n_ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
-        .cast("long")
-        .alias("n_bpe_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
         F.round(F.col("n_chars").cast("double") / n_ws, 4).alias(
             "chars_per_token"
         ),
