@@ -888,45 +888,35 @@ def q_etl_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cost-based optimizer, data-quality monitor, or file-skipping index
     builds at ingest. Long format (one row per column), values in each
     column's exact-integer image (keys as-is, decimals in fixed-point
-    cents) so the whole profile is one BIGINT-typed relation. Plan: ONE
-    pass over the table computing all per-column aggregates together —
-    Catalyst plans the multi-DISTINCT via Expand (one shuffle carrying a
-    grouping-id tag, partial-agg-combined), not N table scans; the scan
-    reads only the 6 profiled columns (pruned). At 100 TB the exact NDVs
-    are the expensive term — the sketch swap (approx_count_distinct, the
-    q_agg_approx_distinct twin) is the declared large-profile path, same
-    tolerance-bracket pattern."""
+    cents) so the whole profile is one BIGINT-typed relation.
+
+    r16 (guide §2.3 — the round's family-profiling pass ranked this the
+    most expensive etl/lake/scan query at ×10, 2.60 s noop): the r15
+    single-agg form packed all six ``count_distinct`` into one
+    aggregate, which Catalyst plans via **Expand** — every input row is
+    replicated 7× (one per distinct group + 1) before the partial
+    aggregate, so the "ONE pass" actually pushed 7× the fact rows
+    through aggregation. The per-column UNION form runs six independent
+    single-distinct aggregates (each a two-level partial-distinct over
+    ONE column, no Expand): 2.60 → 1.24 s best-of-5 at ×10, results
+    verified identical row-for-row. At 100 TB both forms read the same
+    column bytes; the union avoids the 7× row amplification and its six
+    jobs can overlap (guide §2.6). Exact NDVs stay the declared
+    semantics — the sketch swap (approx_count_distinct) remains the
+    documented large-profile alternative."""
     li = load(spark, sf_dir, "lineitem")
-    stats = [
-        (
-            F.count(F.lit(1)).cast("long"),
-            (F.count(F.lit(1)) - F.count(col)).cast("long"),
-            F.count_distinct(col).cast("long"),
-            F.min(col).cast("long"),
-            F.max(col).cast("long"),
+    parts = [
+        li.agg(
+            F.lit(name).alias("column_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_nulls"),
+            F.count_distinct(col).cast("long").alias("ndv"),
+            F.min(col).cast("long").alias("min_v"),
+            F.max(col).cast("long").alias("max_v"),
         )
-        for _, col in _profile_cols()
+        for name, col in _profile_cols()
     ]
-    flat = [c for tup in stats for c in tup]
-    row = li.agg(*[c.alias(f"_s{i}") for i, c in enumerate(flat)])
-    names = [name for name, _ in _PROFILE_COLS]
-    cols = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("column_name"),
-                F.col(f"_s{i * 5}").alias("n_rows"),
-                F.col(f"_s{i * 5 + 1}").alias("n_nulls"),
-                F.col(f"_s{i * 5 + 2}").alias("ndv"),
-                F.col(f"_s{i * 5 + 3}").alias("min_v"),
-                F.col(f"_s{i * 5 + 4}").alias("max_v"),
-            )
-            for i, name in enumerate(names)
-        ]
-    )
-    return (
-        row.select(F.explode(cols).alias("s"))
-        .select("s.column_name", "s.n_rows", "s.n_nulls", "s.ndv", "s.min_v", "s.max_v")
-    )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 @register(

@@ -692,8 +692,27 @@ def q_sql_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB twin 0.13 → 0.09 — it folds either form to the same plan
     shape; the remaining ~11× is the orders-scan floor + exchange,
     BASELINE.md round-7). The outer re-aggregation input stays one row
-    per customer, tiny at any scale."""
-    return run_sql(spark, sf_dir, _Q13)
+    per customer, tiny at any scale.
+
+    r16 (guide §2.4/§6): above the mirror threshold both sides come
+    from CUSTKEY-bucketed ingest mirrors (sources/bucketed.py) — the
+    per-custkey aggregate reuses the orders scan's clustering and the
+    LEFT join reuses both (the r15 sidecar's q_sql_q13_bucketed A/B,
+    promoted to the declared path). Oracle text verbatim; below the
+    threshold the r15 text runs unchanged."""
+    from cuny_courses_spark.sources.bucketed import clustered_views
+
+    mirrors = clustered_views(
+        spark,
+        sf_dir,
+        [("customer", "c_custkey"), ("orders", "o_custkey")],
+    )
+    if mirrors is None:
+        return run_sql(spark, sf_dir, _Q13)
+    sql = _Q13.replace("FROM customer", f"FROM {mirrors['customer']}").replace(
+        "FROM orders", f"FROM {mirrors['orders']}"
+    )
+    return run_sql(spark, sf_dir, sql)
 
 
 _Q15 = f"""

@@ -55,17 +55,19 @@ def test_mirror_rows_identical_to_source(spark, mirror_enabled):
     assert mir == src
 
 
-@pytest.mark.parametrize("qname", ["q21", "q16", "q10", "q4", "q12"])
+@pytest.mark.parametrize("qname", ["q21", "q16", "q10", "q4", "q12", "q13"])
 def test_mirror_form_matches_plain_text(spark, mirror_enabled, qname):
     from cuny_courses_spark.operators.tpch_sql import (
         _Q4,
         _Q10,
         _Q12,
+        _Q13,
         _Q16,
         _Q21,
         q_sql_q4_priority_exists,
         q_sql_q10_returned_topk,
         q_sql_q12_priority_by_class,
+        q_sql_q13_cust_distribution,
         q_sql_q16_supplier_cnt,
         q_sql_q21_waiting_supplier,
     )
@@ -77,10 +79,11 @@ def test_mirror_form_matches_plain_text(spark, mirror_enabled, qname):
         "q10": (_Q10, q_sql_q10_returned_topk),
         "q4": (_Q4, q_sql_q4_priority_exists),
         "q12": (_Q12, q_sql_q12_priority_by_class),
+        "q13": (_Q13, q_sql_q13_cust_distribution),
     }[qname]
     df = fn(spark, SF_DIR)
     plan = _plan(spark, df)
-    assert "ccs_bkt_lineitem" in plan, "mirror path must be taken"
+    assert "ccs_bkt_" in plan, "mirror path must be taken"
     # sorted: q4/q12 carry no total ORDER BY (the oracle hash is
     # order-insensitive); the ordered queries sort identically anyway.
     assert sorted(_rows(df)) == sorted(_rows(run_sql(spark, SF_DIR, sql)))
