@@ -88,7 +88,14 @@ _EDGES = [
 def q_etl_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: dangling-FK counts across every edge of
     the star schema (all-zero at sf0.01 per FIXTURES; documents→embeddings
-    goes non-zero at sf0.1 where the tables diverge — by design)."""
+    goes non-zero at sf0.1 where the tables diverge — by design).
+
+    r16 examined, unchanged: a bucketed-mirror variant (co-clustered
+    anti-joins for the lineitem→orders and orders→customer edges)
+    measured NO win at ×10 (2.21 vs 2.13 s best, interleaved laps
+    overlapping) — the wall is spread across the 9-part union's job
+    overhead and the unmirrored events/documents edges, not those two
+    anti-joins. Rejected by measurement (OPTIMIZATION_r16.md)."""
     parts = []
     for name, c, ck, p, pk in _EDGES:
         child = load(spark, sf_dir, c)

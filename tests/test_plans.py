@@ -388,12 +388,15 @@ def test_streak_exchanges_are_dedup_then_window(spark):
     assert ", day#" in plan.split("Exchange")[2], plan[:4000]  # dedup keyed on (user, day)
 
 
-def test_table_stats_single_scan(spark):
-    # The 6-column profile (incl. 6 exact NDVs) must be ONE Expand-planned
-    # scan of lineitem, never N per-column scans.
+def test_table_stats_no_expand(spark):
+    # r16: the 6-column profile must be per-column single-distinct
+    # aggregates unioned — NO Expand (the r15 one-scan multi-distinct
+    # form replicated every fact row 7× through the partial aggregate;
+    # measured 2.60 → 1.24 s at ×10, OPTIMIZATION_r16.md). One pruned
+    # single-column scan per profiled column is the cheaper trade.
     plan = _plan(spark, "q_etl_table_stats")
-    assert plan.count("FileScan parquet") == 1, plan[:4000]
-    assert "Expand" in plan, plan[:4000]
+    assert "Expand" not in plan, plan[:4000]
+    assert plan.count("FileScan parquet") == 6, plan[:4000]
 
 
 def test_asof_nearest_is_sweep_not_join(spark):
