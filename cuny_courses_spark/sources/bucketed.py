@@ -178,14 +178,31 @@ def _build_mirror(
 
     from cuny_courses_spark.sources.loaders import load
 
+    # Disk hygiene with working-set awareness: one bench run legitimately
+    # holds mirrors for SEVERAL corpora at once (the ×10 and ×100 sweep
+    # layouts of the same tables), so dropping every other signature
+    # would churn a full rebuild at each factor switch. Keep the 2 most
+    # recent other signatures per (table, key); drop older ones (stale
+    # regenerated-data leftovers). The target dir itself is always
+    # cleared (an in-memory catalog forgets its tables between sessions
+    # and saveAsTable refuses an existing path).
     prefix = f"ccs_bkt_{table}_{key}_"
-    for t in spark.catalog.listTables():
-        if t.name.startswith(prefix) and t.name != name:
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
     if wh:
-        for old in glob.glob(os.path.join(wh, f"{prefix}*")):
+        others = sorted(
+            (
+                d
+                for d in glob.glob(os.path.join(wh, f"{prefix}*"))
+                if os.path.basename(d) != name
+            ),
+            key=lambda d: os.path.getmtime(d),
+            reverse=True,
+        )
+        for old in others[2:]:
+            spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(old)}")
             shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sparkContext.setJobDescription(f"ingest: bucketed mirror {name}")
     try:
         from pyspark.sql import functions as F
