@@ -1026,8 +1026,15 @@ def main() -> None:
                     # artifact on unchanged plans; these laps are 2-3 s,
                     # so one more execution is cheap insurance against
                     # lap-position luck becoming the recorded number.
+                    # r16: TPCH gets laps+2 at ×100 (was +1) — the warm
+                    # lap now absorbs the one-time bucketed-mirror
+                    # ingest for q21/q16/q10/q13, and the first timed
+                    # lap after it is still on the descending JIT curve
+                    # (observed [31.0, 4.7, 3.6] with a ~2.8 s steady
+                    # state); one more ~3 s lap per entry buys the
+                    # best-of a converged reading.
                     op_laps = (
-                        laps + 1
+                        laps + (2 if name in TPCH_EXT else 1)
                         if factor >= 100
                         and name in DOC_EXT + GRAPH_EXT + TPCH_EXT
                         else laps
@@ -2171,6 +2178,11 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey
                     "_shuffle_mb",
                     "_floor_attr",
                     "_layout_sec",
+                    # r16: the bucketed sidecar A/Bs are secondary
+                    # evidence (the declared q21/q16/q10/q13 paths now
+                    # carry the layout themselves) — sidecar-only, so
+                    # the size guard keeps jobs_per_query instead.
+                    "_bucketed",
                 )
             ) or k.startswith("_"):
                 continue

@@ -29,7 +29,9 @@ SHOW = [
     ("q_join_asof_nearest", "union-sweep as-of: ONE exchange, two frames, no join"),
     ("q_dedup_near_jaccard", "inverted shingle index: shuffle-hash equi-join, no nested loop"),
     ("q_graph_common_neighbors", "wedge equi-join + anti join; hub cap at scale"),
-    ("q_etl_table_stats", "single Expand-planned scan for 6-column profile"),
+    ("q_etl_table_stats",
+     "r16 per-column union profile: six single-distinct aggregates, "
+     "no Expand row amplification"),
     ("q_ts_ewma", "exact-int64 EWMA: JVM higher-order fold, no Python stage"),
     ("q_sql_q16_supplier_cnt",
      "r8 dedup-first Q16: int-key pair dedup before string label joins"),
