@@ -771,8 +771,24 @@ def q_sql_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (5·qty·n < Σqty): no float avg, so the cut is bit-exact in
     both engines. Quantities are integer-valued by fixture contract
     (FIXTURES.md). This is exactly the decorrelated plan Catalyst would
-    produce from the subquery form, stated explicitly."""
-    return run_sql(spark, sf_dir, _Q17)
+    produce from the subquery form, stated explicitly.
+
+    r16 (guide §2.4/§6): above the mirror threshold BOTH lineitem
+    references read the part-key bucketed ingest mirror
+    (sources/bucketed.py, shared with q16) — the per-partkey aggregate
+    reuses the scan's clustering and the fact⋈aggregate self-join runs
+    on co-partitioned sides, so the fact is never exchanged; the
+    filtered part dim broadcasts as before. Oracle text verbatim; below
+    the threshold the r15 text runs unchanged."""
+    from cuny_courses_spark.sources.bucketed import clustered_view
+
+    li = clustered_view(spark, sf_dir, "lineitem", "l_partkey")
+    if li == "lineitem":
+        return run_sql(spark, sf_dir, _Q17)
+    sql = _Q17.replace("FROM lineitem\nJOIN part", f"FROM {li}\nJOIN part").replace(
+        "FROM lineitem GROUP BY l_partkey", f"FROM {li} GROUP BY l_partkey"
+    )
+    return run_sql(spark, sf_dir, sql)
 
 
 _Q18 = """

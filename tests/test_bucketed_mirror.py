@@ -55,7 +55,9 @@ def test_mirror_rows_identical_to_source(spark, mirror_enabled):
     assert mir == src
 
 
-@pytest.mark.parametrize("qname", ["q21", "q16", "q10", "q4", "q12", "q13"])
+@pytest.mark.parametrize(
+    "qname", ["q21", "q16", "q10", "q4", "q12", "q13", "q17"]
+)
 def test_mirror_form_matches_plain_text(spark, mirror_enabled, qname):
     from cuny_courses_spark.operators.tpch_sql import (
         _Q4,
@@ -63,12 +65,14 @@ def test_mirror_form_matches_plain_text(spark, mirror_enabled, qname):
         _Q12,
         _Q13,
         _Q16,
+        _Q17,
         _Q21,
         q_sql_q4_priority_exists,
         q_sql_q10_returned_topk,
         q_sql_q12_priority_by_class,
         q_sql_q13_cust_distribution,
         q_sql_q16_supplier_cnt,
+        q_sql_q17_small_qty_revenue,
         q_sql_q21_waiting_supplier,
     )
     from cuny_courses_spark.sql import run_sql
@@ -80,6 +84,7 @@ def test_mirror_form_matches_plain_text(spark, mirror_enabled, qname):
         "q4": (_Q4, q_sql_q4_priority_exists),
         "q12": (_Q12, q_sql_q12_priority_by_class),
         "q13": (_Q13, q_sql_q13_cust_distribution),
+        "q17": (_Q17, q_sql_q17_small_qty_revenue),
     }[qname]
     df = fn(spark, SF_DIR)
     plan = _plan(spark, df)
