@@ -122,7 +122,10 @@ def clustered_view(
         if sig is None:
             return table
         name = f"ccs_bkt_{table}_{key}_{sig}"
-        memo_key = (id(spark), table, key, sig)
+        # applicationId is unique per SparkContext (no id()-reuse footgun
+        # after a session is GC'd) and one py4j call — same cost class as
+        # the tableExists probe it short-circuits.
+        memo_key = (spark.sparkContext.applicationId, table, key, sig)
         if _KNOWN.get(memo_key) == name:
             return name
         if spark.catalog.tableExists(name):
