@@ -268,7 +268,16 @@ def commit_snapshot(
     mdir = os.path.join(table_dir, "manifest")
     os.makedirs(mdir, exist_ok=True)
     final = _manifest_path(table_dir, version)
-    tmp = os.path.join(mdir, f".v{version}.json.tmp.{os.getpid()}")
+    # pid + uuid like every other staged temp in this module: pid alone
+    # collides for SAME-PROCESS concurrent committers of one version
+    # (threaded drivers, guide §2.6) — the winner's post-publish unlink
+    # then deletes the loser's tmp mid-flight and the loser dies with
+    # FileNotFoundError instead of the protocol's FileExistsError, so
+    # its rebase retry never runs (caught by the r16 final gate run of
+    # tests/test_lakehouse.py::test_append_commit_race_single_winner).
+    tmp = os.path.join(
+        mdir, f".v{version}.json.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+    )
     dvs_clean = {
         b: sorted(es, key=lambda e: e["path"])
         for b, es in (dvs or {}).items()
